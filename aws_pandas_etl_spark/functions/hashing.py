@@ -1,0 +1,84 @@
+"""Hashing column expressions shared by row-hash, dedup and LSH ops.
+
+All helpers return JVM-side ``Column`` expressions (whole-stage
+codegen-able) — no Python UDFs.  Where an operator needs a
+DuckDB-expressible twin for the oracle harness, the same md5-based
+construction is used on both sides (DuckDB: ``('0x'||substr(md5(x),1,15))::BIGINT``,
+Spark: ``conv(substr(md5(x),1,15),16,10)::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 15 hex digits = 60 bits, always fits BIGINT (16^15 - 1 < 2^63 - 1).
+MD5_HEX_DIGITS = 15
+
+
+def md5_bigint(col: Column | str, seed: int = 0) -> Column:
+    """Deterministic 60-bit integer hash of a string column.
+
+    Engine-portable (Spark `conv` == DuckDB hex cast), unlike
+    ``xxhash64``/``hash`` whose implementations differ per engine.
+    ``seed`` derives independent hash families for MinHash.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    salted = F.concat(F.lit(f"{seed}|"), c) if seed else c
+    return F.conv(F.substring(F.md5(salted), 1, MD5_HEX_DIGITS), 16, 10).cast("bigint")
+
+
+def row_hash(cols: list[str], out: str = "row_hash_code") -> Column:
+    """MD5 row fingerprint, reference-parity byte format.
+
+    The reference builds ``'(' + ','.join(str(v) for v in row) + ')'``
+    with nulls as ``''`` and md5-hexdigests it
+    (/root/reference/utils/dataframe_operations.py:73-90).  Same
+    construction here, with Spark's string casts as the canonical
+    stringification (documented deviation from pandas ``str()`` repr
+    quirks — SURVEY.md §7.3 "hard parts").
+    """
+    joined = F.concat_ws(
+        ",", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    )
+    return F.md5(F.concat(F.lit("("), joined, F.lit(")"))).alias(out)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for fingerprinting: lowercase, strip
+    non-alphanumerics to single spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def shingles(col: Column | str, n: int = 5) -> Column:
+    """Word n-gram shingle array from a text column (for MinHash /
+    Jaccard).  Tokenizes on whitespace, emits distinct n-grams joined
+    by a single space.  Pure Column expression: split -> transform over
+    index range -> slice+join -> distinct."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(normalize_text(c), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of seeded
+    md5_bigint over the shingle set.  O(|shingles| * num_hashes) inside
+    codegen; no shuffle, no UDF."""
+    sigs = [
+        F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s, seed=seed: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, MD5_HEX_DIGITS),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        )
+        for seed in range(num_hashes)
+    ]
+    return F.array(*sigs)

@@ -1,0 +1,126 @@
+"""Config-driven multi-table pipeline runner — "HistoryLoad" parity.
+
+Reproduces the reference's job loop (/root/reference/main.py:35-80):
+iterate the table registry, skip inactive tables, per-table
+cast->audit->hash->standardize->enforce->write, isolate failures so one
+bad table doesn't kill the run, and report per-table row counts.
+
+Differences by design (all scale-motivated):
+- Each table is one distributed DataFrame job, not a 1M-row chunk loop;
+  partitions are the unit of parallelism.
+- Failures are structured results, not an append to a misspelled text
+  file (ref main.py:40 ``fsilure_logs.txt``); the "No failures in this
+  run" bug (main.py:79-80 writes it unconditionally) is not replicated.
+- The run-constant audit timestamp is captured once per ``run()`` call
+  (the reference accidentally made it once per *import*,
+  dataframe_operations.py:54).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from aws_pandas_etl_spark.operators.transforms import (
+    add_audit_columns,
+    add_row_hash,
+    cast_bit_columns,
+    cast_date_columns,
+    cast_decimal_columns,
+    cast_tinyint_columns,
+    ceil_to_ms,
+    columns_with_type,
+    enforce_schema,
+    standardize_column_names,
+)
+from aws_pandas_etl_spark.sources.sinks import overwrite_load
+
+
+@dataclass
+class TableSpec:
+    """Per-table config (ref config.yaml:26-28 ``{active_flag, red_schema}``)."""
+
+    name: str
+    active_flag: str = "T"
+    red_schema: str = "T"
+    schema: T.StructType | None = None  # declared target schema (optional)
+    bit_cols: list[str] = field(default_factory=list)
+    tinyint_cols: list[str] = field(default_factory=list)
+    decimal_cols: list[str] = field(default_factory=list)
+    date_cols: list[str] = field(default_factory=list)
+    hash_cols: list[str] | None = None
+
+
+@dataclass
+class TableResult:
+    table: str
+    status: str  # "loaded" | "skipped" | "failed"
+    rows: int = 0
+    error: str | None = None
+
+
+def transform_table(
+    df: DataFrame,
+    spec: TableSpec,
+    run_ts: _dt.datetime,
+    runid: int,
+    updatedby: str = "redshiftadmin",
+) -> DataFrame:
+    """The reference's per-chunk dataflow (rdbms_operations.py:230-245)
+    as one Catalyst plan: casts -> audit -> row-hash -> name
+    standardization -> schema enforcement.  Entirely projection-based:
+    zero shuffles, one codegen stage over the scan."""
+    df = cast_bit_columns(df, spec.bit_cols)
+    df = cast_tinyint_columns(df, spec.tinyint_cols)
+    df = cast_decimal_columns(df, spec.decimal_cols)
+    df = cast_date_columns(df, spec.date_cols)
+    df = add_row_hash(df, spec.hash_cols or df.columns)
+    df = add_audit_columns(df, updatedby=updatedby, run_ts=run_ts, runid=runid)
+    if spec.red_schema == "T":
+        df = standardize_column_names(df)
+    if spec.schema is not None:
+        df = enforce_schema(df, spec.schema)
+    return df
+
+
+def run(
+    spark: SparkSession,
+    tables: dict[str, TableSpec],
+    source: "callable",
+    target_base: str,
+    runid: int = 1,
+    updatedby: str = "redshiftadmin",
+) -> list[TableResult]:
+    """Execute the pipeline.  ``source(spark, name) -> DataFrame``
+    abstracts the input (parquet dir in tests, jdbc_scan in prod).
+    Per-table error isolation mirrors ref main.py:72-76."""
+    run_ts = ceil_to_ms(_dt.datetime.now(_dt.timezone.utc))
+    results: list[TableResult] = []
+    for name, spec in tables.items():
+        if spec.active_flag != "T":
+            results.append(TableResult(name, "skipped"))
+            continue
+        try:
+            df = transform_table(source(spark, name), spec, run_ts, runid, updatedby)
+            rows = overwrite_load(df, f"{target_base.rstrip('/')}/{name}")
+            results.append(TableResult(name, "loaded", rows=rows))
+        except Exception as exc:  # per-table isolation: job continues
+            results.append(TableResult(name, "failed", error=str(exc)))
+    return results
+
+
+def infer_cast_spec(df: DataFrame, name: str) -> TableSpec:
+    """Build a TableSpec by schema introspection (replaces the
+    reference's 4 catalog round-trips per table,
+    rdbms_operations.py:216-219)."""
+    return TableSpec(
+        name=name,
+        tinyint_cols=columns_with_type(df, T.ShortType()),
+        date_cols=columns_with_type(df, T.DateType()),
+        decimal_cols=[
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)
+        ],
+    )

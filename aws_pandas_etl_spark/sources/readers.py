@@ -1,0 +1,132 @@
+"""Source readers.
+
+The reference's only data source is a full MSSQL table scan streamed
+as 1M-row pandas chunks (S1, /root/reference/utils/rdbms_operations.py:197-248).
+In Spark that's a partitioned read: the harness path is parquet
+(vectorized columnar scan with pushdown/pruning); the production RDBMS
+path is ``jdbc_scan`` with ``partitionColumn/numPartitions/fetchsize``
+so N executors stream N ranges concurrently instead of one process
+pulling every byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as _pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS), which Spark 4
+    refuses by default (PARQUET_TYPE_ILLEGAL).  Footer-only read —
+    cheap even for huge datasets."""
+    try:
+        schema = _pq.read_schema(path)
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one harness table (parquet).  Catalyst handles column
+    pruning and predicate pushdown into the scan.
+
+    Parquet TIMESTAMP(NANOS) columns (e.g. ``events.ts``) are read via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and converted to µs
+    timestamps with exact integer division (``div 1000`` — float
+    division would lose precision above 2^53 ns)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumns(
+        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register the harness tables as temp views for ``spark.sql``."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def jdbc_scan(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    fetchsize: int = 100_000,
+    lower_bound=None,
+    upper_bound=None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1 production path — partitioned JDBC scan.
+
+    Replaces the reference's single-cursor ``pd.read_sql(...,
+    chunksize=1000000)`` (rdbms_operations.py:224-227): Spark derives
+    the schema from JDBC metadata (the reference's S2 catalog_scan,
+    done by hand there), splits ``partition_column`` into
+    ``num_partitions`` ranges, and each executor streams its range with
+    ``fetchsize`` batching.  At 100 TB the scan parallelism is
+    ``num_partitions``, not 1.
+
+    Not exercisable in the harness (no RDBMS in the container); covered
+    by unit tests only at the option-plumbing level.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetchsize))
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned jdbc_scan needs lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV source with optional explicit schema (schema-on-read)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

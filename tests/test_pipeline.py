@@ -1,0 +1,57 @@
+import datetime as dt
+
+from pyspark.sql import Row
+
+from aws_pandas_etl_spark.plans.pipeline import TableSpec, TableResult, run, transform_table
+from aws_pandas_etl_spark.sources.readers import load_table
+from aws_pandas_etl_spark.sources.sinks import landing_path, write_parquet_sink
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pipeline_run_end_to_end(spark, tmp_path):
+    def source(s, name):
+        if name == "boom":
+            raise RuntimeError("table not found")
+        return load_table(s, SF, name)
+
+    tables = {
+        "events": TableSpec("events"),
+        "documents": TableSpec("documents", red_schema="F"),
+        "inactive": TableSpec("inactive", active_flag="F"),
+        "boom": TableSpec("boom"),
+    }
+    results = {r.table: r for r in run(spark, tables, source, str(tmp_path / "out"))}
+    assert results["events"].status == "loaded" and results["events"].rows == 1000
+    assert results["documents"].status == "loaded" and results["documents"].rows == 500
+    assert results["inactive"].status == "skipped"
+    # per-table isolation: boom fails, the rest still loaded (ref main.py:72-76)
+    assert results["boom"].status == "failed" and "not found" in results["boom"].error
+
+    loaded = spark.read.parquet(str(tmp_path / "out" / "events"))
+    for c in ("row_hash_code", "updatedby", "updated_utc_ts", "runid"):
+        assert c in loaded.columns
+    # run-constant timestamp: exactly one distinct stamp across all rows
+    assert loaded.select("updated_utc_ts").distinct().count() == 1
+
+
+def test_transform_table_no_shuffle(spark):
+    """The whole parity dataflow must stay a single projection over the
+    scan — no Exchange in the plan (scale guarantee)."""
+    df = load_table(spark, SF, "events")
+    out = transform_table(df, TableSpec("events"), dt.datetime(2026, 1, 1), 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_landing_path_layout(tmp_path):
+    ts = dt.datetime(2024, 3, 4, 5, 0, 0)
+    assert landing_path("s3a://b/prefix", "tbl", ts) == "s3a://b/prefix/tbl/2024/03/04/05"
+
+
+def test_sink_rows_per_file(spark, tmp_path):
+    df = spark.range(1000).repartition(1)
+    write_parquet_sink(df, str(tmp_path / "p"), rows_per_file=300)
+    import glob
+    files = glob.glob(str(tmp_path / "p" / "*.parquet"))
+    assert len(files) == 4  # 300+300+300+100 — maxRecordsPerFile honored
