@@ -57,9 +57,12 @@ def shingles(col: Column | str, n: int = 5) -> Column:
     by a single space.  Pure Column expression: split -> transform over
     index range -> slice+join -> distinct."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(normalize_text(c), " ")
+    toks = F.filter(F.split(normalize_text(c), " "), lambda t: t != "")
     k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    # sequence(1, 0) would yield [1, 0] (negative step inference) — guard
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return F.array_distinct(grams)
 

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (SURVEY §2b X3/X5/X6).
+
+Baseline is brute-force cosine top-k (exact; one pass, TakeOrdered —
+no full sort).  The scale path is random-hyperplane LSH: bucket
+vectors by sign-bit sketches, search only the query's bucket(s).
+
+Hyperplanes are DETERMINISTIC pseudo-random values derived from md5 of
+(plane, dim) — no RNG, so results are reproducible across engines and
+the DuckDB oracle can inline the very same plane constants.
+
+All dot products use ``F.zip_with`` + ``F.aggregate`` over
+``array<float>`` cast to double — JVM-side, no UDFs.  For very hot
+paths a pandas_udf over Arrow batches with numpy matmul is the faster
+alternative; kept out here because the built-ins already vectorize
+adequately and stay inside codegen.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hyperplane(plane: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1]^dims.
+
+    Component d = (md5_int("{plane}:{d}") % 2001 - 1000) / 1000 —
+    reproducible anywhere md5 exists (same formula inlined into the
+    DuckDB oracle SQL)."""
+    out = []
+    for d in range(dims):
+        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
+        out.append(((h % 2001) - 1000) / 1000.0)
+    return out
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact dot product of two array columns (double accumulation in
+    array order — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) — fixed expression
+    shape shared with the oracle."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _lit_array(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def topk_bruteforce(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """X3 baseline — exact cosine top-k against a literal query vector.
+
+    Plan shape: one projection computing the similarity + global
+    TakeOrderedAndProject(k) — no shuffle of the data, only k rows to
+    the driver side of the sort.  Scales linearly with a 100 TB scan.
+    """
+    q = _lit_array(query_vec)
+    sim = F.round(cosine(F.col(vec_col), q), round_digits)
+    return (
+        embeddings.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_sketch(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit sketch: bit p set iff dot(vec, plane_p) >= 0."""
+    bits = [
+        F.when(dot(vec_col, _lit_array(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """X3 scale path — ANN top-k searching only the query's LSH bucket.
+
+    At scale the sketch is precomputed and the table bucketed/
+    partitioned by it, so a query touches 1/2^planes of the data
+    (multi-probe: flip bits for higher recall — not needed for the
+    harness).  Falls back to exact cosine *within* the bucket.
+    """
+    dims = len(query_vec)
+    planes = [hyperplane(p, dims) for p in range(num_planes)]
+    qsketch = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
+            qsketch |= 1 << i
+    q = _lit_array(query_vec)
+    sim = F.round(cosine(F.col(vec_col), q), round_digits)
+    return (
+        embeddings.withColumn("sketch", lsh_sketch(F.col(vec_col), planes))
+        .filter(F.col("sketch") == F.lit(qsketch))
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def similarity_self_join(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """X6 — all pairs with cosine >= threshold, LSH-blocked.
+
+    Equi-join on the sketch replaces the O(n²) cross join; within a
+    bucket pairs are re-scored exactly.  Recall is bounded by LSH
+    (pairs in different buckets are missed — by design; multi-probe or
+    band-OR amplification raises recall).  Embedding-cosine near-dup
+    dedup (X2e) is this with a high threshold.
+    """
+    dims = len(embeddings.select(vec_col).first()[0])
+    planes = [hyperplane(p, dims) for p in range(num_planes)]
+    sk = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_sketch(F.col(vec_col), planes).alias("sketch"),
+    )
+    a = sk.select(F.col("id").alias("a"), F.col("v").alias("va"), "sketch")
+    b = sk.select(F.col("id").alias("b"), F.col("v").alias("vb"), "sketch")
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    return (
+        a.join(b, "sketch")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

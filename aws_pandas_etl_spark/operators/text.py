@@ -1,0 +1,126 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2b X4).
+
+All pure Column expressions — tokenization, language ID, quality
+scoring, BPE-ish token counting, fingerprinting all run inside
+whole-stage codegen with zero shuffles (per-document projections), so
+they stream at scan speed over 100 TB.
+
+Every constant here is shared with the DuckDB oracle SQL generators in
+``plans/queries.py`` so both engines compute byte-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_pandas_etl_spark.functions.hashing import md5_bigint, normalize_text, shingles
+
+# Tiny deterministic stopword lists for the n-gram/stopword language
+# heuristic.  (Real language ID would use fastText/CLD3 — not in this
+# container; the heuristic is the deterministic, SQL-expressible core.)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr": ("le", "la", "de", "et", "un", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "von", "mit"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"),
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol.  Safe common subset of Java regex (Spark) and RE2 (DuckDB).
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+PUNCT_RE = "[^a-zA-Z0-9\\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (never empty-string
+    tokens; empty text -> empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = normalize_text(F.coalesce(c, F.lit("")))
+    return F.filter(F.split(norm, " "), lambda t: t != "")
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count via regex pre-tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: stopword_hits(col, lang) for lang in LANG_STOPWORDS}
+
+
+def predict_lang(col: Column | str) -> Column:
+    """argmax of per-language stopword hit counts; ties broken by
+    language code order; all-zero -> 'unk'.  Expressed as a CASE
+    cascade so the oracle SQL is literally the same expression."""
+    scores = lang_scores(col)
+    langs = sorted(LANG_STOPWORDS)  # deterministic tie order
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("unk")
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("unk")).otherwise(expr)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats projection: char/token counts, alpha and
+    punctuation ratios, distinct-token ratio."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_RE, ""))
+    return df.withColumns(
+        {
+            "n_chars_calc": n_char.cast("bigint"),
+            "n_tokens": n_tok.cast("bigint"),
+            "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
+            "alpha_ratio": n_alpha.cast("double") / F.greatest(n_char, F.lit(1)),
+            "punct_ratio": n_punct.cast("double") / F.greatest(n_char, F.lit(1)),
+        }
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic quality heuristic in [0,1]:
+    0.4 * min(1, tokens/50) + 0.3 * distinct_ratio + 0.3 * alpha_ratio.
+    Fixed IEEE op order so Spark and the oracle agree bitwise."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    cap = F.least(F.lit(1.0), n_tok.cast("double") / F.lit(50.0))
+    return F.lit(0.4) * cap + F.lit(0.3) * distinct_ratio + F.lit(0.3) * alpha_ratio
+
+
+def fingerprint(col: Column | str, n: int = 8) -> Column:
+    """Document fingerprint: md5 of the normalized text (whole-doc
+    content hash, robust to case/punct/whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(normalize_text(F.coalesce(c, F.lit(""))))
+
+
+def min_gram_fingerprint(col: Column | str, n: int = 8) -> Column:
+    """Rolling-hash fingerprint: minimum 60-bit hash over word
+    ``n``-gram shingles (winnowing-style witness; equal for documents
+    sharing their minimal n-gram)."""
+    grams = shingles(col, n=n)
+    hashed = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    return F.coalesce(F.array_min(hashed), F.lit(-1).cast("bigint"))

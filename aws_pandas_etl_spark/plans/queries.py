@@ -1,0 +1,927 @@
+"""Query registry: every operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle SQL twin.
+
+Parity engineering (why results hash-match exactly):
+- Money/measure aggregations cast the (deterministic, per-row IEEE)
+  double arithmetic to DECIMAL before SUM — exact, order-independent —
+  then cast the final value to DOUBLE.  Raw double sums would differ
+  between engines by accumulation order.
+- All hashing uses the md5-based 60-bit family (Spark ``conv(substr(
+  md5 ...))`` == DuckDB ``('0x'||substr(md5 ...))::BIGINT``).
+- Language/stopword/regex constants are shared between the Spark
+  expressions and the generated oracle SQL strings.
+- Similarity uses one fixed expression shape ``dot/(sqrt(na)*sqrt(nb))``
+  rounded to 6 digits; LSH hyperplanes are deterministic md5-derived
+  constants inlined into both sides.
+- Every aggregate/computed column is aliased identically on both sides
+  (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_pandas_etl_spark.operators import dedup as D
+from aws_pandas_etl_spark.operators import multimodal as MM
+from aws_pandas_etl_spark.operators import similarity as SIM
+from aws_pandas_etl_spark.operators import text as TX
+from aws_pandas_etl_spark.operators.transforms import (
+    add_audit_columns,
+    add_row_hash,
+    enforce_schema,
+)
+from aws_pandas_etl_spark.sources.readers import load_table
+from aws_pandas_etl_spark.streaming.events_stream import (
+    run_tumbling_agg_stream,
+    tumbling_window_agg,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB dialect), mirrored by the Spark exprs.
+# ---------------------------------------------------------------------------
+
+# revenue: per-row double arithmetic (deterministic) -> exact decimal sum
+REV_DK = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _rev_spark() -> F.Column:
+    return (
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+    )
+
+
+def _dk_hex(expr: str) -> str:
+    """DuckDB twin of functions.hashing.md5_bigint (no seed)."""
+    return f"CAST(('0x'||substr(md5({expr}),1,15)) AS BIGINT)"
+
+
+def _dk_norm(col: str) -> str:
+    return f"trim(regexp_replace(lower(coalesce({col}, '')), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _dk_toks(col: str) -> str:
+    return f"list_filter(string_split({_dk_norm(col)}, ' '), t -> t != '')"
+
+
+def _dk_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _dk_cos(a: str, b: str) -> str:
+    return f"({_dk_dot(a, b)} / (sqrt({_dk_dot(a, a)}) * sqrt({_dk_dot(b, b)})))"
+
+
+def _dk_plane(p: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in p) + "]"
+
+
+def _dk_sketch(vec: str, planes: list[list[float]]) -> str:
+    terms = [
+        f"(CASE WHEN {_dk_dot(vec, _dk_plane(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ===========================================================================
+# Relational coverage (star schema) — joins/aggs/windows/sorts/limits/set ops
+# ===========================================================================
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       {REV_DK} AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> hash agg
+    with map-side partial aggregation -> tiny sort.  One shuffle of
+    6 grouped rows regardless of input scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= _ts("2000-09-02 00:00:00")
+    )
+    dec4 = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec4("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec4("l_extendedprice")).cast("double").alias("sum_base_price"),
+            _rev_spark().alias("sum_disc_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec4("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec4("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q3_ORACLE = f"""
+SELECT o_orderkey, {REV_DK} AS revenue, o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape.  Dimension side (filtered customers) is
+    broadcast — no shuffle of the fact table for that join; final
+    TakeOrdered(10) instead of a global sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1997-01-01 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1997-01-01 00:00:00")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev_spark().alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q5_ORACLE = f"""
+SELECT n_name, {REV_DK} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q5_region_revenue", Q5_ORACLE)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join.  supplier/nation/region/customer are
+    broadcast dims; the only shuffled join is lineitem⋈orders on the
+    order key (and AQE can convert even that when the filtered orders
+    side is small)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1999-01-01 00:00:00"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_rev_spark().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register("customers_without_urgent_orders", ANTI_ORACLE)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left_anti join (broadcast-able build side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("order_priority_counts", Q4_ORACLE)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as left_semi with a non-equi conjunct."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TOPK_ORDERS_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@register("window_topk_orders_per_customer", TOPK_ORDERS_ORACLE)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: one shuffle on the partition key; ties broken
+    deterministically by the unique order key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+RUNNING_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+@register("window_running_total", RUNNING_ORACLE)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user (exact decimal accumulation so the result
+    is frame-shape independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), n AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM g
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM n
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_no
+"""
+
+
+@register("sessionize_events", SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + cumulative sum
+    — the batch twin of the streaming stateful operator.  One shuffle
+    on user_id shared by both windows and the final aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_no", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+@register("agg_events_hourly_window", HOURLY_ORACLE)
+def agg_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window via native ``F.window`` (batch mode)."""
+    return tumbling_window_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@register("streaming_events_hourly", HOURLY_ORACLE)
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same tumbling agg executed through Structured Streaming
+    (file source -> availableNow -> memory sink).  Batch/stream parity
+    is the check: the oracle is the batch SQL."""
+    return run_tumbling_agg_stream(spark, sf_dir, "1 hour")
+
+
+JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_json_kpi", JSON_ORACLE)
+def events_json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path into typed aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SETOP_ORACLE = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+@register("urgent_not_low_customers", SETOP_ORACLE)
+def urgent_not_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT) over two filtered projections."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey").distinct()
+    return urgent.subtract(low)
+
+
+# ===========================================================================
+# Reference-parity ETL surface (§2a)
+# ===========================================================================
+
+ETL_ORACLE = """
+SELECT event_id, user_id, event_type,
+       CAST(value AS DECIMAL(18,4)) AS value_dec,
+       date_trunc('milliseconds', ts) AS ts_ms,
+       props,
+       md5('(' || concat_ws(',',
+             coalesce(CAST(event_id AS VARCHAR), ''),
+             coalesce(CAST(user_id AS VARCHAR), ''),
+             coalesce(event_type, ''),
+             coalesce(props, '')) || ')') AS row_hash_code,
+       'redshiftadmin' AS updatedby,
+       TIMESTAMP '2026-01-01 00:00:00' AS updated_utc_ts,
+       CAST(1 AS INTEGER) AS runid
+FROM events
+"""
+
+
+@register("etl_enriched_events", ETL_ORACLE)
+def etl_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole per-chunk dataflow (casts -> audit ->
+    row-hash, /root/reference/utils/rdbms_operations.py:230-245) as one
+    zero-shuffle projection.  Audit timestamp fixed so the oracle can
+    reproduce the run-constant semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("value_dec"),
+        F.timestamp_millis(F.unix_millis(F.col("ts"))).alias("ts_ms"),
+        "props",
+    )
+    df = add_row_hash(df, ["event_id", "user_id", "event_type", "props"])
+    return add_audit_columns(df, run_ts=_dt.datetime(2026, 1, 1), runid=1)
+
+
+ROWHASH_ORACLE = """
+SELECT doc_id,
+       md5('(' || concat_ws(',',
+             coalesce(CAST(doc_id AS VARCHAR), ''),
+             coalesce(lang, ''),
+             coalesce(source, ''),
+             coalesce(text, '')) || ')') AS row_hash_code
+FROM documents
+"""
+
+
+@register("row_hash_documents", ROWHASH_ORACLE)
+def row_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 row-hash parity on the documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return add_row_hash(docs, ["doc_id", "lang", "source", "text"]).select(
+        "doc_id", "row_hash_code"
+    )
+
+
+ENFORCE_ORACLE = """
+SELECT l_orderkey,
+       l_linenumber,
+       CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
+       CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
+       CAST(l_shipdate AS DATE) AS l_shipdate
+FROM lineitem
+"""
+
+
+@register("schema_enforce_lineitem", ENFORCE_ORACLE)
+def schema_enforce_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 cast-or-fail schema enforcement (decimal + date narrowing)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    target = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DecimalType(12, 2)),
+            T.StructField("l_extendedprice", T.DecimalType(12, 2)),
+            T.StructField("l_shipdate", T.DateType()),
+        ]
+    )
+    return enforce_schema(li, target)
+
+
+# ===========================================================================
+# Dedup (X1/X2) — exact, MinHash-LSH, SimHash
+# ===========================================================================
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+@register("dedup_exact_documents", DEDUP_EXACT_ORACLE)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.dedup_exact_survivors(docs, "text", "doc_id")
+        .select(F.md5("text").alias("text_md5"), "keep_id", "n_copies")
+    )
+
+
+def _minhash_oracle() -> str:
+    nh, nb = D.NUM_HASHES, D.NUM_BANDS
+    rpb = nh // nb
+    mins = ", ".join(
+        "list_min(list_transform(shingles, s -> {h}))".format(
+            h=_dk_hex(f"'{seed}|' || s")
+        )
+        for seed in range(nh)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {vals})) AS band_hash FROM sig".format(
+            b=b,
+            vals=", ".join(
+                f"CAST(sig[{b * rpb + r + 1}] AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(nb)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_dk_toks('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+  FROM t
+), sig AS (
+  SELECT doc_id, shingles, [{mins}] AS sig FROM sh
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+), j AS (
+  SELECT c.a, c.b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1) AS jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b
+)
+SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — MinHash-LSH near-dup pairs (exact Jaccard >= 0.5 after
+    banding).  The oracle replicates the full pipeline — same hash
+    family, same bands — so candidate sets match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_near_minhash(docs, threshold=0.5, shingle_n=3)
+
+
+def _simhash_oracle() -> str:
+    bits = 32
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_dk_toks('text')} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tk FROM t
+), h AS (
+  SELECT doc_id, {_dk_hex('tk')} AS hv FROM tok
+), bits AS (
+  SELECT doc_id, b.i,
+         SUM(((hv >> b.i) & 1) * 2 - 1) AS cnt
+  FROM h, (SELECT unnest(range({bits})) AS i) b
+  GROUP BY doc_id, b.i
+), sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM sh GROUP BY simhash
+"""
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32) grouping — identical-fingerprint docs collapse."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_simhash(docs, num_bits=32)
+
+
+# ===========================================================================
+# Text analysis (X4)
+# ===========================================================================
+
+def _textstats_oracle() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(LENGTH(coalesce(text, '')) AS BIGINT) AS n_chars_calc,
+       CAST(len({_dk_toks('text')}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_dk_toks('text')})) AS BIGINT) AS n_distinct_tokens,
+       CAST(LENGTH(regexp_replace(coalesce(text, ''), '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         / GREATEST(LENGTH(coalesce(text, '')), 1) AS alpha_ratio,
+       CAST(LENGTH(coalesce(text, '')) - LENGTH(regexp_replace(coalesce(text, ''), '{TX.PUNCT_RE}', '', 'g')) AS DOUBLE)
+         / GREATEST(LENGTH(coalesce(text, '')), 1) AS punct_ratio
+FROM documents
+"""
+
+
+@register("text_stats_documents", _textstats_oracle())
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.text_stats(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_distinct_tokens",
+        "alpha_ratio", "punct_ratio",
+    )
+
+
+def _textlang_oracle() -> str:
+    return f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(coalesce(text, ''))) AS BIGINT) AS total_chars,
+       CAST(SUM(len({_dk_toks('text')})) AS BIGINT) AS total_tokens,
+       CAST(SUM(LENGTH(coalesce(text, ''))) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@register("text_stats_by_lang", _textlang_oracle())
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(c)).alias("total_chars"),
+            F.sum(F.size(TX.tokens("text"))).alias("total_tokens"),
+            (F.sum(F.length(c)).cast("double") / F.count("*")).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(TX.LANG_STOPWORDS)
+    score_cols = ",\n         ".join(
+        "len(list_filter(toks, t -> list_contains([{words}], t))) AS s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = "\n            ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_dk_toks('text')} AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM t
+), b AS (
+  SELECT *, {best} AS best FROM s
+)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'unk'
+            {cases}
+            ELSE 'unk' END AS pred_lang
+FROM b
+"""
+
+
+@register("lang_id_heuristic", _langid_oracle())
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (deterministic heuristic core of a
+    real n-gram language classifier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.predict_lang("text").alias("pred_lang"))
+
+
+def _quality_oracle() -> str:
+    toks = _dk_toks("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS txt, {toks} AS toks FROM documents
+)
+SELECT doc_id,
+       ROUND(
+         0.4 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+       + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1))
+       + 0.3 * (CAST(LENGTH(regexp_replace(txt, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(txt), 1)),
+       4) AS quality
+FROM t
+"""
+
+
+@register("quality_score_documents", _quality_oracle())
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(TX.quality_score("text"), 4).alias("quality")
+    )
+
+
+TOKENCOUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{TX.BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@register("token_count_bpe", TOKENCOUNT_ORACLE)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.token_count_bpe("text").cast("bigint").alias("n_bpe_tokens")
+    )
+
+
+def _fingerprint_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_dk_toks('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_transform(
+           generate_series(1, greatest(len(toks) - 7, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 7), ' ')) AS grams
+  FROM t
+)
+SELECT d.doc_id,
+       md5({_dk_norm('d.text')}) AS fp_md5,
+       coalesce(list_min(list_transform(list_distinct(sh.grams), g -> {_dk_hex('g')})), -1) AS min_gram_hash
+FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+"""
+
+
+@register("doc_fingerprint", _fingerprint_oracle())
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-doc content hash + winnowing-style minimal 8-gram hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp_md5"),
+        TX.min_gram_fingerprint("text", n=8).alias("min_gram_hash"),
+    )
+
+
+# ===========================================================================
+# Similarity search (X3/X6) + multimodal (X5)
+# ===========================================================================
+
+TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND({_dk_cos('e.embedding', 'q.qv')}, 6) AS cosine_sim
+FROM embeddings e, q
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("topk_similarity_bruteforce", TOPK_ORACLE)
+def topk_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline — exact cosine top-k vs the vec_id=0 query vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return SIM.topk_bruteforce(emb, [float(x) for x in q], k=10)
+
+
+_ANN_PLANES = [SIM.hyperplane(p, 64) for p in range(4)]
+
+
+def _ann_oracle() -> str:
+    sketch = _dk_sketch("e.embedding", _ANN_PLANES)
+    qsketch = _dk_sketch("q.qv", _ANN_PLANES)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, cosine_sim FROM (
+  SELECT e.vec_id,
+         ROUND({_dk_cos('e.embedding', 'q.qv')}, 6) AS cosine_sim,
+         {sketch} AS sketch,
+         {qsketch} AS qsketch
+  FROM embeddings e, q
+) WHERE sketch = qsketch
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("ann_lsh_topk", _ann_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path — top-k within the query's random-hyperplane LSH
+    bucket (16 buckets at 4 planes; production uses more planes +
+    multiprobe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return SIM.topk_lsh(emb, [float(x) for x in q], k=10, num_planes=4)
+
+
+def _neardup_oracle() -> str:
+    sketch_a = _dk_sketch("a.embedding", _ANN_PLANES)
+    sketch_b = _dk_sketch("b.embedding", _ANN_PLANES)
+    return f"""
+SELECT a, b, cosine_sim FROM (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         ROUND({_dk_cos('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+  FROM embeddings a JOIN embeddings b
+    ON {sketch_a} = {sketch_b} AND a.vec_id < b.vec_id
+) WHERE cosine_sim >= 0.3
+"""
+
+
+@register("embedding_near_dup_pairs", _neardup_oracle())
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — similarity self-join (cosine >= 0.3) blocked by LSH sketch
+    equality; the blocked equi-join replaces the O(n²) cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.similarity_self_join(emb, threshold=0.3, num_planes=4)
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS fake_width,
+       CAST((ascii(substr(text, LENGTH(text), 1)) % 64) + 1 AS INTEGER) AS fake_height
+FROM documents
+"""
+
+
+@register("multimodal_features", MULTIMODAL_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — binary-column plumbing: text re-encoded as a binary
+    payload, features extracted by an Arrow-batched ``mapInPandas``
+    (the decode step is a deterministic stub — see operators/multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.documents_as_binary(docs))
+
+
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,88 @@
+"""Streaming analytics over the events table.
+
+The reference has no streaming surface (SURVEY.md §2a: "all streaming
+constructs absent") — this is §2b extension territory: the same
+tumbling-window aggregation the batch engine runs, executed through
+Structured Streaming (file source -> windowed agg -> sink), so the
+engine covers both bounded and unbounded inputs with one semantics.
+
+Scale posture: in production the source is Kafka/files-on-S3 with a
+watermark bounding state; ``availableNow`` processes the backlog as an
+incremental batch job.  State store is RocksDB-backed on a real
+cluster for large keyspaces.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_LONG_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, with_watermark: str | None = "2 hours") -> DataFrame:
+    """File-source stream of the events table (nanos ts -> µs timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if with_watermark:
+        stream = stream.withWatermark("ts", with_watermark)
+    return stream
+
+
+def tumbling_window_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window count + exact-decimal value sum.  Works on both
+    the batch and streaming events DataFrame (same plan either way)."""
+    return (
+        events.groupBy(F.window(F.col("ts"), window).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def run_tumbling_agg_stream(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", timeout_sec: int = 300
+) -> DataFrame:
+    """Execute the windowed agg as a real streaming query (availableNow
+    -> memory sink, complete mode) and return the result DataFrame.
+
+    Batch/stream parity: the result is identical to
+    ``tumbling_window_agg`` over the batch read — asserted in tests and
+    by the DuckDB oracle."""
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    agg = tumbling_window_agg(events_stream(spark, sf_dir, with_watermark=None), window)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(name)

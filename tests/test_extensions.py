@@ -1,0 +1,109 @@
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_pandas_etl_spark.operators import dedup as D
+from aws_pandas_etl_spark.operators import multimodal as MM
+from aws_pandas_etl_spark.operators import similarity as SIM
+from aws_pandas_etl_spark.operators import text as TX
+from aws_pandas_etl_spark.sources.readers import load_table
+from aws_pandas_etl_spark.streaming.events_stream import (
+    run_tumbling_agg_stream,
+    tumbling_window_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = load_table(spark, SF, "documents")
+    pairs = D.dedup_near_minhash(docs, threshold=0.5).collect()
+    assert len(pairs) > 0  # the generator plants near-duplicate docs
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in pairs)
+    assert all(r["a"] < r["b"] for r in pairs)
+
+
+def test_minhash_identical_docs_jaccard_1(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+         Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+         Row(doc_id=3, text="completely different words here entirely unrelated")]
+    )
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in D.dedup_near_minhash(df, threshold=0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(["x", "y", "x", "x"])]
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in D.dedup_exact_survivors(df, "text", "doc_id").collect()}
+    assert out == {0: 3, 1: 1}
+    assert D.dedup_exact(df, ["text"]).count() == 2
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+         Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+         Row(doc_id=3, text="zzz qqq vvv www kkk uuu mmm nnn ooo ppp")]
+    )
+    rows = df.select("doc_id", D.simhash64("text", 32).alias("sh")).collect()
+    sh = {r["doc_id"]: r["sh"] for r in rows}
+    d12 = bin(sh[1] ^ sh[2]).count("1")
+    d13 = bin(sh[1] ^ sh[3]).count("1")
+    assert d12 < d13  # similar docs have closer fingerprints
+
+
+def test_topk_lsh_is_subset_of_bruteforce_sims(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = {r["vec_id"]: r["cosine_sim"] for r in SIM.topk_bruteforce(emb, q, k=500).collect()}
+    lsh = SIM.topk_lsh(emb, q, k=10, num_planes=4).collect()
+    assert 0 < len(lsh) <= 10
+    for r in lsh:
+        assert abs(brute[r["vec_id"]] - r["cosine_sim"]) < 1e-9
+    assert lsh[0]["vec_id"] == 0  # query finds itself (cos=1.0 in own bucket)
+
+
+def test_similarity_self_join_symmetric_bound(spark):
+    emb = load_table(spark, SF, "embeddings").limit(100)
+    pairs = SIM.similarity_self_join(emb, threshold=-1.0, num_planes=2).collect()
+    assert all(r["a"] < r["b"] for r in pairs)
+    assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in pairs)
+
+
+def test_text_helpers(spark):
+    df = spark.createDataFrame([Row(text="The  quick, QUICK fox!")])
+    row = df.select(
+        TX.tokens("text").alias("toks"),
+        TX.token_count_bpe("text").alias("bpe"),
+        TX.predict_lang("text").alias("lang"),
+        F.round(TX.quality_score("text"), 4).alias("q"),
+    ).first()
+    assert row["toks"] == ["the", "quick", "quick", "fox"]
+    # BPE-ish: The|quick|,|QUICK|fox|! -> 6
+    assert row["bpe"] == 6
+    assert row["lang"] == "en"
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_multimodal_features_match_python(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    feats = {r["doc_id"]: r for r in MM.extract_features(MM.documents_as_binary(docs)).collect()}
+    for r in docs.collect():
+        payload = r["text"].encode("utf-8")
+        f = feats[r["doc_id"]]
+        assert f["byte_len"] == len(payload)
+        assert f["content_md5"] == hashlib.md5(payload).hexdigest()
+        assert f["fake_width"] == (payload[0] % 64) + 1
+        assert f["fake_height"] == (payload[-1] % 64) + 1
+
+
+def test_streaming_matches_batch(spark):
+    batch = tumbling_window_agg(load_table(spark, SF, "events"), "1 hour")
+    stream = run_tumbling_agg_stream(spark, SF, "1 hour")
+    b = sorted([tuple(r) for r in batch.collect()])
+    s = sorted([tuple(r) for r in stream.collect()])
+    assert b == s
