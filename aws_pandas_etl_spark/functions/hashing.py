@@ -67,21 +67,42 @@ def shingles(col: Column | str, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of seeded
-    md5_bigint over the shingle set.  O(|shingles| * num_hashes) inside
-    codegen; no shuffle, no UDF."""
-    sigs = [
-        F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s, seed=seed: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, MD5_HEX_DIGITS),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        )
-        for seed in range(num_hashes)
-    ]
+# Universal-hash family for MinHash: h_i(x) = (a_i*x + b_i) mod P over a
+# 28-bit base hash.  28-bit base keeps a_i*x < 2^58 (no BIGINT overflow
+# in either Spark or DuckDB); P is the Mersenne prime 2^31-1.
+MINHASH_PRIME = 2_147_483_647
+BASE_HASH_HEX_DIGITS = 7  # 28 bits
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) derived from md5 — shared with the
+    DuckDB oracle generator."""
+    import hashlib as _hl
+
+    a = int(_hl.md5(f"minhash-a-{i}".encode()).hexdigest()[:7], 16) | 1
+    b = int(_hl.md5(f"minhash-b-{i}".encode()).hexdigest()[:7], 16)
+    return a, b
+
+
+def base_hash(col: Column) -> Column:
+    """28-bit md5-derived base hash of a string column (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, BASE_HASH_HEX_DIGITS), 16, 10).cast(
+        "bigint"
+    )
+
+
+def minhash_signature(hash_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature over a column of pre-computed base hashes
+    (``array<bigint>``): one md5 per shingle total, then ``num_hashes``
+    cheap affine derivations.  O(|shingles| * num_hashes) integer ops
+    inside codegen; no shuffle, no UDF."""
+    def _affine(a: int, b: int):
+        # closure (not default args): pyspark counts lambda defaults as
+        # higher-order-function parameters
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sigs = []
+    for i in range(num_hashes):
+        a, b = minhash_params(i)
+        sigs.append(F.array_min(F.transform(hash_col, _affine(a, b))))
     return F.array(*sigs)

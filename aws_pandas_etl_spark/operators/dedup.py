@@ -19,8 +19,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from aws_pandas_etl_spark.functions.hashing import (
+    base_hash,
     md5_bigint,
     minhash_signature,
     normalize_text,
@@ -50,6 +52,54 @@ def dedup_exact_survivors(
     )
 
 
+def shingle_hash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    hex_digits: int = 7,
+) -> DataFrame:
+    """doc_id -> (shingle set, base-hash array) via Arrow-batched
+    ``mapInPandas``.
+
+    Why Python here: Catalyst higher-order functions interpret their
+    lambdas per element — building ~80 n-grams/doc via slice+join cost
+    ~10µs each, dominating the MinHash pipeline.  The pandas path is
+    ~10× faster and computes byte-identical values (same normalize
+    regex, same md5-prefix hashes — see functions/pytext.py invariant).
+    Output is id + strings + ints: no payload amplification, so the
+    Arrow boundary stays cheap at 100 TB too."""
+    import pandas as pd
+
+    from aws_pandas_etl_spark.functions import pytext
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shingles", T.ArrayType(T.StringType())),
+            T.StructField("hashes", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _extract(batches):
+        for pdf in batches:
+            sh = [
+                pytext.shingles(pytext.tokens(t), shingle_n)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "shingles": sh,
+                    "hashes": [
+                        [pytext.md5_int(g, hex_digits) for g in gs] for gs in sh
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_extract, schema=out_schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -59,18 +109,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc shingle set + MinHash signature.
 
-    The shingle projection is persisted before the signature step:
-    inlining the shingle expression into all ``num_hashes`` minhash
-    lambdas explodes generated-code size (janino compile time dominated
-    the whole pipeline), and at scale the materialized shingle/signature
-    table is the standard intermediate of a MinHash pipeline anyway.
-    """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(text_col, n=shingle_n).alias("shingles"),
-    ).persist()
+    Shingle/base-hash extraction is the pandas stage above (persisted:
+    it feeds banding AND both sides of the re-score join — the standard
+    materialized "signature table" of a MinHash pipeline); the
+    ``num_hashes`` affine derivations stay JVM-side (cheap integer
+    array math)."""
+    base = shingle_hash_table(df, id_col, text_col, shingle_n).persist()
     return base.withColumn(
-        "sig", minhash_signature(F.col("shingles"), num_hashes=num_hashes)
+        "sig", minhash_signature(F.col("hashes"), num_hashes=num_hashes)
     )
 
 
@@ -105,9 +151,16 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_hash")
-    sized = banded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_hash"))
-    ).filter(F.col("bucket_n") <= max_bucket)
+    # Degenerate-bucket guard: the oversized-bucket list is tiny (it's
+    # the pathological tail), so a broadcast anti-join beats a Window
+    # count (which would shuffle every banded row).
+    oversized = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .select("band", "band_hash")
+    )
+    sized = banded.join(F.broadcast(oversized), ["band", "band_hash"], "left_anti")
     a = sized.select(F.col("doc_id").alias("a"), "band", "band_hash")
     b = sized.select(F.col("doc_id").alias("b"), "band", "band_hash")
     return (
@@ -183,13 +236,58 @@ def simhash64(text_col: str, num_bits: int = 32) -> "F.Column":
     )
 
 
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_bits: int = 32
+) -> DataFrame:
+    """doc_id -> simhash via numpy-vectorized mapInPandas.
+
+    Same integer math as the Column version ``simhash64`` (15-hex-digit
+    md5 base hash, ±1 per bit, sign -> bit) but vectorized: the Column
+    version runs tokens×bits interpreted lambda steps per doc.  Docs
+    with zero tokens are dropped (matches the unnest-based oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_pandas_etl_spark.functions import pytext
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    powers = np.left_shift(np.int64(1), np.arange(num_bits, dtype=np.int64))
+
+    def _extract(batches):
+        bit_idx = np.arange(num_bits, dtype=np.uint64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                toks = pytext.tokens(t)
+                if not toks:
+                    continue
+                hv = np.array(
+                    [pytext.md5_int(tok, 15) for tok in toks], dtype=np.uint64
+                )
+                signs = (((hv[:, None] >> bit_idx) & 1).astype(np.int64) * 2 - 1).sum(
+                    axis=0
+                )
+                ids.append(int(doc_id))
+                hashes.append(int(powers[signs > 0].sum()))
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes}).astype(
+                {"doc_id": "int64", "simhash": "int64"}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_extract, schema=out_schema)
+
+
 def dedup_simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_bits: int = 32
 ) -> DataFrame:
     """SimHash dedup report: docs sharing an identical simhash are
     near-dup candidates; one shuffle on the 64-bit key."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), simhash64(text_col, num_bits).alias("simhash"))
+        simhash_table(df, id_col, text_col, num_bits)
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
     )

@@ -412,6 +412,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_sessionize_stateful", SESSION_ORACLE)
+def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user sessionization with 30-min gap.  Oracle is the batch
+    lag+cumsum SQL — stream and batch agree on bounded input."""
+    from aws_pandas_etl_spark.streaming.sessionize import run_sessionize_stream
+
+    return run_sessionize_stream(spark, sf_dir)
+
+
 HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
@@ -581,13 +591,22 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from aws_pandas_etl_spark.functions.hashing import (
+        BASE_HASH_HEX_DIGITS,
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
     nh, nb = D.NUM_HASHES, D.NUM_BANDS
     rpb = nh // nb
+    base = (
+        f"CAST(('0x'||substr(md5(s),1,{BASE_HASH_HEX_DIGITS})) AS BIGINT)"
+    )
     mins = ", ".join(
-        "list_min(list_transform(shingles, s -> {h}))".format(
-            h=_dk_hex(f"'{seed}|' || s")
+        "list_min(list_transform(hashes, h -> ({a} * h + {b}) % {p}))".format(
+            a=minhash_params(i)[0], b=minhash_params(i)[1], p=MINHASH_PRIME
         )
-        for seed in range(nh)
+        for i in range(nh)
     )
     band_rows = "\n  UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {vals})) AS band_hash FROM sig".format(
@@ -606,8 +625,10 @@ WITH t AS (
            generate_series(1, greatest(len(toks) - 2, 0)),
            i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
   FROM t
+), hs AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> {base}) AS hashes FROM sh
 ), sig AS (
-  SELECT doc_id, shingles, [{mins}] AS sig FROM sh
+  SELECT doc_id, shingles, [{mins}] AS sig FROM hs
 ), bands AS (
   {band_rows}
 ), cand AS (
@@ -816,13 +837,10 @@ FROM documents d JOIN sh ON d.doc_id = sh.doc_id
 
 @register("doc_fingerprint", _fingerprint_oracle())
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-doc content hash + winnowing-style minimal 8-gram hash."""
+    """Whole-doc content hash + winnowing-style minimal 8-gram hash
+    (Arrow-batched pandas path; Column twins in operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.fingerprint("text").alias("fp_md5"),
-        TX.min_gram_fingerprint("text", n=8).alias("min_gram_hash"),
-    )
+    return TX.fingerprint_features(docs, n=8)
 
 
 # ===========================================================================

@@ -101,6 +101,15 @@ def test_multimodal_features_match_python(spark):
         assert f["fake_height"] == (payload[-1] % 64) + 1
 
 
+def test_stateful_sessionize_stream_matches_batch(spark):
+    from aws_pandas_etl_spark.plans.queries import QUERIES
+    from aws_pandas_etl_spark.streaming.sessionize import run_sessionize_stream
+
+    stream = sorted(tuple(r) for r in run_sessionize_stream(spark, SF).collect())
+    batch = sorted(tuple(r) for r in QUERIES["sessionize_events"](spark, SF).collect())
+    assert stream == batch
+
+
 def test_streaming_matches_batch(spark):
     batch = tumbling_window_agg(load_table(spark, SF, "events"), "1 hour")
     stream = run_tumbling_agg_stream(spark, SF, "1 hour")

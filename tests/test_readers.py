@@ -1,0 +1,57 @@
+from pyspark.sql import types as T
+
+from aws_pandas_etl_spark.functions.types import build_struct_type
+from aws_pandas_etl_spark.sources.readers import (
+    jdbc_scan,
+    load_table,
+    read_csv,
+    read_json,
+    register_temp_views,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_load_table_all(spark):
+    for name, rows in [("region", 5), ("nation", 25), ("events", 1000)]:
+        assert load_table(spark, SF, name).count() == rows
+
+
+def test_events_nanos_ts_converted(spark):
+    df = load_table(spark, SF, "events")
+    assert dict((f.name, f.dataType) for f in df.schema.fields)["ts"] == T.TimestampType()
+
+
+def test_register_temp_views_sql(spark):
+    register_temp_views(spark, SF, ["region", "nation"])
+    got = spark.sql(
+        "SELECT r_name, count(*) AS n FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"
+    ).collect()
+    assert len(got) == 5 and sum(r["n"] for r in got) == 25
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,amount,when\n1,12.50,2024-01-02\n2,,2024-01-03\n")
+    schema = build_struct_type(["id bigint not null", "amount decimal(10,2)", "when date"])
+    df = read_csv(spark, str(p), schema=schema)
+    rows = df.orderBy("id").collect()
+    assert rows[0]["amount"] is not None and rows[1]["amount"] is None
+    # file sources force nullable=true; compare names and types
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in schema.fields
+    ]
+
+
+def test_read_json(spark, tmp_path):
+    p = tmp_path / "in.json"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    assert read_json(spark, str(p)).count() == 2
+
+
+def test_jdbc_scan_requires_bounds(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        jdbc_scan(spark, "jdbc:postgresql://x/db", "t", partition_column="id")
