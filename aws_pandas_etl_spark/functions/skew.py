@@ -1,0 +1,54 @@
+"""Skew-handling utilities for hot grouping/join keys.
+
+At 100 TB a handful of hot keys (boilerplate docs, bot users, default
+enum values) can pin a single reducer.  Remedies, in preference order:
+1. AQE skew-join splitting (on by default in session.py) — free.
+2. Partial aggregation (automatic for algebraic aggs).
+3. Explicit salting below — for the cases the first two can't fix:
+   exact-distinct by key, and aggregations whose partial form is
+   defeated (collect_list-ish), or pre-AQE join fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, entropy_cols: list[str], num_salts: int = 16,
+              salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt in [0, num_salts) derived from value columns
+    (not rand(): reproducible plans, stable retries)."""
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(*entropy_cols), F.lit(num_salts)))
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    alias: str,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase sum: phase 1 aggregates (keys + salt) — hot keys
+    spread over ``num_salts`` reducers — phase 2 combines per key.
+    ``value`` should be exact (decimal/integral) so the result is
+    independent of the salt split."""
+    entropy = [c for c in df.columns if c not in keys] or keys
+    salted = with_salt(df, entropy, num_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(F.sum(value).alias("_partial"))
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
+
+
+def exact_distinct_by_key(
+    df: DataFrame, key: str, value: str, alias: str = "n_distinct"
+) -> DataFrame:
+    """Skew-safe exact COUNT(DISTINCT value) per key: shuffle on
+    (key, value) — hot keys spread across reducers by value hash —
+    then count per key.  ``countDistinct`` would shuffle by key alone
+    and pin hot keys on single reducers."""
+    return (
+        df.select(key, value)
+        .distinct()
+        .groupBy(key)
+        .agg(F.count("*").alias(alias))
+    )

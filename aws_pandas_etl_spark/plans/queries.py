@@ -774,9 +774,36 @@ FROM b
 @register("lang_id_heuristic", _langid_oracle())
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID (deterministic heuristic core of a
-    real n-gram language classifier)."""
+    real n-gram language classifier).
+
+    Staged with a persist between scoring and argmax: higher-order
+    filters are interpreted per element, and the CASE cascade
+    references each score several times — materializing the 5 tiny
+    score ints per doc avoids re-running tokenization ~10x."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", TX.predict_lang("text").alias("pred_lang"))
+    langs = sorted(TX.LANG_STOPWORDS)
+    toks = docs.select("doc_id", "lang", TX.tokens("text").alias("toks"))
+    scored = toks.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.filter(
+                    F.col("toks"),
+                    (lambda sw: (lambda t: F.array_contains(sw, t)))(
+                        F.array(*[F.lit(w) for w in TX.LANG_STOPWORDS[lang]])
+                    ),
+                )
+            ).alias(f"s_{lang}")
+            for lang in langs
+        ],
+    ).persist()
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    expr = F.lit("unk")
+    for lang in reversed(langs):
+        expr = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(expr)
+    pred = F.when(best == 0, F.lit("unk")).otherwise(expr)
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
 
 
 def _quality_oracle() -> str:
@@ -933,6 +960,199 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the decode step is a deterministic stub — see operators/multimodal)."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.extract_features(MM.documents_as_binary(docs))
+
+
+# ===========================================================================
+# Additional relational shapes: pushdown agg, rollup, pivot, correlated
+# aggregate, CDC-style upsert, skew-safe aggregation
+# ===========================================================================
+
+Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate pushes into the parquet scan;
+    single global sum — zero-shuffle except the final 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@register("revenue_rollup", ROLLUP_ORACLE)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (flag -> flag+status -> grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("priority_pivot", PIVOT_ORACLE)
+def priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot with an explicit value list (no extra distinct
+    pass), re-aliased to match the FILTER-aggregation oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderstatus",
+        F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("n_urgent"),
+        F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("n_low"),
+    ).orderBy("o_orderstatus")
+
+
+Q17_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_small_qty
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE 2 * CAST(l.l_quantity AS DECIMAL(18,4)) * pa.c < pa.sq
+GROUP BY l.l_partkey
+"""
+
+
+@register("small_quantity_parts", Q17_ORACLE)
+def small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated aggregate decorrelated to a join):
+    items with quantity below half their part's average.  The
+    comparison is cross-multiplied (2*qty*cnt < sum) so it stays in
+    exact decimal arithmetic — no engine-specific decimal-division
+    scale rules."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sq"),
+        F.count("*").alias("c"),
+    )
+    l = li.select(F.col("l_partkey").alias("pk"), "l_quantity")
+    return (
+        l.join(pa, l.pk == pa.l_partkey)
+        .filter(
+            F.lit(2) * F.col("l_quantity").cast("decimal(18,4)") * F.col("c")
+            < F.col("sq")
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_small_qty"),
+        )
+    )
+
+
+UPSERT_ORACLE = """
+SELECT user_id, event_type, event_id, ts, props FROM (
+  SELECT user_id, event_type, event_id, ts, props,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("upsert_latest_events", UPSERT_ORACLE)
+def upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style upsert compaction: latest record per (user, type) key
+    — the MERGE/dedup-by-key primitive of an incremental pipeline (the
+    reference only does full refresh; SURVEY §2a notes CDC absent)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "props")
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("distinct_users_per_event_type", DISTINCT_ORACLE)
+def distinct_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct: shuffle on (key, value) then count per
+    key (functions/skew.py) — a hot event_type never pins one reducer."""
+    from aws_pandas_etl_spark.functions.skew import exact_distinct_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_distinct_by_key(ev, "event_type", "user_id", "n_distinct_users").orderBy(
+        "event_type"
+    )
+
+
+SALTED_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("salted_sum_by_event_type", SALTED_ORACLE)
+def salted_sum_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted sum over 5 hot keys (functions/skew.py).  The
+    value is exact decimal, so the result is independent of the salt
+    split — the oracle is the plain one-phase SUM."""
+    from aws_pandas_etl_spark.functions.skew import salted_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum(
+        ev,
+        ["event_type"],
+        F.col("value").cast("decimal(18,4)"),
+        "total_dec",
+        num_salts=16,
+    )
+    return out.select(
+        "event_type", F.col("total_dec").cast("double").alias("total_value")
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
