@@ -73,16 +73,34 @@ def run_tumbling_agg_stream(
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     agg = tumbling_window_agg(events_stream(spark, sf_dir, with_watermark=None), window)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
     return spark.table(name)
+
+
+class _scoped_shuffle_partitions:
+    """Temporarily lower shuffle partitions for a streaming run: each
+    shuffle partition materializes a state-store instance per
+    micro-batch, which dominates small/bounded backlogs.  (On a real
+    cluster with large state you'd size this UP, not down.)"""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)

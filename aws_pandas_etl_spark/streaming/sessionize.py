@@ -92,19 +92,24 @@ def run_sessionize_stream(
     per-session result (emits every session seen in the backlog,
     including still-open ones — matching the batch query's output on
     the same bounded input)."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        _scoped_shuffle_partitions,
+    )
+
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    q = (
-        sessionize_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            sessionize_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
     return spark.table(name)

@@ -25,8 +25,19 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark(app_name="bench")
 
-    # JVM/codegen warmup outside the timed region
+    # JVM/codegen/reader warmup outside the timed region: exercise the
+    # parquet scan, hash agg, and window paths once on the tiny sf
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        from aws_pandas_etl_spark.sources.readers import load_table
+
+        w = load_table(spark, warm_dir, "events")
+        w.groupBy("event_type").count().collect()
+        w.selectExpr(
+            "sum(value) over (partition by user_id order by ts "
+            "rows between unbounded preceding and current row) as r"
+        ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(Q.QUERIES):
