@@ -1,0 +1,79 @@
+import json
+import subprocess
+import sys
+
+import pytest
+
+from aws_pandas_etl_spark.operators import multimodal as MM
+from aws_pandas_etl_spark.plans.config import load_config
+from aws_pandas_etl_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+CFG = """
+source: {{type: parquet, path: {sf}}}
+target: {{path: {out}}}
+runid: 7
+updatedby: etl_user
+tables:
+  events: {{active_flag: "T", red_schema: "T"}}
+  documents: {{active_flag: "F"}}
+"""
+
+
+def test_load_config(tmp_path):
+    p = tmp_path / "job.yaml"
+    p.write_text(CFG.format(sf=SF, out=tmp_path / "out"))
+    cfg = load_config(str(p))
+    assert cfg.runid == 7 and cfg.updatedby == "etl_user"
+    assert cfg.tables["events"].active_flag == "T"
+    assert cfg.tables["documents"].active_flag == "F"
+
+
+def test_load_config_rejects_unknown_keys(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text("tables:\n  t: {activ_flag: T}\nsource: {}\ntarget: {}\n")
+    with pytest.raises(ValueError, match="unknown config keys"):
+        load_config(str(p))
+
+
+def test_cli_end_to_end(tmp_path):
+    p = tmp_path / "job.yaml"
+    p.write_text(CFG.format(sf=SF, out=tmp_path / "out"))
+    proc = subprocess.run(
+        [sys.executable, "-m", "aws_pandas_etl_spark.run_pipeline", str(p)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(l) for l in proc.stderr.splitlines()
+             if l.startswith("{") and "pipeline" in l]
+    by_table = {l.get("table"): l for l in lines if "table" in l}
+    assert by_table["events"]["status"] == "loaded" and by_table["events"]["rows"] == 1000
+    assert by_table["documents"]["status"] == "skipped"
+
+
+def test_cli_failure_exit_code(tmp_path):
+    p = tmp_path / "job.yaml"
+    p.write_text(
+        f"source: {{type: parquet, path: {SF}}}\n"
+        f"target: {{path: {tmp_path / 'out'}}}\n"
+        "tables:\n  no_such_table: {active_flag: \"T\"}\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "aws_pandas_etl_spark.run_pipeline", str(p)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 1
+
+
+def test_multimodal_resize_and_frames(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    bin_df = MM.documents_as_binary(docs)
+    resized = MM.resize_batch(bin_df, width=8, height=4).collect()
+    assert all(len(r["payload"]) == 32 for r in resized)
+    assert all(r["out_width"] == 8 and r["out_height"] == 4 for r in resized)
+    frames = MM.sample_frames(bin_df, every_n_bytes=64, max_frames=3)
+    rows = frames.collect()
+    assert len(rows) > 10  # 1->N explode happened
+    assert frames.columns == ["doc_id", "frame_no", "frame"]
+    assert all(r["frame_no"] < 3 for r in rows)
