@@ -1155,6 +1155,131 @@ def salted_sum_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+NGRAM_JACCARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, {_dk_toks('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+  FROM t
+), j AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) AS jaccard
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT a, b, jaccard FROM j WHERE jaccard >= 0.3
+"""
+
+
+@register("ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c standalone — exact word-3-gram Jaccard over (lang, source)
+    blocks.  Attribute blocking is the cheap alternative to LSH when a
+    natural partition key exists: the join is an equi-join on the block
+    key, never a cross join.  (MinHash-LSH covers the no-natural-key
+    case.)"""
+    from aws_pandas_etl_spark.operators.dedup import shingle_hash_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_table(docs, "doc_id", "text", shingle_n=3).select(
+        "doc_id", "shingles"
+    )
+    meta = docs.select("doc_id", "lang", "source")
+    blocked = sh.join(meta, "doc_id").persist()
+    a = blocked.select(
+        F.col("doc_id").alias("a"), F.col("shingles").alias("ga"), "lang", "source"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("b"), F.col("shingles").alias("gb"), "lang", "source"
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+NORM_STATS_ORACLE = f"""
+WITH n AS (
+  SELECT label,
+         CAST(sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(18,6)) AS norm_dec
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(norm_dec) AS DOUBLE) AS sum_norm,
+       CAST(SUM(norm_dec) AS DOUBLE) / COUNT(*) AS avg_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+@register("embedding_norm_stats", NORM_STATS_ORACLE)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 array-column analytics: per-label vector-norm rollup.  The
+    per-row norm (deterministic double) is cast to decimal before the
+    order-dependent SUM — the engine's standard exactness pattern."""
+    from aws_pandas_etl_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_dec = F.sqrt(dot(F.col("embedding"), F.col("embedding"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        emb.select("label", norm_dec.alias("norm_dec"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("norm_dec").cast("double").alias("sum_norm"),
+            (F.sum("norm_dec").cast("double") / F.count("*")).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_IFACE_ORACLE = f"""
+SELECT n_name, o_orderpriority, COUNT(*) AS n_orders, {REV_DK} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name, o_orderpriority
+ORDER BY n_name, o_orderpriority
+"""
+
+
+@register("sql_interface_revenue", SQL_IFACE_ORACLE)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-text surface: tables registered as temp views,
+    query expressed in Spark SQL (same Catalyst plan as the DataFrame
+    API — the oracle runs the identical SQL in DuckDB)."""
+    from aws_pandas_etl_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderpriority
+        ORDER BY n_name, o_orderpriority
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
