@@ -36,9 +36,16 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
+    # Local mode = driver-only JVM: spark.driver.memory is the one
+    # memory knob (pyspark_guide).  Array-heavy intermediates (shingle/
+    # signature tables) are size-UNDERestimated by Catalyst, so an
+    # aggressive broadcast threshold + small heap can OOM the broadcast
+    # build — threshold stays moderate and the heap explicit.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -46,7 +53,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():
