@@ -124,6 +124,85 @@ def topk_lsh(
     )
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, fixed evaluation order (oracle twin)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid per vector (argmin L2,
+    ties broken by centroid id).  Broadcast cross-join with K centroids
+    + one window — O(n*K) distance evaluations, the standard IVF build
+    cost.  At scale the cell id becomes a partition/bucket column."""
+    from pyspark.sql import Window
+
+    d2 = l2sq(F.col(vec_col), F.col(cvec_col))
+    w = Window.partitionBy(id_col).orderBy(F.col("d2"), F.col(cid_col))
+    return (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col(cid_col).alias("cell"))
+    )
+
+
+def topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """X3 scale path (IVF flavor): coarse-quantize the table into
+    ``num_centroids`` cells, search only the query's ``nprobe`` nearest
+    cells with exact cosine.
+
+    "Training" is deterministic — the first ``num_centroids`` vectors
+    by id serve as centroids (a k-means placeholder; real training
+    would run ``pyspark.ml.clustering.KMeans`` and break cross-engine
+    determinism).  At 100 TB: assignment is precomputed and the table
+    is partitioned by cell, so a query scans nprobe/num_centroids of
+    the data."""
+    cents = embeddings.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    qlit = _lit_array(query_vec)
+    probe_cells = (
+        cents.withColumn("qd2", l2sq(qlit, F.col("cvec")))
+        .orderBy("qd2", "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    sim = F.round(cosine(F.col(vec_col), qlit), round_digits)
+    return (
+        assigned.join(
+            F.broadcast(probe_cells), assigned.cell == probe_cells.cid, "left_semi"
+        )
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def similarity_self_join(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -943,6 +943,95 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.similarity_self_join(emb, threshold=0.3, num_planes=4)
 
 
+def _ivf_oracle() -> str:
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2.format(a='e.embedding', b='c.cvec')}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (ORDER BY {d2.format(a='q.qv', b='c.cvec')}, c.cid) AS rn
+    FROM cents c, q
+  ) WHERE rn <= 2
+)
+SELECT a.vec_id,
+       ROUND({_dk_cos('a.embedding', 'q.qv')}, 6) AS cosine_sim
+FROM assigned a, q
+WHERE a.cell IN (SELECT cid FROM probe)
+ORDER BY cosine_sim DESC, a.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_ivf_topk", _ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path, IVF flavor: coarse cells from deterministic
+    centroids (vec_id < 16), search the query's 2 nearest cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return SIM.topk_ivf(emb, [float(x) for x in q], k=10, num_centroids=16, nprobe=2)
+
+
+PCTL_ORACLE = """
+WITH r AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN value END) AS p95,
+       CAST(MAX(n) AS BIGINT) AS n_events
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("value_percentiles_per_event_type", PCTL_ORACLE)
+def value_percentiles_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles by ordered-row selection (percentile_disc
+    semantics, deterministic tie-break) — engine-portable, unlike
+    interpolating percentile functions whose formulas differ."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda q: F.max(
+        F.when(
+            F.col("rn")
+            == F.floor(F.lit(q) * (F.col("n") - 1)).cast("bigint") + 1,
+            F.col("value"),
+        )
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            pick(0.5).alias("p50"),
+            pick(0.95).alias("p95"),
+            F.max("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 MULTIMODAL_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -67,6 +67,31 @@ def test_topk_lsh_is_subset_of_bruteforce_sims(spark):
     assert lsh[0]["vec_id"] == 0  # query finds itself (cos=1.0 in own bucket)
 
 
+def test_topk_ivf_sims_match_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = {r["vec_id"]: r["cosine_sim"] for r in SIM.topk_bruteforce(emb, q, k=500).collect()}
+    ivf = SIM.topk_ivf(emb, q, k=10, num_centroids=16, nprobe=2).collect()
+    assert 0 < len(ivf) <= 10
+    for r in ivf:
+        assert abs(brute[r["vec_id"]] - r["cosine_sim"]) < 1e-9
+    assert ivf[0]["vec_id"] == 0  # query's own cell is probed first
+
+
+def test_enforce_schema_cast_or_fail_ansi(spark):
+    """ANSI mode (Spark 4 default) gives the reference's cast-or-fail
+    semantics: a malformed value aborts the table instead of nulling."""
+    import pytest
+    from pyspark.sql import Row
+    from aws_pandas_etl_spark.operators.transforms import enforce_schema
+    from aws_pandas_etl_spark.functions.types import build_struct_type
+
+    df = spark.createDataFrame([Row(x="12"), Row(x="not-a-number")])
+    bad = enforce_schema(df, build_struct_type(["x bigint"]))
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|NumberFormatException"):
+        bad.collect()
+
+
 def test_similarity_self_join_symmetric_bound(spark):
     emb = load_table(spark, SF, "embeddings").limit(100)
     pairs = SIM.similarity_self_join(emb, threshold=-1.0, num_planes=2).collect()
