@@ -1275,27 +1275,36 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_hash_table(docs, "doc_id", "text", shingle_n=3).select(
-        "doc_id", "shingles"
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
     )
     meta = docs.select("doc_id", "lang", "source")
-    blocked = sh.join(meta, "doc_id").persist()
-    a = blocked.select(
-        F.col("doc_id").alias("a"), F.col("shingles").alias("ga"), "lang", "source"
+    # Relational intersection: explode distinct grams, equi-join on
+    # (gram, block), count shared grams per pair.  |A∪B| = na+nb-shared,
+    # so jaccard needs no array ops — pure shuffle relational plan
+    # (interpreted array_intersect over ~500k pairs was the bottleneck).
+    # Pairs sharing zero grams have jaccard 0 < threshold — safe to omit.
+    g = (
+        sh.join(meta, "doc_id")
+        .select("doc_id", "lang", "source", "n_sh", F.explode("shingles").alias("gram"))
+        .persist()
     )
-    b = blocked.select(
-        F.col("doc_id").alias("b"), F.col("shingles").alias("gb"), "lang", "source"
+    a = g.select(
+        F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "lang", "source", "gram"
     )
-    inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size(F.array_union("ga", "gb"))
-    return (
-        a.join(b, ["lang", "source"])
+    b = g.select(
+        F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "lang", "source", "gram"
+    )
+    shared = (
+        a.join(b, ["lang", "source", "gram"])
         .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.3)
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+    )
+    jaccard = F.col("shared").cast("double") / F.greatest(
+        F.col("na") + F.col("nb") - F.col("shared"), F.lit(1)
+    )
+    return shared.select("a", "b", jaccard.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.3
     )
 
 
