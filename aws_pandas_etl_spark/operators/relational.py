@@ -1,0 +1,70 @@
+"""Relational operators Spark's API lacks as primitives.
+
+as-of join (backward): for each left row, the most recent right row
+with ``right.ts <= left.ts`` per key — the time-series join (trades ×
+quotes, events × slowly-changing state).
+
+Scalable shape: instead of a per-row correlated lookup (O(n·m) or an
+index), tag both sides, UNION them, and carry the right payload
+forward with ``last(..., ignorenulls=True)`` over a (key, time)-ordered
+window.  One shuffle on the key; both inputs stream through a single
+window pass — this is the plan a 100 TB as-of join wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak_col: str,
+    payload_prefix: str = "right_",
+) -> DataFrame:
+    """Attach to each left row the latest right row with
+    ``right.ts_col <= left.ts_col`` (per ``on`` key).
+
+    Equal timestamps match (<= semantics): the right side sorts before
+    the left at the same instant via the ``_is_right DESC`` ordering.
+    ``tiebreak_col`` must order rows deterministically within a
+    timestamp (e.g. a unique id).  Right payload columns come back
+    prefixed; NULL when no right row precedes.
+    """
+    l_cols = left.columns
+    tagged_left = left.select(
+        *l_cols,
+        F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    tagged_right = right.select(
+        *[
+            F.col(c) if c in (on + [ts_col, tiebreak_col]) else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in l_cols
+        ],
+        F.lit(1).alias("_is_right"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    u = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col), F.col("_is_right").desc(), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *l_cols,
+        "_is_right",
+        *[
+            F.last(F.col(f"_p_{c}"), ignorenulls=True)
+            .over(w)
+            .alias(f"{payload_prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("_is_right") == 0).drop("_is_right")

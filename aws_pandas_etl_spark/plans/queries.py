@@ -1378,6 +1378,60 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, event_id, CAST(NULL AS TIMESTAMP) AS view_ts, 0 AS is_right
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, ts AS view_ts, 1
+  FROM events WHERE event_type = 'view'
+), w AS (
+  SELECT user_id, ts, event_id, is_right,
+         last_value(view_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, is_right DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM u
+)
+SELECT event_id, user_id, ts, last_view_ts,
+       CASE WHEN last_view_ts IS NULL THEN NULL
+            ELSE epoch_us(ts) - epoch_us(last_view_ts) END AS gap_us
+FROM w WHERE is_right = 0
+"""
+
+
+@register("asof_last_view_before_purchase", ASOF_ORACLE)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase matched to the user's most
+    recent prior view.  Implemented with the union+window carry
+    (operators/relational.py) — one shuffle on the key, no correlated
+    per-row lookup; the oracle is the identical construction in SQL."""
+    from aws_pandas_etl_spark.operators.relational import as_of_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = as_of_join_backward(
+        purchases,
+        views.withColumn("view_ts", F.col("ts")),
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["view_ts"],
+        tiebreak_col="event_id",
+        payload_prefix="last_",
+    )
+    gap = F.when(
+        F.col("last_view_ts").isNull(), F.lit(None).cast("bigint")
+    ).otherwise(F.unix_micros("ts") - F.unix_micros("last_view_ts"))
+    return joined.select(
+        "event_id", "user_id", "ts", "last_view_ts", gap.alias("gap_us")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

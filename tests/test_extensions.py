@@ -99,6 +99,29 @@ def test_similarity_self_join_symmetric_bound(spark):
     assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in pairs)
 
 
+def test_as_of_join_backward_semantics(spark):
+    import datetime as dt
+    from pyspark.sql import Row
+    from aws_pandas_etl_spark.operators.relational import as_of_join_backward
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [Row(k=1, ts=t(10), event_id=100), Row(k=1, ts=t(5), event_id=101),
+         Row(k=2, ts=t(1), event_id=102)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t(3), event_id=1, v="a"),
+         Row(k=1, ts=t(5), event_id=2, v="b"),   # equal ts: <= matches
+         Row(k=1, ts=t(7), event_id=3, v="c"),
+         Row(k=2, ts=t(9), event_id=4, v="z")]   # after left: no match
+    )
+    out = {r["event_id"]: r["last_v"] for r in as_of_join_backward(
+        left, right, on=["k"], ts_col="ts", payload_cols=["v"],
+        tiebreak_col="event_id", payload_prefix="last_",
+    ).collect()}
+    assert out == {100: "c", 101: "b", 102: None}
+
+
 def test_text_helpers(spark):
     df = spark.createDataFrame([Row(text="The  quick, QUICK fox!")])
     row = df.select(
