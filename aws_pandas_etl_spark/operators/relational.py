@@ -17,6 +17,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with ``|left_ts - right_ts| <= tolerance``.
+
+    Without an equi-key, Spark plans a range predicate as a broadcast
+    nested-loop join — O(n·m) comparisons.  Binning restores an
+    equi-join: bucket timestamps into ``tolerance``-wide bins, join on
+    bin with the left side exploded to {b-1, b, b+1}, then apply the
+    exact predicate.  Candidate volume is bounded by true temporal
+    locality, not n·m.  ``extra_on`` adds equi-keys (e.g. user_id) to
+    the bin join when present."""
+    extra_on = extra_on or []
+
+    def _bin(ts: str) -> F.Column:
+        # exact integer bin: (x - x%tol)/tol — the subtraction makes the
+        # dividend an exact multiple, so the double division is exact
+        # (plain x/tol can round across the bin edge at 2^53-scale µs)
+        ux = F.unix_micros(F.col(ts))
+        return ((ux - F.pmod(ux, F.lit(tolerance_us))) / F.lit(tolerance_us)).cast(
+            "bigint"
+        )
+
+    lbin = _bin(left_ts)
+    rbin = _bin(right_ts)
+    l = left.withColumn(
+        "_bin", F.explode(F.array(lbin - 1, lbin, lbin + 1))
+    )
+    r = right.withColumn("_bin", rbin)
+    joined = l.join(r, ["_bin", *extra_on])
+    gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts))
+    return (
+        joined.filter(F.abs(gap) <= tolerance_us)
+        .drop("_bin")
+        .withColumn("gap_us", gap)
+    )
+
+
 def as_of_join_backward(
     left: DataFrame,
     right: DataFrame,

@@ -1432,6 +1432,37 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+RANGE_JOIN_ORACLE = """
+SELECT e.event_id AS error_id, c.event_id AS click_id,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM events e JOIN events c
+  ON e.event_type = 'error' AND c.event_type = 'click'
+ AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+"""
+
+
+@register("range_join_clicks_near_errors", RANGE_JOIN_ORACLE)
+def range_join_clicks_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (no equi-key): every (error, click) pair within ±5
+    minutes.  Binned to a tolerance-wide equi-join
+    (operators/relational.py) — Spark's naive plan for a pure range
+    predicate is a broadcast nested loop; the oracle IS that naive
+    predicate, so parity also proves the binning loses no pairs."""
+    from aws_pandas_etl_spark.operators.relational import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    out = range_join_binned(
+        errors, clicks, left_ts="e_ts", right_ts="c_ts", tolerance_us=300_000_000
+    )
+    return out.select("error_id", "click_id", "gap_us")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
