@@ -1463,6 +1463,68 @@ def range_join_clicks_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("error_id", "click_id", "gap_us")
 
 
+def _curation_oracle() -> str:
+    toks = _dk_toks("text")
+    return f"""
+WITH neardup AS (
+  {_minhash_oracle()}
+), drop_b AS (
+  SELECT DISTINCT b AS doc_id FROM neardup
+), survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), q AS (
+  SELECT doc_id,
+         ROUND(
+           0.4 * LEAST(1.0, CAST(len({toks}) AS DOUBLE) / 50.0)
+         + 0.3 * (CAST(len(list_distinct({toks})) AS DOUBLE) / GREATEST(len({toks}), 1))
+         + 0.3 * (CAST(LENGTH(regexp_replace(coalesce(text, ''), '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / GREATEST(LENGTH(coalesce(text, '')), 1)),
+         4) AS quality,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT d.doc_id, d.lang, q.quality, q.n_tokens
+FROM documents d
+JOIN survivors s ON d.doc_id = s.doc_id
+JOIN q ON q.doc_id = d.doc_id
+WHERE q.quality >= 0.5
+  AND d.doc_id NOT IN (SELECT doc_id FROM drop_b)
+"""
+
+
+@register("curate_training_corpus", _curation_oracle())
+def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the LLM-data-curation pipeline as one
+    plan: exact-dedup survivors ∩ (not a near-duplicate 'b' side) ∩
+    quality >= 0.5, carrying language and token count.  Every stage is
+    an operator verified independently above; this proves they
+    compose."""
+    from aws_pandas_etl_spark.operators.dedup import (
+        dedup_exact_survivors,
+        dedup_near_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    near_b = dedup_near_minhash(docs, threshold=0.5).select(
+        F.col("b").alias("doc_id")
+    ).distinct()
+    survivors = dedup_exact_survivors(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(TX.quality_score("text"), 4).alias("quality"),
+        F.size(TX.tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        scored.join(survivors, "doc_id", "left_semi")
+        .join(near_b, "doc_id", "left_anti")
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "lang", "quality", "n_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

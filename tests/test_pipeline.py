@@ -49,6 +49,23 @@ def test_landing_path_layout(tmp_path):
     assert landing_path("s3a://b/prefix", "tbl", ts) == "s3a://b/prefix/tbl/2024/03/04/05"
 
 
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    """Time-partitioned sink (K1's Y/m/d layout, catalog-visible):
+    a date filter on read-back must prune partitions at planning time,
+    not scan them."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    write_parquet_sink(ev, str(tmp_path / "p"), partition_by=["day"])
+    back = spark.read.parquet(str(tmp_path / "p")).filter(F.col("day") == "2024-01-02")
+    ex = back._jdf.queryExecution().toString()
+    assert "PartitionFilters: [isnotnull(day" in ex
+    n_days = ev.select("day").distinct().count()
+    import glob
+    assert len(glob.glob(str(tmp_path / "p" / "day=*"))) == n_days
+    assert back.count() == ev.filter(F.col("day") == "2024-01-02").count()
+
+
 def test_sink_rows_per_file(spark, tmp_path):
     df = spark.range(1000).repartition(1)
     write_parquet_sink(df, str(tmp_path / "p"), rows_per_file=300)
