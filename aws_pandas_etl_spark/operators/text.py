@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from aws_pandas_etl_spark.functions.hashing import md5_bigint, normalize_text, shingles
+from aws_pandas_etl_spark.functions.hashing import normalize_text, shingles
 
 # Tiny deterministic stopword lists for the n-gram/stopword language
 # heuristic.  (Real language ID would use fastText/CLD3 — not in this
