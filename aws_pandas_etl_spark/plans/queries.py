@@ -1525,6 +1525,82 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_cube", CUBE_ORACLE)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations including per-status and
+    grand totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+    )
+
+
+SLIDING_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_1h
+FROM events
+"""
+
+
+@register("sliding_1h_user_value", SLIDING_ORACLE)
+def sliding_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding window: per-user rolling 1-hour value sum via
+    a RANGE frame over epoch microseconds (integer range frames are
+    engine-portable; INTERVAL frames are not guaranteed to be).  Exact
+    decimal accumulation makes the result frame-order independent."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("value_1h"),
+    )
+
+
+VOCAB_ORACLE = f"""
+WITH t AS (
+  SELECT unnest({_dk_toks('text')}) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n
+FROM t GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+@register("token_vocabulary_top20", VOCAB_ORACLE)
+def token_vocabulary_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: explode tokens, count, top-k.  The
+    tokenize-explode-count shape is the first stage of any corpus
+    vocabulary/BPE training run; TakeOrdered keeps the top-k without a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
