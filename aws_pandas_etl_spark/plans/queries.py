@@ -626,9 +626,9 @@ WITH t AS (
            i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
   FROM t
 ), hs AS (
-  SELECT doc_id, shingles, list_transform(shingles, s -> {base}) AS hashes FROM sh
+  SELECT doc_id, shingles, list_distinct(list_transform(shingles, s -> {base})) AS hashes FROM sh
 ), sig AS (
-  SELECT doc_id, shingles, [{mins}] AS sig FROM hs
+  SELECT doc_id, hashes, [{mins}] AS sig FROM hs
 ), bands AS (
   {band_rows}
 ), cand AS (
@@ -637,8 +637,8 @@ WITH t AS (
     ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
 ), j AS (
   SELECT c.a, c.b,
-         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-           / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1) AS jaccard
+         CAST(len(list_intersect(sa.hashes, sb.hashes)) AS DOUBLE)
+           / greatest(len(list_distinct(list_concat(sa.hashes, sb.hashes))), 1) AS jaccard
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.a
   JOIN sig sb ON sb.doc_id = c.b

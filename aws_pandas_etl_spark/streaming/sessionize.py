@@ -91,7 +91,13 @@ def run_sessionize_stream(
     """Execute via availableNow into a memory sink; returns the
     per-session result (emits every session seen in the backlog,
     including still-open ones — matching the batch query's output on
-    the same bounded input)."""
+    the same bounded input).
+
+    Multi-batch semantics: a session spanning micro-batches is emitted
+    as one fragment per batch (same ``session_no`` carried by state);
+    downstream consumers merge fragments by (user_id, session_no) —
+    the standard emit-partial/compact-later pattern.  Cross-batch
+    state continuity is pinned by tests/test_streaming_multibatch.py."""
     from aws_pandas_etl_spark.streaming.events_stream import (
         _scoped_shuffle_partitions,
     )
