@@ -114,6 +114,56 @@ def fingerprint(col: Column | str, n: int = 8) -> Column:
     return F.md5(normalize_text(F.coalesce(c, F.lit(""))))
 
 
+def lang_id_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """doc_id -> (lang, pred_lang) via Arrow-batched mapInPandas.
+
+    Same stopword-argmax semantics as ``predict_lang`` (Column twin):
+    scores from LANG_STOPWORDS hits over pytext tokens, argmax with
+    language-code tie order, all-zero -> 'unk'.  Python path because
+    the Column version runs 5 interpreted list filters referenced
+    repeatedly by the argmax cascade."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from aws_pandas_etl_spark.functions import pytext
+
+    stopsets = {lang: set(ws) for lang, ws in LANG_STOPWORDS.items()}
+    langs = sorted(LANG_STOPWORDS)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("pred_lang", T.StringType()),
+        ]
+    )
+
+    def _predict(batches):
+        for pdf in batches:
+            preds = []
+            for t in pdf[text_col]:
+                toks = pytext.tokens(t)
+                scores = {
+                    lang: sum(1 for tk in toks if tk in stopsets[lang])
+                    for lang in langs
+                }
+                best = max(scores.values())
+                if best == 0:
+                    preds.append("unk")
+                else:
+                    preds.append(next(l for l in langs if scores[l] == best))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "lang": pdf[lang_col],
+                    "pred_lang": preds,
+                }
+            )
+
+    return df.select(id_col, lang_col, text_col).mapInPandas(_predict, schema=out_schema)
+
+
 def fingerprint_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
 ) -> DataFrame:

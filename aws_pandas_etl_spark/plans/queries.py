@@ -774,36 +774,10 @@ FROM b
 @register("lang_id_heuristic", _langid_oracle())
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID (deterministic heuristic core of a
-    real n-gram language classifier).
-
-    Staged with a persist between scoring and argmax: higher-order
-    filters are interpreted per element, and the CASE cascade
-    references each score several times — materializing the 5 tiny
-    score ints per doc avoids re-running tokenization ~10x."""
+    real n-gram language classifier).  Arrow-batched pandas path;
+    ``TX.predict_lang`` is the Column twin with identical semantics."""
     docs = load_table(spark, sf_dir, "documents")
-    langs = sorted(TX.LANG_STOPWORDS)
-    toks = docs.select("doc_id", "lang", TX.tokens("text").alias("toks"))
-    scored = toks.select(
-        "doc_id",
-        "lang",
-        *[
-            F.size(
-                F.filter(
-                    F.col("toks"),
-                    (lambda sw: (lambda t: F.array_contains(sw, t)))(
-                        F.array(*[F.lit(w) for w in TX.LANG_STOPWORDS[lang]])
-                    ),
-                )
-            ).alias(f"s_{lang}")
-            for lang in langs
-        ],
-    ).persist()
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
-    expr = F.lit("unk")
-    for lang in reversed(langs):
-        expr = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(expr)
-    pred = F.when(best == 0, F.lit("unk")).otherwise(expr)
-    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+    return TX.lang_id_table(docs)
 
 
 def _quality_oracle() -> str:

@@ -35,6 +35,25 @@ def test_pipeline_run_end_to_end(spark, tmp_path):
     assert loaded.select("updated_utc_ts").distinct().count() == 1
 
 
+def test_pipeline_all_table_types(spark, tmp_path):
+    """Every harness table — including array (embeddings) and text
+    (documents) payloads — survives the full transform+load path."""
+    from aws_pandas_etl_spark.plans.pipeline import TableSpec, run
+    tables = {t: TableSpec(t) for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )}
+    results = {r.table: r for r in run(
+        spark, tables, lambda s, n: load_table(s, SF, n), str(tmp_path / "out")
+    )}
+    assert all(r.status == "loaded" for r in results.values()), {
+        t: r.error for t, r in results.items() if r.status != "loaded"
+    }
+    emb = spark.read.parquet(str(tmp_path / "out" / "embeddings"))
+    assert emb.count() == 500 and "row_hash_code" in emb.columns
+    assert emb.schema["embedding"].dataType.simpleString() == "array<float>"
+
+
 def test_transform_table_no_shuffle(spark):
     """The whole parity dataflow must stay a single projection over the
     scan — no Exchange in the plan (scale guarantee)."""
