@@ -1,0 +1,70 @@
+"""Robustness: skewed inputs and idempotent reloads."""
+
+import decimal
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_pandas_etl_spark.functions.skew import exact_distinct_by_key, salted_sum
+from aws_pandas_etl_spark.plans.pipeline import TableSpec, run
+from aws_pandas_etl_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _skewed_df(spark, hot_rows=20_000, cold_rows=200):
+    """One key owns ~99% of rows — the shape that pins a reducer."""
+    hot = spark.range(hot_rows).select(
+        F.lit("HOT").alias("k"),
+        (F.col("id") % 1000).alias("v"),
+        (F.col("id").cast("double") / 100).alias("amount"),
+    )
+    cold = spark.range(cold_rows).select(
+        F.concat(F.lit("c"), (F.col("id") % 20).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+        F.col("id").cast("double").alias("amount"),
+    )
+    return hot.unionAll(cold)
+
+
+def test_salted_sum_correct_on_skew(spark):
+    df = _skewed_df(spark)
+    got = {
+        r["k"]: r["total"]
+        for r in salted_sum(
+            df, ["k"], F.col("amount").cast("decimal(18,4)"), "total", num_salts=16
+        ).collect()
+    }
+    exact = {
+        r["k"]: r["total"]
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("amount").cast("decimal(18,4)")).alias("total"))
+        .collect()
+    }
+    assert got == exact  # decimal: split-independent exactness
+    assert got["HOT"] == decimal.Decimal("1999900")  # sum(id/100, id<20000)
+
+
+def test_exact_distinct_correct_on_skew(spark):
+    df = _skewed_df(spark)
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in exact_distinct_by_key(df, "k", "v").collect()
+    }
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == exact
+    assert got["HOT"] == 1000
+
+
+def test_pipeline_rerun_idempotent(spark, tmp_path):
+    """Full-refresh semantics (TRUNCATE+COPY parity): re-running the
+    load must not duplicate rows."""
+    tables = {"events": TableSpec("events")}
+    src = lambda s, n: load_table(s, SF, n)
+    r1 = run(spark, tables, src, str(tmp_path / "out"))
+    r2 = run(spark, tables, src, str(tmp_path / "out"))
+    assert r1[0].rows == r2[0].rows == 1000
+    assert spark.read.parquet(str(tmp_path / "out" / "events")).count() == 1000
