@@ -114,6 +114,59 @@ def fingerprint(col: Column | str, n: int = 8) -> Column:
     return F.md5(normalize_text(F.coalesce(c, F.lit(""))))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    token chunks (``chunk_tokens`` wide, ``stride`` apart) — the
+    standard pretraining-data windowing step.  1->N explode of a pure
+    Column computation: chunk i covers tokens [i*stride, i*stride +
+    chunk_tokens); windows stop once the previous one reaches the end
+    (1 + ceil(max(n - chunk, 0)/stride)), so no chunk is fully
+    contained in its predecessor — no duplicated tail data.  At
+    scale output rows ≈ rows * n_tokens/stride — predictable
+    amplification, no shuffle until the caller aggregates."""
+    # Bind tokens to a column first: embedding the tokenize tree inside
+    # the transform lambda would re-run it per chunk (HOF lambdas are
+    # interpreted with no subexpression caching).
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # integer ceil((n-chunk)+ / stride): last window index
+    last = F.floor(
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    idx = F.when(n >= 1, F.sequence(F.lit(0), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        base.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("int").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def lang_id_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", lang_col: str = "lang"
 ) -> DataFrame:

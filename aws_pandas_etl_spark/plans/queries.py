@@ -1575,6 +1575,39 @@ def token_vocabulary_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chunk geometry shared by the Spark call and the oracle — one source
+CHUNK_TOKENS, CHUNK_STRIDE = 64, 48
+
+
+def _chunk_oracle(chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE) -> str:
+    toks = _dk_toks("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks, len({toks}) AS n FROM documents
+), c AS (
+  SELECT doc_id, n, toks,
+         CASE WHEN n <= 0 THEN []
+              ELSE generate_series(0, CAST(floor((greatest(n - {chunk}, 0) + {stride - 1}) / {stride}) AS BIGINT)) END AS ids
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       array_to_string(list_slice(toks, i * {stride} + 1, i * {stride} + {chunk}), ' ') AS chunk_text,
+       CAST(LEAST(n - i * {stride}, {chunk}) AS INTEGER) AS n_chunk_tokens
+FROM c, unnest(ids) AS u(i)
+"""
+
+
+@register("chunk_documents_sliding", _chunk_oracle(CHUNK_TOKENS, CHUNK_STRIDE))
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining context-window chunking: 64-token chunks, stride 48
+    (16-token overlap), one row per chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
