@@ -45,10 +45,17 @@ def exact_distinct_by_key(
     """Skew-safe exact COUNT(DISTINCT value) per key: shuffle on
     (key, value) — hot keys spread across reducers by value hash —
     then count per key.  ``countDistinct`` would shuffle by key alone
-    and pin hot keys on single reducers."""
-    return (
+    and pin hot keys on single reducers.  COUNT(DISTINCT) semantics:
+    NULL values excluded, but a key whose values are all NULL still
+    appears with count 0."""
+    counts = (
         df.select(key, value)
+        .filter(F.col(value).isNotNull())
         .distinct()
         .groupBy(key)
         .agg(F.count("*").alias(alias))
+    )
+    keys = df.select(key).distinct()
+    return keys.join(counts, key, "left").select(
+        key, F.coalesce(F.col(alias), F.lit(0)).alias(alias)
     )

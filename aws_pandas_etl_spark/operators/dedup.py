@@ -33,6 +33,8 @@ from aws_pandas_etl_spark.functions.hashing import (
 # P(candidate | jaccard=j) = 1 - (1 - j^4)^4  ->  ~0.5 at j~0.66.
 NUM_HASHES = 16
 NUM_BANDS = 4
+# Degenerate-bucket cap (boilerplate guard) — mirrored by the oracle.
+MAX_BUCKET = 1000
 
 
 def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
@@ -127,7 +129,7 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     num_bands: int = NUM_BANDS,
     num_hashes: int = NUM_HASHES,
-    max_bucket: int = 1000,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Band signatures, bucket-join to candidate pairs (a < b).
 

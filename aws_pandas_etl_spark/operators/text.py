@@ -265,9 +265,8 @@ def min_gram_fingerprint(col: Column | str, n: int = 8) -> Column:
     """Rolling-hash fingerprint: minimum 60-bit hash over word
     ``n``-gram shingles (winnowing-style witness; equal for documents
     sharing their minimal n-gram)."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
     grams = shingles(col, n=n)
-    hashed = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
-    )
+    hashed = F.transform(grams, lambda g: md5_bigint(g))
     return F.coalesce(F.array_min(hashed), F.lit(-1).cast("bigint"))

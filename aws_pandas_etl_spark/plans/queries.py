@@ -599,6 +599,7 @@ def _minhash_oracle() -> str:
 
     nh, nb = D.NUM_HASHES, D.NUM_BANDS
     rpb = nh // nb
+    max_bucket = D.MAX_BUCKET
     base = (
         f"CAST(('0x'||substr(md5(s),1,{BASE_HASH_HEX_DIGITS})) AS BIGINT)"
     )
@@ -631,9 +632,16 @@ WITH t AS (
   SELECT doc_id, hashes, [{mins}] AS sig FROM hs
 ), bands AS (
   {band_rows}
+), kept AS (
+  -- mirror of lsh_candidate_pairs' max_bucket guard (degenerate
+  -- boilerplate buckets dropped on BOTH sides)
+  SELECT band, band_hash FROM bands
+  GROUP BY band, band_hash HAVING COUNT(*) <= {max_bucket}
+), bands_k AS (
+  SELECT b.* FROM bands b JOIN kept USING (band, band_hash)
 ), cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM bands x JOIN bands y
+  FROM bands_k x JOIN bands_k y
     ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
 ), j AS (
   SELECT c.a, c.b,
@@ -1006,13 +1014,25 @@ def value_percentiles_per_event_type(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# true BYTE semantics (first/last UTF-8 byte via hex, not first/last
+# code point): matches the Python payload[0]/payload[-1] exactly even
+# for non-ASCII text; empty/NULL text -> (0, 0) like decode_image
 MULTIMODAL_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         md5(coalesce(text, '')) AS content_md5,
+         octet_length(encode(coalesce(text, ''))) AS n,
+         to_hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       md5(text) AS content_md5,
-       CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS fake_width,
-       CAST((ascii(substr(text, LENGTH(text), 1)) % 64) + 1 AS INTEGER) AS fake_height
-FROM documents
+       CAST(n AS BIGINT) AS byte_len,
+       content_md5,
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE (CAST(('0x'||substr(hx, 1, 2)) AS INTEGER) % 64) + 1 END AS INTEGER) AS fake_width,
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE (CAST(('0x'||substr(hx, n * 2 - 1, 2)) AS INTEGER) % 64) + 1 END AS INTEGER) AS fake_height
+FROM b
 """
 
 

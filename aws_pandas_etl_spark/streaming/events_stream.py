@@ -83,9 +83,14 @@ def run_tumbling_agg_stream(
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            finished = q.awaitTermination(timeout_sec)
         finally:
             q.stop()
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {name} did not finish within {timeout_sec}s "
+                "— partial results discarded"
+            )
     return spark.table(name)
 
 

@@ -60,6 +60,11 @@ def _sessionize_group(
                 )
             session_no += 1
             cur = {"no": session_no, "n": 0, "start": ts, "end": ts}
+        elif cur is None:
+            # continuing a session carried in state from a previous
+            # micro-batch: open a new FRAGMENT under the same
+            # session_no (downstream merges fragments by key)
+            cur = {"no": session_no, "n": 0, "start": ts, "end": ts}
         cur["n"] += 1
         cur["end"] = ts
         last_ts_us = ts_us
@@ -115,7 +120,12 @@ def run_sessionize_stream(
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            finished = q.awaitTermination(timeout_sec)
         finally:
             q.stop()
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {name} did not finish within {timeout_sec}s "
+                "— partial results discarded"
+            )
     return spark.table(name)

@@ -49,6 +49,9 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # operators persist intermediates (signature tables etc.);
+        # release between queries so storage memory stays bounded
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

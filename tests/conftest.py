@@ -24,15 +24,6 @@ def spark():
     s.stop()
 
 
-@pytest.fixture(scope="session")
-def duck():
-    con = duckdb.connect()
-    for sf in (SF_SMOKE, SF_CORRECT):
-        pass
-    yield con
-    con.close()
-
-
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Fresh DuckDB connection with the harness tables registered as
     views — mirrors the driver's oracle setup."""

@@ -59,6 +59,20 @@ def test_exact_distinct_correct_on_skew(spark):
     assert got["HOT"] == 1000
 
 
+def test_exact_distinct_null_semantics(spark):
+    """COUNT(DISTINCT) parity: NULLs excluded; all-NULL keys keep a
+    0-count row (regression from code review)."""
+    df = spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="a", v=None), Row(k="a", v=2), Row(k="b", v=None)]
+    )
+    got = {r["k"]: r["n_distinct"] for r in exact_distinct_by_key(df, "k", "v").collect()}
+    ref = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == ref == {"a": 2, "b": 0}
+
+
 def test_pipeline_rerun_idempotent(spark, tmp_path):
     """Full-refresh semantics (TRUNCATE+COPY parity): re-running the
     load must not duplicate rows."""

@@ -39,6 +39,63 @@ def split_events_dir(spark, tmp_path):
     return d
 
 
+def test_session_continues_across_batch_boundary(spark, tmp_path):
+    """Regression: a session whose events span two micro-batches (gap
+    < 30 min across the file boundary) must CONTINUE — same session_no,
+    fragments merging to one session.  (The continuation path once
+    crashed with TypeError: cur was never initialized when state
+    existed; the fixture-based test missed it because no sf0.001
+    session happens to straddle the ntile boundaries.)"""
+    import datetime as dt
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mk = lambda eid, minutes: {
+        "event_id": eid, "ts": base + dt.timedelta(minutes=minutes),
+        "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}",
+    }
+    # batch 1: two events 10:00, 10:10; batch 2: 10:20 (continues),
+    # then 11:30 (new session after >30min gap)
+    batches = [[mk(1, 0), mk(2, 10)], [mk(3, 20), mk(4, 90)]]
+    for i, rows in enumerate(batches, 1):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+        pq.write_table(pa.Table.from_pandas(pdf), f"{tmp_path}/batch_{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(str(tmp_path))
+    )
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sess = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group, OUTPUT_SCHEMA, STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"cont_{uuid.uuid4().hex[:6]}"
+    q = (
+        sess.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    merged = {
+        (r["user_id"], r["session_no"]): r["n_events"]
+        for r in spark.table(name)
+        .groupBy("user_id", "session_no")
+        .agg(F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    # session 1 = events 1,2,3 (spans the boundary); session 2 = event 4
+    assert merged == {(7, 1): 3, (7, 2): 1}
+
+
 def test_state_carries_across_micro_batches(spark, split_events_dir):
     stream = (
         spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
