@@ -1628,6 +1628,56 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTER_ORACLE = """
+SELECT n.n_nationkey, n.n_name,
+       CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COALESCE(SUM(CAST(s.s_acctbal AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_acctbal
+FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_nationkey, n.n_name
+ORDER BY n.n_nationkey
+"""
+
+
+@register("nation_supplier_outer", OUTER_ORACLE)
+def nation_supplier_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: every nation appears, supplier-less nations
+    with count 0 (COUNT of the null-extended column skips nulls)."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supp, nation.n_nationkey == supp.s_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.coalesce(
+                F.sum(F.col("s_acctbal").cast("decimal(18,4)")), F.lit(0)
+            ).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+JSON_STRUCT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_bucket
+FROM events
+"""
+
+
+@register("events_json_struct", JSON_STRUCT_ORACLE)
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed semi-structured parsing: from_json into a StructType and
+    field access (vs get_json_object's string path in events_json_kpi)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).cast("int").alias("k_bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -17,8 +17,14 @@ import math
 
 import pytest
 
+import os
+
 import __spark_entry__ as entrymod
 from tests.conftest import SF_SMOKE, duck_con
+
+# SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 runs the parity suite at the
+# driver's correctness scale (default: sf0.001 for speed)
+TEST_SF = os.environ.get("SPARK_GRAFT_TEST_SF", SF_SMOKE)
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
@@ -49,11 +55,11 @@ def _canon(rows, columns):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, name):
     fn = QUERIES[name]
-    sdf = fn(spark, SF_SMOKE)
+    sdf = fn(spark, TEST_SF)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    con = duck_con(SF_SMOKE)
+    con = duck_con(TEST_SF)
     try:
         res = con.execute(ORACLES[name])
         duck_cols = [d[0] for d in res.description]
