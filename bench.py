@@ -38,6 +38,10 @@ def main() -> None:
             "sum(value) over (partition by user_id order by ts "
             "rows between unbounded preceding and current row) as r"
         ).write.format("noop").mode("overwrite").save()
+        # warm the Python worker pool (first mapInPandas pays startup)
+        w.limit(64).mapInPandas(lambda it: it, schema=w.schema).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(Q.QUERIES):
