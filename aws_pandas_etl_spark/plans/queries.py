@@ -1678,6 +1678,426 @@ def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Relational widening — remaining TPC-H query shapes adapted to the fixture
+# schema (no partsupp/shipmode/commitdate columns; semantics preserved).
+# ===========================================================================
+
+Q7_ORACLE = f"""
+SELECT supp_region, cust_region, l_year, {REV_DK} AS revenue
+FROM (
+  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+     OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+)
+GROUP BY supp_region, cust_region, l_year
+ORDER BY supp_region, cust_region, l_year
+"""
+
+
+@register("q7_trade_volume", Q7_ORACLE)
+def q7_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the fact table reaches two copies of the same
+    dimension chain (nation->region) through different foreign keys.
+    Both chains broadcast; the only shuffled join is lineitem⋈orders.
+    The disjunctive region-pair predicate is applied after both chains
+    resolve (Catalyst pushes the IN('ASIA','EUROPE') half of it into
+    each broadcast build side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation")
+    r1 = load_table(spark, sf_dir, "region").withColumnRenamed("r_name", "supp_region")
+    r2 = load_table(spark, sf_dir, "region").withColumnRenamed("r_name", "cust_region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.n_nationkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2["n_nationkey"])
+        .join(F.broadcast(r1), n1.n_regionkey == r1.r_regionkey)
+        .join(F.broadcast(r2), n2["n_regionkey"] == r2.r_regionkey)
+        .filter(
+            ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+            | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("supp_region", "cust_region", "l_year")
+        .agg(_rev_spark().alias("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+Q8_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_region = 'ASIA'
+                     THEN CAST(volume AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         r1.r_name AS supp_region
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+  WHERE r2.r_name = 'ASIA'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share of same-region suppliers among all
+    sales to ASIA customers, per order year.  Conditional aggregation
+    (CASE inside SUM) — one pass, no self-join.  Per-row volume stays
+    DOUBLE (deterministic IEEE per row); both SUMs are exact decimal;
+    the final ratio is one double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation")
+    r1 = load_table(spark, sf_dir, "region").withColumnRenamed("r_name", "supp_region")
+    r2 = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.n_nationkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2["n_nationkey"])
+        .join(F.broadcast(r2), n2["n_regionkey"] == r2.r_regionkey)
+        .join(F.broadcast(r1), n1.n_regionkey == r1.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.when(F.col("supp_region") == "ASIA", vol)
+            .otherwise(F.lit(0).cast("decimal(18,6)"))
+            .alias("asia_vol"),
+            vol.alias("vol"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum("asia_vol").cast("double") / F.sum("vol").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, {REV_DK} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue.  Filters reach
+    the scans (returnflag on lineitem, date range on orders) before the
+    one shuffled join; TakeOrdered(20) replaces a global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev_spark().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("q12_priority_line_counts", Q12_ORACLE)
+def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode -> linestatus): conditional counts of
+    urgent vs other order priorities per line status."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q14_ORACLE = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                    ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one quarter.
+    part is a broadcast dim; single global aggregate (partial agg on
+    every partition, one exchange of one row)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+    )
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 140
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+@register("q18_large_volume_orders", Q18_ORACLE)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold.
+    Aggregates lineitem by order key FIRST (shrinks the fact table to
+    one row per order), then broadcasts nothing bigger than the
+    surviving orders.  The HAVING predicate is evaluated on the exact
+    decimal sum — same tie behavior in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 140)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+Q19_ORACLE = f"""
+SELECT {REV_DK} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@register("q19_disjunctive_filter", Q19_ORACLE)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates spanning
+    both join sides.  Catalyst extracts the common `p_brand IN (...)`
+    / `p_size <= 50` implications and pushes them below the join; the
+    full OR is evaluated post-join."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (q >= 10)
+            & (q <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & (q >= 20)
+            & (q <= 40)
+        )
+    )
+    return joined.filter(cond).agg(_rev_spark().alias("revenue"))
+
+
+Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal.v
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("q22_wealthy_inactive", Q22_ORACLE)
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global average
+    balance) + anti join against orders.  The 1-row average is cross-
+    joined (broadcast) instead of re-evaluated per row; the anti join
+    build side is just the distinct customer keys of orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+TOP_SUPPLIER_ORACLE = """
+SELECT n_name, s_suppkey, s_name, s_acctbal
+FROM (
+  SELECT n_name, s_suppkey, s_name, s_acctbal,
+         MAX(s_acctbal) OVER (PARTITION BY n_nationkey) AS mx
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+WHERE s_acctbal = mx
+ORDER BY n_name, s_suppkey
+"""
+
+
+@register("top_supplier_per_nation", TOP_SUPPLIER_ORACLE)
+def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MAX subquery, decorrelated): the
+    per-group max is a window over the group key — one shuffle, no
+    self-join, keeps ALL tied maxima exactly like the correlated form."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn("mx", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("mx"))
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
