@@ -301,3 +301,36 @@ def dedup_simhash(
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark_max_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents that share any
+    word ``shingle_n``-gram with the benchmark set (here: docs with
+    ``id < benchmark_max_id``; in production an external eval-set
+    table).  The standard guard against test-set leakage into
+    training data.
+
+    Plan shape: explode per-doc distinct shingle hashes once, split
+    into benchmark/corpus sides, broadcast the (small) benchmark hash
+    set, semi-style inner join + per-doc distinct count.  Never
+    compares documents pairwise — cost is O(total shingles), and the
+    benchmark side is tiny by construction, so the join is a broadcast
+    hash join with no shuffle of the corpus shingles."""
+    sh = shingle_hash_table(df, id_col, text_col, shingle_n=shingle_n).select(
+        "doc_id", F.explode("hashes").alias("h")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < benchmark_max_id).select("h").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= benchmark_max_id)
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").cast("bigint").alias("n_shared_ngrams"))
+    )

@@ -11,7 +11,7 @@ Every constant here is shared with the DuckDB oracle SQL generators in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_pandas_etl_spark.functions.hashing import normalize_text, shingles
@@ -164,6 +164,94 @@ def chunk_documents(
             F.col("c.chunk_text").alias("chunk_text"),
             F.col("c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
         )
+    )
+
+
+# PII patterns — safe common subset of Java regex (Spark) and RE2
+# (DuckDB); shared with the oracle SQL generators.
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails then phone numbers from a text column — the
+    standard pre-training PII pass.  Two chained regexp_replace calls,
+    whole-stage codegen, zero shuffles."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    emails_gone = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(emails_gone, PHONE_RE, "<PHONE>")
+
+
+def pii_match_count(col: Column | str, pattern: str) -> Column:
+    """How many substrings match ``pattern`` (redaction audit metric)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def repeated_2gram_fraction(col: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of word-2-gram
+    occurrences that are repeats of an earlier 2-gram in the same
+    document, ``(total - distinct) / total``.  Pure Column expression
+    (no shuffle); highly repetitive machine-generated text scores near
+    1, natural text near 0."""
+    toks = tokens(col)
+    k = F.size(toks) - F.lit(1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    total = F.greatest(k, F.lit(0))
+    distinct = F.size(F.array_distinct(grams))
+    return (total - distinct).cast("double") / F.greatest(total, F.lit(1))
+
+
+def assign_split(id_col: Column | str, train_pct: int = 80, val_pct: int = 10) -> Column:
+    """Deterministic train/val/test assignment by hashing the document
+    key — stable across runs, machines, and engine versions (unlike
+    ``rand()``-based splits), and uniformly distributed regardless of
+    key clustering.  Bucket = md5-hash(id) mod 100."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = md5_bigint(F.concat(F.lit("split|"), c.cast("string"))) % 100
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs:
+    documents are laid out in ``id_col`` order and pack_id =
+    floor(prefix_tokens / budget) — contiguous packing where a document
+    starts in the pack its first token falls into.  Deterministic and
+    order-stable (no bin-packing heuristics that depend on visit
+    order).
+
+    Scale note: the prefix sum is a global ordered window.  On a
+    cluster this must NOT run as one partition — the production path
+    is the same two-pass scheme the sessionizer uses:
+    ``repartitionByRange(id_col)`` then per-partition prefix sums
+    offset by the broadcast partition totals.  At test scale the
+    single window is exact and cheap; the semantics (and the oracle)
+    are identical either way."""
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ntok = F.size(tokens(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), ntok.alias("n_tokens"))
+        .withColumn(
+            "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+        )
+        .withColumn("pack_id", F.expr(f"CAST(start_tok DIV {budget} AS BIGINT)"))
     )
 
 

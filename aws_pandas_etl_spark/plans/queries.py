@@ -2098,6 +2098,240 @@ def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# LLM training-data pipeline widening: PII scrub, repetition quality,
+# deterministic splits, sequence packing, benchmark decontamination.
+# ===========================================================================
+
+_PII_INJECT_DK = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call +12-345-6789 today' ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    from aws_pandas_etl_spark.operators.text import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH t AS (SELECT doc_id, {_PII_INJECT_DK} AS txt FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(txt, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(txt, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+FROM t
+"""
+
+
+@register("pii_redaction", _pii_oracle())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass over the corpus (emails + phone numbers ->
+    placeholder tokens) with per-doc audit counts.  The synthetic
+    corpus contains no PII, so deterministic PII is injected first
+    (same expression in the oracle) to exercise real redactions.
+    Pure projection: codegen regexes, zero shuffles, scan-speed at
+    100 TB."""
+    from aws_pandas_etl_spark.operators.text import (
+        EMAIL_RE,
+        PHONE_RE,
+        pii_match_count,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call +12-345-6789 today")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        pii_match_count(injected, EMAIL_RE).cast("bigint").alias("n_emails"),
+        pii_match_count(injected, PHONE_RE).cast("bigint").alias("n_phones"),
+        redact_pii(injected).alias("text_redacted"),
+    )
+
+
+def _repetition_oracle() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks('text')} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM e GROUP BY doc_id, tok),
+per AS (
+  SELECT doc_id,
+         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_fraction,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM c GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id,
+         greatest(len(toks) - 1, 0) AS total,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS grams
+  FROM t
+)
+SELECT per.doc_id, top_token_fraction, n_tokens,
+       CAST(total - len(grams) AS DOUBLE) / greatest(total, 1) AS rep_2gram_fraction
+FROM per JOIN g ON per.doc_id = g.doc_id
+"""
+
+
+@register("repetition_quality", _repetition_oracle())
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document top-token fraction
+    (explode -> two-level agg, classic relational plan; both aggs have
+    map-side partial aggregation) and repeated-2-gram fraction (pure
+    Column expression, no shuffle).  The join back on doc_id is
+    shuffle-on-key; at scale both inputs are already hash-partitioned
+    by doc_id from the aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per = cnt.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_token_fraction"
+        ),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    rep = docs.select(
+        "doc_id", TX.repeated_2gram_fraction("text").alias("rep_2gram_fraction")
+    )
+    return per.join(rep, "doc_id").select(
+        "doc_id", "top_token_fraction", "n_tokens", "rep_2gram_fraction"
+    )
+
+
+def _split_oracle() -> str:
+    bucket = _dk_hex("'split|' || CAST(doc_id AS VARCHAR)") + " % 100"
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN {bucket} < 80 THEN 'train'
+              WHEN {bucket} < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM t GROUP BY split ORDER BY split
+"""
+
+
+@register("train_val_test_split", _split_oracle())
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by hashing the document key — the
+    reproducible alternative to rand()-sampling (stable across runs,
+    engines, and partitionings; no seed coordination across 1000
+    executors).  Group sizes verify the hash is uniform."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.assign_split("doc_id").alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .withColumn(
+            "avg_chars", F.col("total_chars").cast("double") / F.col("n_docs")
+        )
+        .orderBy("split")
+    )
+
+
+PACK_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH t AS (SELECT doc_id, len({_dk_toks('text')}) AS n_tokens FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM p GROUP BY pack_id ORDER BY pack_id
+"""
+
+
+@register("pack_sequences_greedy", _PACK_ORACLE)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents laid out in key order,
+    pack = which ``PACK_BUDGET``-token window a document starts in.
+    See operators/text.py::pack_sequences for the cluster-scale
+    two-pass prefix-sum note."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = TX.pack_sequences(docs, budget=PACK_BUDGET)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+# bench<50 keeps the contaminated set non-empty at every harness scale
+# (sf0.001/0.01/0.1) — a 0-row result would make the gate trivially green.
+DECON_BENCH_MAX_ID = 50
+DECON_SHINGLE_N = 8
+
+
+def _decon_oracle() -> str:
+    n = DECON_SHINGLE_N
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks('text')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+           i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))) AS g
+  FROM t
+),
+e AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 7)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(g) AS gram FROM sh)
+),
+b AS (SELECT DISTINCT h FROM e WHERE doc_id < {DECON_BENCH_MAX_ID})
+SELECT e.doc_id, CAST(COUNT(DISTINCT e.h) AS BIGINT) AS n_shared_ngrams
+FROM e JOIN b USING (h)
+WHERE e.doc_id >= {DECON_BENCH_MAX_ID}
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+
+
+@register("decontaminate_benchmark", _decon_oracle())
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (test-set leakage guard): corpus docs
+    sharing any word 8-gram with the benchmark set (docs 0..49 here).
+    Broadcast the tiny benchmark n-gram hash set; O(total shingles),
+    never pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.decontaminate(
+        docs,
+        benchmark_max_id=DECON_BENCH_MAX_ID,
+        shingle_n=DECON_SHINGLE_N,
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -164,3 +164,84 @@ def test_streaming_matches_batch(spark):
     b = sorted([tuple(r) for r in batch.collect()])
     s = sorted([tuple(r) for r in stream.collect()])
     assert b == s
+
+
+def test_redact_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail me at jane.doe+x@sub.example.org or call +12-345-6789 ok"),
+            Row(doc_id=2, text="no pii here at all"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            TX.redact_pii("text").alias("red"),
+            TX.pii_match_count("text", TX.EMAIL_RE).alias("ne"),
+            TX.pii_match_count("text", TX.PHONE_RE).alias("np"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail me at <EMAIL> or call <PHONE> ok"
+    assert (out[1]["ne"], out[1]["np"]) == (1, 1)
+    assert out[2]["red"] == "no pii here at all"
+    assert (out[2]["ne"], out[2]["np"]) == (0, 0)
+
+
+def test_repeated_2gram_fraction_extremes(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam"),  # 5 grams, 1 distinct
+            Row(doc_id=2, text="one two three four five six"),  # all distinct
+            Row(doc_id=3, text="word"),  # no 2-grams
+        ]
+    )
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", TX.repeated_2gram_fraction("text").alias("f")
+        ).collect()
+    }
+    assert out[1] == 0.8  # (5-1)/5
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_assign_split_partitions_and_is_deterministic(spark):
+    docs = load_table(spark, SF, "documents")
+    out = docs.select("doc_id", TX.assign_split("doc_id").alias("s"))
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # roughly 80/10/10 at 500 docs (hash-uniform within wide tolerance)
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    again = docs.select("doc_id", TX.assign_split("doc_id").alias("s"))
+    assert out.exceptAll(again).count() == 0
+
+
+def test_pack_sequences_contiguity(spark):
+    docs = load_table(spark, SF, "documents")
+    packed = TX.pack_sequences(docs, budget=512).collect()
+    packed.sort(key=lambda r: r["doc_id"])
+    # prefix-sum invariant: start of doc i == start + ntok of doc i-1
+    for prev, cur in zip(packed, packed[1:]):
+        assert cur["start_tok"] == prev["start_tok"] + prev["n_tokens"]
+        assert cur["pack_id"] == cur["start_tok"] // 512
+    # pack ids are a contiguous non-decreasing sequence starting at 0
+    assert packed[0]["pack_id"] == 0
+    ids = [r["pack_id"] for r in packed]
+    assert ids == sorted(ids)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),  # benchmark
+            Row(doc_id=10, text="prefix words then " + base + " trailing"),  # contaminated
+            Row(doc_id=11, text="totally unrelated content with many different words here"),
+        ]
+    )
+    out = {r["doc_id"]: r["n_shared_ngrams"] for r in D.decontaminate(df, benchmark_max_id=5, shingle_n=8).collect()}
+    assert 10 in out and out[10] >= 1
+    assert 11 not in out
