@@ -61,3 +61,43 @@ def test_semi_join_for_exists(spark):
 def test_anti_join_for_not_exists(spark):
     plan = _plan(QUERIES["customers_without_urgent_orders"](spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_new_tpch_shapes_broadcast_dims(spark):
+    for q in ("q7_trade_volume", "q8_market_share", "q10_returned_items",
+              "q14_promo_revenue", "q19_disjunctive_filter"):
+        plan = _plan(QUERIES[q](spark, SF))
+        assert "BroadcastHashJoin" in plan, f"{q} should broadcast its dims"
+
+
+def test_q10_takeordered_and_returnflag_pushdown(spark):
+    df = QUERIES["q10_returned_items"](spark, SF)
+    ex = df._jdf.queryExecution().toString()
+    assert "TakeOrderedAndProject" in ex
+    assert "EqualTo(l_returnflag,R)" in ex  # filter reaches the parquet scan
+
+
+def test_q19_common_predicates_pushed_below_join(spark):
+    """Catalyst must extract brand/size implications of the OR onto the
+    part scan so the broadcast build side shrinks before the join."""
+    ex = QUERIES["q19_disjunctive_filter"](spark, SF)._jdf.queryExecution().toString()
+    part_scan = [l for l in ex.splitlines() if "part.parquet" in l and "FileScan" in l][0]
+    li_scan = [l for l in ex.splitlines() if "lineitem.parquet" in l][0]
+    assert "p_brand" in part_scan  # brand/size implications on the part scan
+    assert "l_quantity" in li_scan  # quantity implications on the fact scan
+
+
+def test_q22_anti_join_and_single_scalar_agg(spark):
+    plan = _plan(QUERIES["q22_wealthy_inactive"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar agg cross join
+
+
+def test_pii_redaction_no_shuffle(spark):
+    plan = _plan(QUERIES["pii_redaction"](spark, SF))
+    assert "Exchange" not in plan  # pure codegen projection
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    plan = _plan(QUERIES["decontaminate_benchmark"](spark, SF))
+    assert "BroadcastHashJoin" in plan
