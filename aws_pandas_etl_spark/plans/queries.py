@@ -2189,29 +2189,42 @@ FROM per JOIN g ON per.doc_id = g.doc_id
 
 @register("repetition_quality", _repetition_oracle())
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition filters: per-document top-token fraction
-    (explode -> two-level agg, classic relational plan; both aggs have
-    map-side partial aggregation) and repeated-2-gram fraction (pure
-    Column expression, no shuffle).  The join back on doc_id is
-    shuffle-on-key; at scale both inputs are already hash-partitioned
-    by doc_id from the aggregations."""
+    """Gopher-style repetition filters, one relational plan (the
+    Column-lambda variant ``TX.repeated_2gram_fraction`` computes the
+    same value but interprets per array element — 2x slower even at
+    sf0.1; unit tests keep it honest against this path):
+
+    posexplode tokens -> window lead builds the 2-gram adjacency (one
+    shuffle on doc_id) -> groupBy(doc_id, tok) counts occurrences AND
+    distinct successors -> groupBy(doc_id) finishes.  Distinct 2-grams
+    per doc = sum over tokens of distinct successors, because grams
+    grouped by their first token are disjoint.  Everything stays in
+    whole-stage codegen; both aggs have map-side partial aggregation."""
     docs = load_table(spark, sf_dir, "documents")
-    cnt = (
-        docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
     )
-    per = cnt.groupBy("doc_id").agg(
-        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
-            "top_token_fraction"
-        ),
-        F.sum("c").cast("bigint").alias("n_tokens"),
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = toks.withColumn(
+        "gram", F.concat(F.col("tok"), F.lit(" "), F.lead("tok").over(w))
     )
-    rep = docs.select(
-        "doc_id", TX.repeated_2gram_fraction("text").alias("rep_2gram_fraction")
+    lvl1 = adj.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("c"),
+        F.count_distinct("gram").alias("dg"),  # nulls (last token) skipped
     )
-    return per.join(rep, "doc_id").select(
-        "doc_id", "top_token_fraction", "n_tokens", "rep_2gram_fraction"
+    n_tok = F.sum("c")
+    n_grams = n_tok - F.lit(1)
+    return (
+        lvl1.groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / n_tok.cast("double")).alias(
+                "top_token_fraction"
+            ),
+            n_tok.cast("bigint").alias("n_tokens"),
+            ((n_grams - F.sum("dg")).cast("double") / F.greatest(n_grams, F.lit(1)))
+            .alias("rep_2gram_fraction"),
+        )
+        .select("doc_id", "top_token_fraction", "n_tokens", "rep_2gram_fraction")
     )
 
 
@@ -2330,6 +2343,21 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         benchmark_max_id=DECON_BENCH_MAX_ID,
         shingle_n=DECON_SHINGLE_N,
     ).orderBy("doc_id")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT event_id FROM events
+"""
+
+
+@register("streaming_dedup_events", STREAM_DEDUP_ORACLE)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful deduplication (dropDuplicates over a real
+    Structured Streaming query, availableNow).  Key-only projection
+    makes the result a deterministic set — exact oracle: DISTINCT."""
+    from aws_pandas_etl_spark.streaming.events_stream import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir, keys=["event_id"])
 
 
 # ---------------------------------------------------------------------------

@@ -109,3 +109,40 @@ class _scoped_shuffle_partitions:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: list[str] | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` over the event
+    stream (stateful — one state-store entry per key seen), append-mode
+    memory sink, availableNow trigger.
+
+    In production the stream carries a watermark and
+    ``dropDuplicatesWithinWatermark`` bounds state to the late-data
+    horizon; the bounded-backlog run here keeps full state, which is
+    exactly what a reprocessing/backfill job does."""
+    keys = keys or ["event_id"]
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    stream = events_stream(spark, sf_dir, with_watermark=None).select(*keys)
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            stream.dropDuplicates(keys)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+        if not finished:
+            raise TimeoutError(f"streaming dedup {name} did not finish in {timeout_sec}s")
+    return spark.table(name)

@@ -130,3 +130,92 @@ def test_state_carries_across_micro_batches(spark, split_events_dir):
     s = sorted(tuple(r) for r in merged.collect())
     b = sorted(tuple(r) for r in QUERIES["sessionize_events"](spark, SF).collect())
     assert s == b
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Watermark semantics: a late event must be DROPPED once its
+    window's state has been emitted and evicted.  Three files, one per
+    trigger: b1 advances the watermark past the 10:00 window's end, b2
+    triggers the eviction (watermark updates take effect one batch
+    later — a row late-but-within-live-state is still merged, which is
+    why b2 exists), b3 delivers the late 10:05 event against closed
+    state."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def us(h, m=0):
+        return int(dt.datetime(2024, 1, 1, h, m).timestamp() * 1_000_000) * 1000
+
+    def write(path, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), path)
+
+    d = str(tmp_path)
+    # batch 0: events at 10:00 and 12:00 -> watermark advances to 11:50
+    write(f"{d}/b1.parquet", [
+        (1, us(10), 1, "view", 1.0, "{}"),
+        (2, us(12), 1, "view", 1.0, "{}"),
+    ])
+    # batch 1: on-time event; the 10:00 window (end 11:00 < wm 11:50)
+    # is emitted and evicted during this batch
+    write(f"{d}/b2.parquet", [(3, us(12, 30), 1, "view", 1.0, "{}")])
+    # batch 2: LATE event 10:05 against closed state + on-time 13:00
+    write(f"{d}/b3.parquet", [
+        (4, us(10, 5), 1, "view", 99.0, "{}"),
+        (5, us(13), 1, "view", 1.0, "{}"),
+    ])
+    # FileStreamSource orders batches by modification time — force it
+    now = dt.datetime.now().timestamp()
+    for i, fn in enumerate(["b1", "b2", "b3"]):
+        os.utime(f"{d}/{fn}.parquet", (now - 120 + i * 60, now - 120 + i * 60))
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    rows = sorted((r["ws"].hour, r["n"]) for r in spark.table(name).collect())
+    # exactly ONE emission of the 10:00 window, with exactly its on-time
+    # event — the late 10:05 arrival neither merged nor re-opened it
+    assert [w for w in rows if w[0] == 10] == [(10, 1)], f"late event leaked: {rows}"
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, f"expected 1 watermark-dropped row, got {dropped}"
