@@ -2360,6 +2360,38 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_dedup(spark, sf_dir, keys=["event_id"])
 
 
+SCD2_ORACLE = """
+SELECT user_id, value AS balance, ts AS effective_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+       CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@register("scd2_purchase_history", SCD2_ORACLE)
+def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each purchase becomes a
+    versioned row with [effective_from, effective_to) validity derived
+    from the NEXT change (lead window) — the standard warehouse
+    history-table pattern the reference's TRUNCATE+COPY reload cannot
+    express.  One shuffle on the entity key; the filter is pushed to
+    the scan."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("value").alias("balance"),
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_current"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
