@@ -2392,6 +2392,69 @@ def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderpriority = '5-LOW'
+"""
+
+
+@register("urgent_and_low_customers", INTERSECT_ORACLE)
+def urgent_and_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (completes the family next to EXCEPT in
+    urgent_not_low_customers).  Physical plan is a LeftSemi join with
+    both sides pre-distinct — no row materialization beyond the key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def side(prio: str) -> DataFrame:
+        return (
+            cust.join(
+                orders.filter(F.col("o_orderpriority") == prio),
+                cust.c_custkey == orders.o_custkey,
+            ).select("c_custkey")
+        )
+
+    return side("1-URGENT").intersect(side("5-LOW"))
+
+
+CENTROID_ORACLE = """
+SELECT label, CAST(i AS INTEGER) AS dim,
+       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS centroid_val
+FROM (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
+@register("embedding_label_centroids", CENTROID_ORACLE)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise: posexplode the vector column
+    and aggregate per (label, dimension) — the distributed form of a
+    columnar mean over array columns (the building block IVF training
+    would use).  Exchange carries |labels| x dim rows after map-side
+    partial aggregation, independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("centroid_val")
+        )
+        .orderBy("label", "dim")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -95,3 +95,20 @@ def test_minhash_affine_python_vs_spark(spark):
     for i in range(8):
         a, b = minhash_params(i)
         assert sig[i] == min((a * h + b) % MINHASH_PRIME for h in hashes)
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_assign_split_python_twin(spark, ids):
+    """assign_split's md5-bucket must match a pure-Python recomputation
+    for arbitrary keys (the determinism the 80/10/10 split rests on)."""
+    import hashlib
+
+    from aws_pandas_etl_spark.operators.text import assign_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", assign_split("doc_id").alias("s")).collect()}
+    for i in ids:
+        b = int(hashlib.md5(f"split|{i}".encode()).hexdigest()[:15], 16) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[i] == want

@@ -55,3 +55,17 @@ def test_jdbc_scan_requires_bounds(spark):
 
     with pytest.raises(ValueError, match="lower_bound"):
         jdbc_scan(spark, "jdbc:postgresql://x/db", "t", partition_column="id")
+
+def test_orc_round_trip(spark, tmp_path):
+    from aws_pandas_etl_spark.sources.readers import load_table, read_orc
+
+    src = load_table(spark, "/root/testdata/sf0.001", "nation")
+    p = str(tmp_path / "nation_orc")
+    src.write.orc(p)
+    back = read_orc(spark, p)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
+    # pushdown works on ORC scans too
+    ex = read_orc(spark, p).filter("n_nationkey = 3")._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in ex
