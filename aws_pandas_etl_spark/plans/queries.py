@@ -2455,6 +2455,29 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL string, two engines: runs verbatim in Spark SQL and DuckDB.
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("grouping_sets_revenue", GROUPING_SETS_SQL)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form of the rollup/cube
+    queries): per-returnflag, per-linestatus, and grand-total rows in
+    one pass.  Spark expands the sets with a single Expand node over
+    one scan — no self-union — and partial aggregation still applies.
+    The oracle is the identical SQL text run by DuckDB."""
+    from aws_pandas_etl_spark.sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(GROUPING_SETS_SQL)
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -82,3 +82,30 @@ def test_pipeline_rerun_idempotent(spark, tmp_path):
     r2 = run(spark, tables, src, str(tmp_path / "out"))
     assert r1[0].rows == r2[0].rows == 1000
     assert spark.read.parquet(str(tmp_path / "out" / "events")).count() == 1000
+
+
+def test_results_invariant_under_partitioning(spark):
+    """The exactness contract: decimal aggregation makes results
+    identical no matter how the data is partitioned — rerunning with a
+    different shuffle width must be bit-equal (this is what lets the
+    same query run on 32 or 20,000 partitions at 100 TB)."""
+    from aws_pandas_etl_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    names = ["q1_pricing_summary", "salted_sum_by_event_type", "grouping_sets_revenue"]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = {
+            n: sorted(map(tuple, QUERIES[n](spark, sf).collect()), key=repr)
+            for n in names
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = {
+            n: sorted(map(tuple, QUERIES[n](spark, sf).collect()), key=repr)
+            for n in names
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n in names:
+        assert narrow[n] == wide[n], f"{n} changed under repartitioning"
