@@ -2478,6 +2478,114 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(GROUPING_SETS_SQL)
 
 
+FRAME_BYTES = 64
+FRAME_MAX = 8
+
+# ASCII corpus => byte slicing == char slicing, so DuckDB's substr over
+# the text column reproduces the binary frame payloads exactly.
+FRAME_SAMPLE_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           least({FRAME_MAX}, greatest(1, L // {FRAME_BYTES})) - 1)) AS frame_no
+  FROM t
+)
+SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+       md5(substr(text, frame_no * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5,
+       CAST(length(substr(text, frame_no * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS BIGINT)
+         AS frame_bytes
+FROM f
+"""
+
+
+@register("multimodal_frame_sample", FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 video->frames shape: the 1->N exploding mapInPandas sampler
+    over binary payloads (decode stubbed — deterministic byte slicing;
+    the Spark-side plumbing, schema, batching, and bounded 1->N
+    amplification are the real thing).  The oracle recomputes each
+    frame's md5 and size from the source text, so the whole Arrow
+    boundary round-trip is value-checked, not just row-counted."""
+    from aws_pandas_etl_spark.operators.multimodal import (
+        documents_as_binary,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        documents_as_binary(docs), every_n_bytes=FRAME_BYTES, max_frames=FRAME_MAX
+    )
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("bigint").alias("frame_bytes"),
+    )
+
+
+KNN_QUERIES = 10
+KNN_K = 5
+
+KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < {KNN_QUERIES}),
+s AS (
+  SELECT q.qid, e.vec_id, e.label,
+         ROUND({_dk_cos('e.embedding', 'q.qv')}, 6) AS sim
+  FROM q JOIN embeddings e ON e.vec_id != q.qid
+),
+r AS (
+  SELECT qid, label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM s
+),
+c AS (
+  SELECT qid, label, COUNT(*) AS votes FROM r WHERE rn <= {KNN_K}
+  GROUP BY qid, label
+)
+SELECT qid, label AS predicted_label, CAST(votes AS BIGINT) AS votes
+FROM (
+  SELECT qid, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rk
+  FROM c
+)
+WHERE rk = 1
+ORDER BY qid
+"""
+
+
+@register("knn_classify_majority", KNN_ORACLE)
+def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification on top of exact similarity: each of the
+    first {10} vectors gets the majority label of its 5 nearest
+    neighbors (ties: highest-sim then lowest vec_id for neighbors;
+    lowest label for votes).  Plan: the tiny query set broadcasts
+    against the corpus — one linear scan, per-query top-k via window,
+    never corpus x corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    sim = F.round(SIM.cosine(F.col("embedding"), F.col("qv")), 6)
+    w_rn = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    votes = (
+        pairs.select("qid", "vec_id", "label", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") <= KNN_K)
+        .groupBy("qid", "label")
+        .agg(F.count("*").cast("bigint").alias("votes"))
+    )
+    w_rk = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select("qid", F.col("label").alias("predicted_label"), "votes")
+        .orderBy("qid")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
