@@ -334,3 +334,56 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count_distinct("h").cast("bigint").alias("n_shared_ngrams"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Transitive closure of a pair list -> dedup clusters: every node
+    labeled with the minimum doc id reachable through the edge set
+    (near-dup pairs are pairwise; survivors-per-cluster needs the
+    transitive grouping).
+
+    Algorithm: iterative min-label propagation.  Each round is ONE
+    shuffle join (labels re-keyed by neighbor) + a min-aggregate;
+    rounds needed = graph diameter, which for dedup graphs is tiny
+    (duplicate clusters are near-cliques).  Two scale guards: (a) each
+    round's labels are eagerly localCheckpoint'ed — iterative plans
+    otherwise grow lineage linearly and replanning starts to dominate;
+    (b) convergence is a 1-row sum(comp) probe on the checkpointed
+    result (labels only ever decrease, so the sum is monotone and
+    stabilizes exactly at the fixpoint) — no compare-join.  At billions
+    of edges the same loop holds (each round is linear); if diameters
+    grow pathological, the large-star/small-star variant halves
+    rounds — same primitive, not needed for dedup workloads.
+
+    Returns (doc_id, component_id) for every node that appears in
+    ``edges``.
+    """
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    e = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+    labels = (
+        e.select("u").distinct().select(F.col("u"), F.col("u").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = e.alias("e").join(
+            labels.alias("l"), F.col("e.v") == F.col("l.u")
+        ).select(F.col("e.u").alias("u"), F.col("l.comp").alias("comp"))
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("u")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("comp")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(F.col("u").alias("doc_id"), F.col("comp").alias("component_id"))

@@ -2586,6 +2586,41 @@ def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+), e AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+)
+SELECT doc_id, component_id,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+
+@register("dedup_clusters_minhash", _clusters_oracle())
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation; the oracle computes
+    the same closure with a recursive CTE).  This is the step that
+    turns pairwise near-dup evidence into keep-one-per-cluster
+    decisions; cluster_size is the dedup ratio evidence."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_near_minhash(docs, threshold=0.5).select("a", "b")
+    comp = D.connected_components(pairs)
+    w = Window.partitionBy("component_id")
+    return comp.withColumn(
+        "cluster_size", F.count("*").over(w).cast("bigint")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

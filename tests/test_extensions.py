@@ -245,3 +245,13 @@ def test_decontaminate_flags_planted_overlap(spark):
     out = {r["doc_id"]: r["n_shared_ngrams"] for r in D.decontaminate(df, benchmark_max_id=5, shingle_n=8).collect()}
     assert 10 in out and out[10] >= 1
     assert 11 not in out
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3) + clique {10,11,12} + isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "a long, b long",
+    )
+    out = {r["doc_id"]: r["component_id"] for r in D.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
