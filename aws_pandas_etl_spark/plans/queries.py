@@ -2621,6 +2621,49 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-stratum sampling rates (pct of 100): oversample scarce langs.
+STRATA_RATES = {"en": 20, "es": 40, "fr": 40, "de": 60, "zh": 60}
+
+
+def _stratified_oracle() -> str:
+    bucket = _dk_hex("'sample|' || CAST(doc_id AS VARCHAR)") + " % 100"
+    rates = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(STRATA_RATES.items())
+    )
+    return f"""
+WITH s AS (
+  SELECT lang, doc_id FROM documents
+  WHERE {bucket} < CASE lang {rates} ELSE 0 END
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled FROM s
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("stratified_sample_by_lang", _stratified_oracle())
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates applied by
+    hashing the key against a per-stratum threshold — the data-mixing
+    step of corpus construction (oversample scarce languages), with
+    none of rand()'s irreproducibility.  One projection + filter +
+    tiny agg; no shuffle of sampled-out rows."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_bigint(
+        F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))
+    ) % 100
+    rate = F.lit(0)
+    for lang, pct in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
