@@ -106,3 +106,20 @@ def minhash_signature(hash_col: Column, num_hashes: int = 32) -> Column:
         a, b = minhash_params(i)
         sigs.append(F.array_min(F.transform(hash_col, _affine(a, b))))
     return F.array(*sigs)
+
+
+def hash_bucket(col: Column | str, salt: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): md5-hash of ``salt|key``.
+    THE parity-critical construction behind split assignment and
+    stratified sampling — change it here and in ``hash_bucket_sql``
+    together, never in one place."""
+    c = F.col(col) if isinstance(col, str) else col
+    return md5_bigint(F.concat(F.lit(f"{salt}|"), c.cast("string"))) % buckets
+
+
+def hash_bucket_sql(expr: str, salt: str, buckets: int = 100) -> str:
+    """DuckDB twin of ``hash_bucket`` (for oracle generators)."""
+    return (
+        f"(CAST(('0x'||substr(md5('{salt}|' || CAST({expr} AS VARCHAR)),1,"
+        f"{MD5_HEX_DIGITS})) AS BIGINT) % {buckets})"
+    )

@@ -372,6 +372,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neigh = e.alias("e").join(
             labels.alias("l"), F.col("e.v") == F.col("l.u")
@@ -382,8 +383,17 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        s = labels.agg(F.sum("comp")).first()[0]
+        # decimal(38,0) sum: node ids may be 60-bit hashes; a bigint sum
+        # of ~2^59 labels overflows (ANSI mode would abort the job)
+        s = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter) — labels would be wrong; "
+            "raise max_iter"
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("comp").alias("component_id"))

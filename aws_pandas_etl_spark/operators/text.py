@@ -210,10 +210,9 @@ def assign_split(id_col: Column | str, train_pct: int = 80, val_pct: int = 10) -
     key — stable across runs, machines, and engine versions (unlike
     ``rand()``-based splits), and uniformly distributed regardless of
     key clustering.  Bucket = md5-hash(id) mod 100."""
-    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+    from aws_pandas_etl_spark.functions.hashing import hash_bucket
 
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    bucket = md5_bigint(F.concat(F.lit("split|"), c.cast("string"))) % 100
+    bucket = hash_bucket(id_col, "split")
     return (
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
@@ -241,8 +240,10 @@ def pack_sequences(
     offset by the broadcast partition totals.  At test scale the
     single window is exact and cheap; the semantics (and the oracle)
     are identical either way."""
+    # orderBy the POST-projection name: the select below aliases id_col
+    # to "doc_id", so ordering by the original name would not resolve
     w = (
-        Window.orderBy(id_col)
+        Window.orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     ntok = F.size(tokens(text_col))

@@ -2103,8 +2103,11 @@ def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic splits, sequence packing, benchmark decontamination.
 # ===========================================================================
 
+# coalesce first: a NULL text would propagate NULL through || while the
+# Spark side's redact/count helpers coalesce — keep both engines on ''.
 _PII_INJECT_DK = (
-    "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    "coalesce(text, '')"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
     " || '@example.com now' ELSE '' END"
     " || CASE WHEN doc_id % 11 = 0 THEN ' call +12-345-6789 today' ELSE '' END"
 )
@@ -2141,7 +2144,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     injected = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.when(
             F.col("doc_id") % 7 == 0,
             F.concat(
@@ -2229,7 +2232,9 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_oracle() -> str:
-    bucket = _dk_hex("'split|' || CAST(doc_id AS VARCHAR)") + " % 100"
+    from aws_pandas_etl_spark.functions.hashing import hash_bucket_sql
+
+    bucket = hash_bucket_sql("doc_id", "split")
     return f"""
 WITH t AS (
   SELECT CASE WHEN {bucket} < 80 THEN 'train'
@@ -2626,7 +2631,9 @@ STRATA_RATES = {"en": 20, "es": 40, "fr": 40, "de": 60, "zh": 60}
 
 
 def _stratified_oracle() -> str:
-    bucket = _dk_hex("'sample|' || CAST(doc_id AS VARCHAR)") + " % 100"
+    from aws_pandas_etl_spark.functions.hashing import hash_bucket_sql
+
+    bucket = hash_bucket_sql("doc_id", "sample")
     rates = " ".join(
         f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(STRATA_RATES.items())
     )
@@ -2647,12 +2654,10 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     step of corpus construction (oversample scarce languages), with
     none of rand()'s irreproducibility.  One projection + filter +
     tiny agg; no shuffle of sampled-out rows."""
-    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+    from aws_pandas_etl_spark.functions.hashing import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = md5_bigint(
-        F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))
-    ) % 100
+    bucket = hash_bucket("doc_id", "sample")
     rate = F.lit(0)
     for lang, pct in STRATA_RATES.items():
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)

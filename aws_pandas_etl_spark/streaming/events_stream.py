@@ -61,23 +61,23 @@ def tumbling_window_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
-def run_tumbling_agg_stream(
-    spark: SparkSession, sf_dir: str, window: str = "1 hour", timeout_sec: int = 300
+def _run_to_memory_sink(
+    spark: SparkSession,
+    df: DataFrame,
+    output_mode: str,
+    name_prefix: str,
+    timeout_sec: int,
 ) -> DataFrame:
-    """Execute the windowed agg as a real streaming query (availableNow
-    -> memory sink, complete mode) and return the result DataFrame.
-
-    Batch/stream parity: the result is identical to
-    ``tumbling_window_agg`` over the batch read — asserted in tests and
-    by the DuckDB oracle."""
-    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    """Shared execution scaffold: availableNow trigger -> memory sink,
+    bounded wait, stop-on-exit, error (never partial results) on
+    timeout."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    agg = tumbling_window_agg(events_stream(spark, sf_dir, with_watermark=None), window)
     with _scoped_shuffle_partitions(spark, 8):
         q = (
-            agg.writeStream.format("memory")
+            df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
@@ -92,6 +92,19 @@ def run_tumbling_agg_stream(
                 "— partial results discarded"
             )
     return spark.table(name)
+
+
+def run_tumbling_agg_stream(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", timeout_sec: int = 300
+) -> DataFrame:
+    """Execute the windowed agg as a real streaming query (availableNow
+    -> memory sink, complete mode) and return the result DataFrame.
+
+    Batch/stream parity: the result is identical to
+    ``tumbling_window_agg`` over the batch read — asserted in tests and
+    by the DuckDB oracle."""
+    agg = tumbling_window_agg(events_stream(spark, sf_dir, with_watermark=None), window)
+    return _run_to_memory_sink(spark, agg, "complete", "tumbling", timeout_sec)
 
 
 class _scoped_shuffle_partitions:
@@ -126,23 +139,7 @@ def run_streaming_dedup(
     horizon; the bounded-backlog run here keeps full state, which is
     exactly what a reprocessing/backfill job does."""
     keys = keys or ["event_id"]
-    name = f"dedup_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     stream = events_stream(spark, sf_dir, with_watermark=None).select(*keys)
-    with _scoped_shuffle_partitions(spark, 8):
-        q = (
-            stream.dropDuplicates(keys)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            finished = q.awaitTermination(timeout_sec)
-        finally:
-            q.stop()
-        if not finished:
-            raise TimeoutError(f"streaming dedup {name} did not finish in {timeout_sec}s")
-    return spark.table(name)
+    return _run_to_memory_sink(
+        spark, stream.dropDuplicates(keys), "append", "dedup", timeout_sec
+    )

@@ -255,3 +255,36 @@ def test_connected_components_chain_and_clique(spark):
     )
     out = {r["doc_id"]: r["component_id"] for r in D.connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_large_hash_ids_no_overflow(spark):
+    """Node ids near 2^59 (the 60-bit md5-hash domain this codebase
+    produces) must not overflow the convergence probe under ANSI mode."""
+    base = 1 << 59
+    edges = spark.createDataFrame(
+        [(base + i, base + i + 1) for i in range(20)], "a long, b long"
+    )
+    out = {r["doc_id"]: r["component_id"] for r in D.connected_components(edges).collect()}
+    assert set(out.values()) == {base}
+    assert len(out) == 21
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest as _pytest
+
+    # 12-node chain, diameter 11 > max_iter=3 -> must raise, not
+    # silently return split components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(edges, max_iter=3)
+
+
+def test_pack_sequences_respects_custom_id_col(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g")], "my_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in TX.pack_sequences(df, id_col="my_id", budget=5).collect()}
+    assert out[1]["start_tok"] == 0 and out[1]["pack_id"] == 0
+    assert out[2]["start_tok"] == 3 and out[2]["pack_id"] == 0
