@@ -111,3 +111,56 @@ def as_of_join_backward(
         ],
     )
     return carried.filter(F.col("_is_right") == 0).drop("_is_right")
+
+
+def as_of_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak_col: str,
+    payload_prefix: str = "right_",
+) -> DataFrame:
+    """Attach to each left row the EARLIEST right row with
+    ``right.ts_col >= left.ts_col`` (per ``on`` key) — the forward
+    complement of ``as_of_join_backward``, same union+window shape (one
+    shuffle, one window pass).
+
+    Equal timestamps match (>= semantics): left sorts before right at
+    the same instant (``_is_right ASC``), so the right row falls inside
+    the left row's [current, following] frame.  Right payloads come
+    back prefixed; NULL when no right row follows."""
+    l_cols = left.columns
+    tagged_left = left.select(
+        *l_cols,
+        F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    tagged_right = right.select(
+        *[
+            F.col(c) if c in (on + [ts_col, tiebreak_col]) else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in l_cols
+        ],
+        F.lit(1).alias("_is_right"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    u = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col), F.col("_is_right"), F.col(tiebreak_col))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        *l_cols,
+        "_is_right",
+        *[
+            F.first(F.col(f"_p_{c}"), ignorenulls=True)
+            .over(w)
+            .alias(f"{payload_prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("_is_right") == 0).drop("_is_right")

@@ -2669,6 +2669,63 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_FWD_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, event_id, CAST(NULL AS TIMESTAMP) AS purchase_ts, 0 AS is_right
+  FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, ts, event_id, ts AS purchase_ts, 1
+  FROM events WHERE event_type = 'purchase'
+), w AS (
+  SELECT user_id, ts, event_id, is_right,
+         first_value(purchase_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, is_right, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+  FROM u
+)
+SELECT event_id, user_id, ts, next_purchase_ts,
+       CASE WHEN next_purchase_ts IS NULL THEN NULL
+            ELSE epoch_us(next_purchase_ts) - epoch_us(ts) END AS gap_us
+FROM w WHERE is_right = 0
+"""
+
+
+@register("asof_next_purchase_after_signup", ASOF_FWD_ORACLE)
+def asof_next_purchase_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (time-to-conversion): for each signup, the
+    first purchase at-or-after it per user.  Same union+single-window
+    plan as the backward variant — one shuffle, no correlated lookup."""
+    from aws_pandas_etl_spark.operators.relational import as_of_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = as_of_join_forward(
+        signups,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["ts"],
+        tiebreak_col="event_id",
+        payload_prefix="next_purchase_",
+    )
+    gap = F.unix_micros(F.col("next_purchase_ts")) - F.unix_micros(F.col("ts"))
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("next_purchase_ts"),
+        F.when(F.col("next_purchase_ts").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(gap)
+        .alias("gap_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

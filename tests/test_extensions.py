@@ -288,3 +288,26 @@ def test_pack_sequences_respects_custom_id_col(spark):
     out = {r["doc_id"]: r for r in TX.pack_sequences(df, id_col="my_id", budget=5).collect()}
     assert out[1]["start_tok"] == 0 and out[1]["pack_id"] == 0
     assert out[2]["start_tok"] == 3 and out[2]["pack_id"] == 0
+
+
+def test_as_of_join_forward_semantics(spark):
+    import datetime as dt
+    from pyspark.sql import Row
+    from aws_pandas_etl_spark.operators.relational import as_of_join_forward
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [Row(k=1, ts=t(4), event_id=100), Row(k=1, ts=t(8), event_id=101),
+         Row(k=2, ts=t(9), event_id=102)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t(4), event_id=1, v="a"),   # equal ts: >= matches
+         Row(k=1, ts=t(6), event_id=2, v="b"),
+         Row(k=1, ts=t(9), event_id=3, v="c"),
+         Row(k=2, ts=t(1), event_id=4, v="z")]   # before left: no match
+    )
+    out = {r["event_id"]: r["next_v"] for r in as_of_join_forward(
+        left, right, on=["k"], ts_col="ts", payload_cols=["v"],
+        tiebreak_col="event_id", payload_prefix="next_",
+    ).collect()}
+    assert out == {100: "a", 101: "c", 102: None}
