@@ -2726,6 +2726,100 @@ def asof_next_purchase_after_signup(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+MULTI_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("multi_distinct_per_event_type", MULTI_DISTINCT_ORACLE)
+def multi_distinct_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one GROUP BY: Spark plans this
+    with one Expand (row per distinct-clause) + two-phase aggregation —
+    one scan, no self-join, the shape that matters when each distinct
+    column would otherwise mean another pass over 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.count_distinct(F.col("ts").cast("date")).cast("bigint").alias("n_days"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Pearson correlation of value vs its time-order index, from five
+# moments computed in EXACT arithmetic (decimal x decimal / integer):
+# engine-native corr() accumulates doubles in partition order and can
+# never hash-match; and double->decimal casts of big products (e.g.
+# epoch_us^2 ~ 1e30) diverge between engines beyond 17 significant
+# digits, so the x-axis is the exact row_number, not raw epoch.
+CORR_ORACLE = """
+WITH r AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS DOUBLE) AS sx,
+         CAST(SUM(rn) AS BIGINT) AS sy,
+         CAST(SUM(v * v) AS DOUBLE) AS sxx,
+         CAST(SUM(rn * rn) AS BIGINT) AS syy,
+         CAST(SUM(v * CAST(rn AS DECIMAL(10,0))) AS DOUBLE) AS sxy
+  FROM r GROUP BY user_id HAVING COUNT(*) >= 10
+)
+SELECT user_id,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         AS value_trend_corr
+FROM m ORDER BY user_id
+"""
+
+
+@register("value_trend_correlation_per_user", CORR_ORACLE)
+def value_trend_correlation_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Pearson correlation between event value and its time
+    order (is the user's spend trending up?).  All five moments are
+    exact (decimal x decimal products, integer rank sums) so the result
+    is partitioning- and engine-independent; only the final closed-form
+    division runs in double.  Plan: one window + one agg, both keyed on
+    user_id — a single shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    m = (
+        r.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("double").alias("sx"),
+            F.sum("rn").cast("bigint").alias("sy"),
+            F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
+            F.sum(F.col("rn") * F.col("rn")).cast("bigint").alias("syy"),
+            F.sum(F.col("v") * F.col("rn").cast("decimal(10,0)"))
+            .cast("double")
+            .alias("sxy"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx)
+        * F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    )
+    return m.select("user_id", corr.alias("value_trend_corr")).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
