@@ -2820,6 +2820,61 @@ def value_trend_correlation_per_user(spark: SparkSession, sf_dir: str) -> DataFr
     return m.select("user_id", corr.alias("value_trend_corr")).orderBy("user_id")
 
 
+NTILE_ORACLE = """
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
+         AS value_quartile
+FROM events
+"""
+
+
+@register("value_quartiles_per_user", NTILE_ORACLE)
+def value_quartiles_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing (per-user spend quartiles) — the balanced-
+    bucket window both engines define identically given a total order
+    (value ties broken by the unique event id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).cast("bigint").alias("value_quartile"),
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM w
+UNION ALL
+SELECT l_returnflag, 'sum_base_price' AS metric, sum_base_price AS metric_value FROM w
+"""
+
+
+@register("unpivot_revenue_metrics", UNPIVOT_ORACLE)
+def unpivot_revenue_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-flag aggregates to long (flag, metric,
+    value) form — the inverse of priority_pivot.  Spark's native
+    unpivot is one Expand over the aggregated (tiny) frame; the oracle
+    uses the portable UNION ALL formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec4 = lambda c: F.col(c).cast("decimal(18,4)")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(dec4("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec4("l_extendedprice")).cast("double").alias("sum_base_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_base_price"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -112,3 +112,26 @@ def test_assign_split_python_twin(spark, ids):
         b = int(hashlib.md5(f"split|{i}".encode()).hexdigest()[:15], 16) % 100
         want = "train" if b < 80 else ("val" if b < 90 else "test")
         assert got[i] == want
+
+
+def test_cosine_column_vs_numpy_twin(spark):
+    """The interpreted Column cosine (zip_with/aggregate HOFs) and a
+    numpy recomputation must agree to the rounding digit used by every
+    similarity query — the twin invariant extended to array math."""
+    import numpy as np
+
+    from aws_pandas_etl_spark.operators.similarity import cosine
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        F.round(cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in q])), 6).alias("sim"),
+    ).collect()
+    qv = np.array(q, dtype=np.float64)
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        want = float(v @ qv) / (float(np.sqrt(v @ v)) * float(np.sqrt(qv @ qv)))
+        assert abs(r["sim"] - round(want, 6)) <= 1e-6, r["vec_id"]
