@@ -2875,6 +2875,92 @@ def unpivot_revenue_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_dk_toks('text')} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM e GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM e GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM s
+) WHERE rk <= 3
+"""
+
+
+@register("tfidf_top_terms", TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, the classic corpus-relative term scoring: term
+    frequency per doc x inverse document frequency, top-3 terms per
+    document.  Plan: one explode feeds BOTH aggregations (tf by
+    (doc, term), df by term); df is corpus-bounded (vocabulary-sized)
+    so it broadcasts back onto tf; N is a 1-row scalar.  The idf ratio
+    is computed on identical doubles in both engines; ln differs by at
+    most 1 ulp, absorbed by the 6-digit rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = e.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df = e.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+MODE_ORACLE = """
+SELECT user_id, event_type AS mode_event_type, CAST(c AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type
+) WHERE rk = 1
+"""
+
+
+@register("mode_event_type_per_user", MODE_ORACLE)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) per group — count + ranking
+    window, deterministic tie-break on the value itself.  (Native
+    ``mode()`` aggregates break ties engine-specifically.)"""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("c").cast("bigint").alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
