@@ -60,24 +60,24 @@ def range_join_binned(
     )
 
 
-def as_of_join_backward(
+def _as_of_join(
     left: DataFrame,
     right: DataFrame,
     on: list[str],
     ts_col: str,
     payload_cols: list[str],
     tiebreak_col: str,
-    payload_prefix: str = "right_",
+    payload_prefix: str,
+    forward: bool,
 ) -> DataFrame:
-    """Attach to each left row the latest right row with
-    ``right.ts_col <= left.ts_col`` (per ``on`` key).
+    """Shared as-of machinery: tag sides, UNION, carry the right
+    payload across a (key, time)-ordered window, keep left rows.
 
-    Equal timestamps match (<= semantics): the right side sorts before
-    the left at the same instant via the ``_is_right DESC`` ordering.
-    ``tiebreak_col`` must order rows deterministically within a
-    timestamp (e.g. a unique id).  Right payload columns come back
-    prefixed; NULL when no right row precedes.
-    """
+    Direction is three tokens: the right side sorts toward the left
+    row it should match (backward: right-before-left at equal ts via
+    ``_is_right DESC``; forward: left-before-right via ASC), the frame
+    points at history vs future, and the carry is last vs first
+    (ignorenulls).  One shuffle on the key either way."""
     l_cols = left.columns
     tagged_left = left.select(
         *l_cols,
@@ -95,22 +95,46 @@ def as_of_join_backward(
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
     )
     u = tagged_left.unionByName(tagged_right)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts_col), F.col("_is_right").desc(), F.col(tiebreak_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if forward:
+        order = [F.col(ts_col), F.col("_is_right"), F.col(tiebreak_col)]
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        carry = lambda c: F.first(c, ignorenulls=True)
+    else:
+        order = [F.col(ts_col), F.col("_is_right").desc(), F.col(tiebreak_col)]
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        carry = lambda c: F.last(c, ignorenulls=True)
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
     carried = u.select(
         *l_cols,
         "_is_right",
         *[
-            F.last(F.col(f"_p_{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{payload_prefix}{c}")
+            carry(F.col(f"_p_{c}")).over(w).alias(f"{payload_prefix}{c}")
             for c in payload_cols
         ],
     )
     return carried.filter(F.col("_is_right") == 0).drop("_is_right")
+
+
+def as_of_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak_col: str,
+    payload_prefix: str = "right_",
+) -> DataFrame:
+    """Attach to each left row the latest right row with
+    ``right.ts_col <= left.ts_col`` (per ``on`` key).
+
+    Equal timestamps match (<= semantics).  ``tiebreak_col`` must
+    order rows deterministically within a timestamp (e.g. a unique
+    id).  Right payload columns come back prefixed; NULL when no right
+    row precedes."""
+    return _as_of_join(
+        left, right, on, ts_col, payload_cols, tiebreak_col, payload_prefix,
+        forward=False,
+    )
 
 
 def as_of_join_forward(
@@ -124,43 +148,11 @@ def as_of_join_forward(
 ) -> DataFrame:
     """Attach to each left row the EARLIEST right row with
     ``right.ts_col >= left.ts_col`` (per ``on`` key) — the forward
-    complement of ``as_of_join_backward``, same union+window shape (one
-    shuffle, one window pass).
+    complement of ``as_of_join_backward``.
 
-    Equal timestamps match (>= semantics): left sorts before right at
-    the same instant (``_is_right ASC``), so the right row falls inside
-    the left row's [current, following] frame.  Right payloads come
-    back prefixed; NULL when no right row follows."""
-    l_cols = left.columns
-    tagged_left = left.select(
-        *l_cols,
-        F.lit(0).alias("_is_right"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    Equal timestamps match (>= semantics).  Right payloads come back
+    prefixed; NULL when no right row follows."""
+    return _as_of_join(
+        left, right, on, ts_col, payload_cols, tiebreak_col, payload_prefix,
+        forward=True,
     )
-    tagged_right = right.select(
-        *[
-            F.col(c) if c in (on + [ts_col, tiebreak_col]) else F.lit(None).cast(
-                left.schema[c].dataType
-            ).alias(c)
-            for c in l_cols
-        ],
-        F.lit(1).alias("_is_right"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
-    )
-    u = tagged_left.unionByName(tagged_right)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts_col), F.col("_is_right"), F.col(tiebreak_col))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    carried = u.select(
-        *l_cols,
-        "_is_right",
-        *[
-            F.first(F.col(f"_p_{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{payload_prefix}{c}")
-            for c in payload_cols
-        ],
-    )
-    return carried.filter(F.col("_is_right") == 0).drop("_is_right")

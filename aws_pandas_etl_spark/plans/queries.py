@@ -2776,8 +2776,10 @@ WITH r AS (
   FROM r GROUP BY user_id HAVING COUNT(*) >= 10
 )
 SELECT user_id,
-       (n * sxy - sx * sy)
-         / (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       (n * sxy - sx * CAST(sy AS DOUBLE))
+         / NULLIF(sqrt(greatest(n * sxx - sx * sx, 0))
+                  * sqrt(greatest(n * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0)), 0)
          AS value_trend_corr
 FROM m ORDER BY user_id
 """
@@ -2789,8 +2791,14 @@ def value_trend_correlation_per_user(spark: SparkSession, sf_dir: str) -> DataFr
     order (is the user's spend trending up?).  All five moments are
     exact (decimal x decimal products, integer rank sums) so the result
     is partitioning- and engine-independent; only the final closed-form
-    division runs in double.  Plan: one window + one agg, both keyed on
-    user_id — a single shuffle."""
+    division runs in double.  Edge guards: zero variance -> NULL (ANSI
+    double division would otherwise raise DIVIDE_BY_ZERO while the
+    oracle emits NULL — a crash plus a divergence); catastrophic
+    cancellation can drive a radicand a hair negative -> clamp at 0
+    (DuckDB sqrt hard-errors on negatives, Spark yields NaN); the
+    rank-sum combination runs in double because sy^2 ~ n^4/4 overflows
+    bigint at ~86k events per key.  Plan: one window + one agg, both
+    keyed on user_id — a single shuffle."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     r = ev.select(
@@ -2812,10 +2820,13 @@ def value_trend_correlation_per_user(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .filter(F.col("n") >= 10)
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    corr = (n * F.col("sxy") - sx * sy) / (
-        F.sqrt(n * F.col("sxx") - sx * sx)
-        * F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    n, sx = F.col("n"), F.col("sx")
+    syd = F.col("sy").cast("double")
+    denom = F.sqrt(F.greatest(n * F.col("sxx") - sx * sx, F.lit(0.0))) * F.sqrt(
+        F.greatest(n * F.col("syy").cast("double") - syd * syd, F.lit(0.0))
+    )
+    corr = F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
+        (n * F.col("sxy") - sx * syd) / denom
     )
     return m.select("user_id", corr.alias("value_trend_corr")).orderBy("user_id")
 
@@ -2898,17 +2909,19 @@ SELECT doc_id, term, tfidf FROM (
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF, the classic corpus-relative term scoring: term
     frequency per doc x inverse document frequency, top-3 terms per
-    document.  Plan: one explode feeds BOTH aggregations (tf by
-    (doc, term), df by term); df is corpus-bounded (vocabulary-sized)
-    so it broadcasts back onto tf; N is a 1-row scalar.  The idf ratio
-    is computed on identical doubles in both engines; ln differs by at
-    most 1 ulp, absorbed by the 6-digit rounding."""
+    document.  Plan: ONE explode+aggregation produces tf; df derives
+    from tf with a plain count (tf already has exactly one row per
+    (doc, term), so no second explode/count_distinct pass over the
+    corpus); df is corpus-bounded (vocabulary-sized) so it broadcasts
+    back onto tf; N is a 1-row scalar.  The idf ratio is computed on
+    identical doubles in both engines; ln differs by at most 1 ulp,
+    absorbed by the 6-digit rounding."""
     docs = load_table(spark, sf_dir, "documents")
     e = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
-    tf = e.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
-    df = e.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("df")
-    )
+    tf = e.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    ).persist()
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "term")

@@ -123,8 +123,11 @@ def test_cosine_column_vs_numpy_twin(spark):
     from aws_pandas_etl_spark.operators.similarity import cosine
     from aws_pandas_etl_spark.sources.readers import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
-    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    full = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # select the query vector BEFORE limit: an unordered limit subset
+    # is not guaranteed to contain vec_id 0
+    q = full.filter(F.col("vec_id") == 0).first()["embedding"]
+    emb = full.orderBy("vec_id").limit(50)
     rows = emb.select(
         "vec_id",
         "embedding",

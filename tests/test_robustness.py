@@ -109,3 +109,39 @@ def test_results_invariant_under_partitioning(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for n in names:
         assert narrow[n] == wide[n], f"{n} changed under repartitioning"
+
+
+def test_correlation_zero_variance_yields_null_not_crash(spark, tmp_path):
+    """ANSI double division raises DIVIDE_BY_ZERO on a zero-variance
+    user; the query must emit NULL (matching the oracle's NULLIF)
+    instead of aborting — and the clamped radicand keeps DuckDB's
+    sqrt from hard-erroring on catastrophic cancellation."""
+    import datetime as dt
+
+    import duckdb
+
+    from aws_pandas_etl_spark.plans.queries import ORACLES, QUERIES
+
+    rows = []
+    # user 1: constant value (zero variance); user 2: varying
+    for i in range(12):
+        rows.append((i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "view", 5.0, "{}"))
+        rows.append((100 + i, dt.datetime(2024, 1, 1, 0, 0, i), 2, "view", float(i), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    out = {r["user_id"]: r["value_trend_corr"]
+           for r in QUERIES["value_trend_correlation_per_user"](spark, d).collect()}
+    assert out[1] is None          # zero variance -> NULL, not a crash
+    assert abs(out[2] - 1.0) < 1e-9  # strictly increasing -> corr 1
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')")
+        want = {u: c for u, c in con.execute(ORACLES["value_trend_correlation_per_user"]).fetchall()}
+    finally:
+        con.close()
+    assert want[1] is None and abs(want[2] - out[2]) == 0.0
