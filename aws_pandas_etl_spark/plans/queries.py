@@ -2974,6 +2974,110 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_RATE_ORACLE = """
+WITH f AS (
+  SELECT source, md5(trim(regexp_replace(lower(coalesce(text, '')),
+         '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+), per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique
+  FROM f GROUP BY source
+)
+SELECT source, n_docs, n_unique,
+       CAST(n_docs - n_unique AS DOUBLE) / n_docs AS dup_rate
+FROM per ORDER BY source
+"""
+
+
+@register("dedup_rate_by_source", DEDUP_RATE_ORACLE)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-provenance quality report: exact-duplicate rate by source
+    (content fingerprint distinct-count vs row count) — the metric
+    that decides which crawl/feed gets down-weighted.  One agg with
+    one DISTINCT; map-side partial aggregation applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("source", TX.fingerprint("text").alias("fp"))
+    per = f.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("fp").cast("bigint").alias("n_unique"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        ((F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs")).alias(
+            "dup_rate"
+        ),
+    ).orderBy("source")
+
+
+TRIM_LO_Q = 0.05
+TRIM_HI_Q = 0.95
+
+TRIM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_dk_toks('text')}) AS n_tokens FROM documents
+), r AS (
+  SELECT doc_id, lang, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM t
+), b AS (
+  SELECT min(CASE WHEN rn = CAST(floor({TRIM_LO_Q} * (n - 1)) AS BIGINT) + 1
+                  THEN n_tokens END) AS lo,
+         min(CASE WHEN rn = CAST(floor({TRIM_HI_Q} * (n - 1)) AS BIGINT) + 1
+                  THEN n_tokens END) AS hi
+  FROM r
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM r, b
+WHERE n_tokens >= lo AND n_tokens <= hi
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("trim_length_outliers", TRIM_ORACLE)
+def trim_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier trimming (drop docs outside the [p5, p95] token-
+    length band) — the corpus-cleaning filter against truncation
+    artifacts and run-on concatenations.  Percentiles come from
+    ordered-row selection (the engine's exact, engine-portable
+    percentile pattern); the 1-row bounds broadcast back onto the
+    corpus — two passes total, no interpolating percentile UDAF.
+    Scale note: the global rank is an ordered window (single
+    partition) — at 10^9+ docs swap in the same two-pass range-
+    partition scheme as sequence packing, or approxQuantile when a
+    +-epsilon band is acceptable."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.size(TX.tokens("text")).alias("n_tokens"))
+    w = Window.orderBy("n_tokens", "doc_id")
+    r = t.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    pick = lambda q: F.min(
+        F.when(
+            F.col("rn") == F.floor(F.lit(q) * (F.col("n") - 1)).cast("bigint") + 1,
+            F.col("n_tokens"),
+        )
+    )
+    bounds = r.agg(pick(TRIM_LO_Q).alias("lo"), pick(TRIM_HI_Q).alias("hi"))
+    return (
+        r.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
