@@ -3078,6 +3078,79 @@ def trim_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FULL_OUTER_ORACLE = """
+WITH p AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), e AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT COALESCE(p.user_id, e.user_id) AS user_id, n_purchases, n_errors
+FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+"""
+
+
+@register("purchases_errors_full_outer", FULL_OUTER_ORACLE)
+def purchases_errors_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completes the join-type family next to the
+    left-outer nation/supplier query): users that only purchased or
+    only errored survive with NULLs on the missing side.  Both inputs
+    are pre-aggregated to one row per key before the join — the outer
+    join shuffles group counts, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(et: str, alias: str):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias(alias))
+        )
+
+    p = side("purchase", "n_purchases")
+    e = side("error", "n_errors")
+    return p.join(e, "user_id", "full_outer").select(
+        "user_id", "n_purchases", "n_errors"
+    )
+
+
+QUANT_BITS_MAX = 127
+
+QUANTIZE_ORACLE = f"""
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+)
+SELECT vec_id, mx,
+       array_to_string(list_transform(embedding,
+         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * {QUANT_BITS_MAX} / mx) AS INTEGER)
+              AS VARCHAR)), ',') AS qvec_csv
+FROM m
+"""
+
+
+@register("embedding_quantize_int8", QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column (per-vector
+    absmax scale) — the 4x storage/bandwidth cut an embedding store
+    takes before ANN.  Pure per-row projection, no shuffle; the
+    floor(x * 127 / absmax) arithmetic is identical IEEE ops on both
+    engines.  Emitted as CSV text so the value-hash compares element
+    order exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
+    m = emb.select("vec_id", "embedding", mx.alias("mx"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(xd(x) * F.lit(QUANT_BITS_MAX) / F.col("mx"))
+        .cast("int")
+        .cast("string"),
+    )
+    return m.select("vec_id", "mx", F.array_join(q, ",").alias("qvec_csv"))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
