@@ -3151,6 +3151,97 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("vec_id", "mx", F.array_join(q, ",").alias("qvec_csv"))
 
 
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS mv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS mc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.mv
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS mp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.mc
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased_after
+"""
+
+
+@register("conversion_funnel_view_click_purchase", FUNNEL_ORACLE)
+def conversion_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users whose first view precedes a
+    click precedes a purchase.  Each stage is a groupBy + time-bounded
+    semi-style join against the previous stage's (small) first-event
+    table — stage tables broadcast; the event log is scanned per stage
+    with the type filter pushed down, never self-joined row-to-row."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") >= F.col("mv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") >= F.col("mc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mp"))
+    )
+    return (
+        v.agg(F.count("*").cast("bigint").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").cast("bigint").alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count("*").cast("bigint").alias("n_purchased_after")))
+    )
+
+
+HIST_BINS = 10
+
+HISTOGRAM_ORACLE = f"""
+WITH m AS (SELECT max(value) AS mx FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT CAST(least(CAST(floor(value * {HIST_BINS} / mx) AS BIGINT),
+                    {HIST_BINS - 1}) AS BIGINT) AS bin
+  FROM events, m WHERE value IS NOT NULL
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register("value_histogram_fixed_bins", HISTOGRAM_ORACLE)
+def value_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (10 bins over [0, max]): the
+    1-row max broadcasts, binning is one codegen projection, counts
+    partial-aggregate map-side.  floor(value * 10 / max) is identical
+    IEEE arithmetic on both engines; the top edge folds into the last
+    bin."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = ev.agg(F.max("value").alias("mx"))
+    binc = F.least(
+        F.floor(F.col("value") * HIST_BINS / F.col("mx")).cast("bigint"),
+        F.lit(HIST_BINS - 1).cast("bigint"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(m))
+        .select(binc.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("bin")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
