@@ -3242,6 +3242,37 @@ def value_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_STATIC_ORACLE = f"""
+WITH mode_t AS (
+  {MODE_ORACLE}
+)
+SELECT m.mode_event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e JOIN mode_t m ON e.user_id = m.user_id
+GROUP BY m.mode_event_type ORDER BY m.mode_event_type
+"""
+
+
+@register("streaming_static_join_enrich", STREAM_STATIC_ORACLE)
+def streaming_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event STREAM is enriched per micro-batch
+    with a batch-computed dimension (each user's modal event type) and
+    aggregated on the enriched column — the standard slowly-changing-
+    enrichment pattern, run as a real availableNow streaming query.
+    The oracle is the equivalent batch join, so stream/batch semantic
+    parity is value-checked."""
+    from aws_pandas_etl_spark.streaming.events_stream import run_stream_static_join
+
+    static = mode_event_type_per_user(spark, sf_dir).select(
+        "user_id", "mode_event_type"
+    )
+    out = run_stream_static_join(
+        spark, sf_dir, static, join_key="user_id", group_col="mode_event_type"
+    )
+    return out.orderBy("mode_event_type")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -143,3 +143,24 @@ def run_streaming_dedup(
     return _run_to_memory_sink(
         spark, stream.dropDuplicates(keys), "append", "dedup", timeout_sec
     )
+
+
+def run_stream_static_join(
+    spark: SparkSession,
+    sf_dir: str,
+    static_df: DataFrame,
+    join_key: str,
+    group_col: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch-side
+    dimension (recomputed per micro-batch — the standard pattern for
+    slowly-changing enrichment tables), then aggregate on the enriched
+    column.  Complete-mode memory sink under availableNow."""
+    stream = events_stream(spark, sf_dir, with_watermark=None)
+    enriched = stream.join(static_df, join_key)
+    agg = enriched.groupBy(group_col).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+    return _run_to_memory_sink(spark, agg, "complete", "ssjoin", timeout_sec)
