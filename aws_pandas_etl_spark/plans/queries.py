@@ -3273,6 +3273,106 @@ def streaming_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("mode_event_type")
 
 
+MINMAX_NORM_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+), m AS (
+  SELECT label, dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY label, dim
+)
+SELECT e.vec_id, CAST(e.dim AS INTEGER) AS dim,
+       ROUND(CASE WHEN m.mx = m.mn THEN 0.0
+                  ELSE (e.v - m.mn) / (m.mx - m.mn) END, 6) AS z
+FROM e JOIN m ON e.label = m.label AND e.dim = m.dim
+"""
+
+
+@register("grouped_minmax_normalize", MINMAX_NORM_ORACLE)
+def grouped_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the batch Arrow grouped-map API, as
+    distinct from the stateful streaming variant): per-label min-max
+    normalization of every embedding dimension, computed with
+    vectorized numpy inside each group.  min/max have NO accumulation
+    error, so the (x-mn)/(mx-mn) arithmetic is identical IEEE math in
+    numpy and the SQL oracle — exact parity through the Arrow
+    boundary.  Scale: one shuffle on the group key; per-group work is
+    a dense ndarray pass."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mn, mx = mat.min(axis=0), mat.max(axis=0)
+        rng = mx - mn
+        z = np.where(rng == 0.0, 0.0, (mat - mn) / np.where(rng == 0.0, 1.0, rng))
+        n_rows, n_dims = mat.shape
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_dims),
+                "dim": np.tile(np.arange(1, n_dims + 1, dtype=np.int32), n_rows),
+                "z": np.round(z, 6).ravel(),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(_norm, schema=out_schema)
+
+
+def _char3_oracle() -> str:
+    return f"""
+WITH t AS (SELECT {_dk_norm('text')} AS s FROM documents),
+g AS (
+  SELECT substr(s, i, 3) AS gram
+  FROM t, unnest(generate_series(1, greatest(length(s) - 2, 0))) AS u(i)
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram LIMIT 20
+"""
+
+
+@register("udtf_char_trigrams_top20", _char3_oracle())
+def udtf_char_trigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function API): a 1->N char-trigram
+    exploder registered as a SQL table function and applied with
+    LATERAL.  UDTFs are the row-at-a-time Python path — kept for API
+    coverage and ad-hoc expressivity; the hot-path equivalent is the
+    relational explode (token_vocabulary_top20).  The normalization is
+    the engine's shared canonical form, so the oracle reproduces every
+    gram byte-for-byte."""
+    from pyspark.sql.functions import udtf
+
+    from aws_pandas_etl_spark.functions import pytext
+
+    @udtf(returnType="gram string")
+    class CharTrigrams:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            s = pytext.normalized(text)
+            for i in range(max(len(s) - 2, 0)):
+                yield (s[i : i + 3],)
+
+    spark.udtf.register("char_trigrams", CharTrigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT g.gram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents_v d, LATERAL char_trigrams(d.text) g
+        GROUP BY g.gram
+        ORDER BY n DESC, g.gram LIMIT 20
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
