@@ -2974,10 +2974,9 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_RATE_ORACLE = """
+DEDUP_RATE_ORACLE = f"""
 WITH f AS (
-  SELECT source, md5(trim(regexp_replace(lower(coalesce(text, '')),
-         '[^a-z0-9]+', ' ', 'g'))) AS fp
+  SELECT source, md5({_dk_norm('text')}) AS fp
   FROM documents
 ), per AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3053,12 +3052,14 @@ def trim_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", F.size(TX.tokens("text")).alias("n_tokens"))
     w = Window.orderBy("n_tokens", "doc_id")
+    # persist: both the bounds aggregate and the final filter consume r,
+    # and its lineage contains the expensive global-rank window
     r = t.select(
         "lang",
         "n_tokens",
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ).persist()
     pick = lambda q: F.min(
         F.when(
             F.col("rn") == F.floor(F.lit(q) * (F.col("n") - 1)).cast("bigint") + 1,
@@ -3124,7 +3125,8 @@ WITH m AS (
 )
 SELECT vec_id, mx,
        array_to_string(list_transform(embedding,
-         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * {QUANT_BITS_MAX} / mx) AS INTEGER)
+         x -> CAST(CAST(CASE WHEN mx = 0 THEN 0
+              ELSE floor(CAST(x AS DOUBLE) * {QUANT_BITS_MAX} / mx) END AS INTEGER)
               AS VARCHAR)), ',') AS qvec_csv
 FROM m
 """
@@ -3144,8 +3146,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = emb.select("vec_id", "embedding", mx.alias("mx"))
     q = F.transform(
         F.col("embedding"),
-        lambda x: F.floor(xd(x) * F.lit(QUANT_BITS_MAX) / F.col("mx"))
-        .cast("int")
+        # all-zero vector -> mx = 0 -> 0/0 NaN (DuckDB would hard-error
+        # casting NaN to int); define it as 0 on both sides
+        lambda x: F.when(F.col("mx") == 0, F.lit(0))
+        .otherwise(F.floor(xd(x) * F.lit(QUANT_BITS_MAX) / F.col("mx")).cast("int"))
         .cast("string"),
     )
     return m.select("vec_id", "mx", F.array_join(q, ",").alias("qvec_csv"))
@@ -3180,18 +3184,21 @@ def conversion_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> D
     table — stage tables broadcast; the event log is scanned per stage
     with the type filter pushed down, never self-joined row-to-row."""
     ev = load_table(spark, sf_dir, "events")
+    # persist the stage tables: each feeds both its own count and the
+    # next stage's broadcast — without caching the event scan + groupBy
+    # would re-execute per consumer (~6 scans instead of 3)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("mv"))
-    )
+    ).persist()
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(F.broadcast(v), "user_id")
         .filter(F.col("ts") >= F.col("mv"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("mc"))
-    )
+    ).persist()
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(F.broadcast(c), "user_id")
@@ -3316,12 +3323,17 @@ def grouped_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         mn, mx = mat.min(axis=0), mat.max(axis=0)
         rng = mx - mn
         z = np.where(rng == 0.0, 0.0, (mat - mn) / np.where(rng == 0.0, 1.0, rng))
+        # round HALF-AWAY-FROM-ZERO on the scaled double, like DuckDB's
+        # ROUND (and the repo's F.round pairing) — np.round is banker's
+        # rounding and diverges on representable ties; z >= 0 here so
+        # floor(x + 0.5) is away-from-zero
+        z6 = np.floor(z * 1e6 + 0.5) / 1e6
         n_rows, n_dims = mat.shape
         return pd.DataFrame(
             {
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_dims),
                 "dim": np.tile(np.arange(1, n_dims + 1, dtype=np.int32), n_rows),
-                "z": np.round(z, 6).ravel(),
+                "z": z6.ravel(),
             }
         )
 
