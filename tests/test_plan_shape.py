@@ -101,3 +101,50 @@ def test_pii_redaction_no_shuffle(spark):
 def test_decontaminate_broadcasts_benchmark(spark):
     plan = _plan(QUERIES["decontaminate_benchmark"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+# Queries whose plans legitimately contain a nested-loop/cross join of a
+# 1-row (or tiny broadcast) side: scalar subqueries, bounds, query sets.
+_SCALAR_CROSS_OK = {
+    "q22_wealthy_inactive",          # 1-row global average
+    "q14_promo_revenue",             # single global aggregate
+    "q19_disjunctive_filter",        # single global aggregate
+    "knn_classify_majority",         # 10-row broadcast query set
+    "trim_length_outliers",          # 1-row percentile bounds
+    "value_histogram_fixed_bins",    # 1-row max
+    "conversion_funnel_view_click_purchase",  # three 1-row counts
+    "tfidf_top_terms",               # 1-row corpus size
+    "stratified_sample_by_lang",     # n/a but CASE-rate may fold oddly
+    "ann_ivf_topk",                  # corpus x 16-row broadcast centroid
+                                     # table (IVF cell assignment)
+}
+
+# Streaming queries execute a real job on invocation — planning them
+# here would run them; they have their own tests.
+_SKIP_EXECUTING = {
+    "streaming_events_hourly",
+    "streaming_sessionize_stateful",
+    "streaming_dedup_events",
+    "streaming_static_join_enrich",
+}
+
+
+def test_no_accidental_cartesian_or_nested_loop_joins(spark):
+    """Global O(n*m) guard: no registered query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin unless it is a known
+    1-row/scalar cross join.  Catches future regressions where a join
+    condition stops being an equi-join (e.g. a renamed column turning
+    a hash join into a nested loop over the full fact table)."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in _SKIP_EXECUTING or name in _SCALAR_CROSS_OK:
+            continue
+        plan = _plan(fn(spark, SF))
+        bad = [
+            kind
+            for kind in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if kind in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-scalar cross joins: {offenders}"
