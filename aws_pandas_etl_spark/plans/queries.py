@@ -3385,6 +3385,49 @@ def udtf_char_trigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPINE_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+  FROM events
+), s AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_start FROM b
+), c AS (
+  SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT s.hour_start, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM s LEFT JOIN c ON s.hour_start = c.hour_start
+ORDER BY s.hour_start
+"""
+
+
+@register("hourly_spine_event_counts", SPINE_ORACLE)
+def hourly_spine_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: generate the complete hourly spine
+    between min and max event time and left-join the hourly counts, so
+    silent hours surface as 0 instead of vanishing (the difference
+    between a dashboard showing an outage and hiding it).  The spine
+    explodes from a 1-row bounds aggregate — spine size is calendar-
+    bounded, never data-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = b.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour_start")
+    )
+    counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        spine.join(counts, "hour_start", "left")
+        .select(
+            "hour_start", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
+        )
+        .orderBy("hour_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
