@@ -45,10 +45,13 @@ def row_hash(cols: list[str], out: str = "row_hash_code") -> Column:
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Canonical text form for fingerprinting: lowercase, strip
-    non-alphanumerics to single spaces, trim."""
+    """Canonical text form for fingerprinting: strip non-ASCII-
+    alphanumerics to single spaces FIRST, then lowercase, trim.
+    Strip-before-lower makes the form engine-proof: unicode
+    lowercasing differs across engines (Turkish dotted I etc.), ASCII
+    lowercasing never does."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    return F.trim(F.lower(F.regexp_replace(c, r"[^a-zA-Z0-9]+", " ")))
 
 
 def shingles(col: Column | str, n: int = 5) -> Column:

@@ -13,15 +13,19 @@ from __future__ import annotations
 import hashlib
 import re
 
-_NORM_RE = re.compile(r"[^a-z0-9]+")
+# Strip to ASCII alnum BEFORE lowercasing: unicode lowercasing differs
+# between engines (e.g. Turkish dotted I gains a combining dot in Python
+# but not in DuckDB), while ASCII lowercasing is identical everywhere —
+# stripping first makes the canonical form engine-proof for ANY input.
+_NORM_RE = re.compile(r"[^a-zA-Z0-9]+")
 
 
 def tokens(text: str | None) -> list[str]:
-    """Twin of hashing.normalize_text + split: lowercase, collapse
-    non-alphanumerics to spaces, split, drop empties."""
+    """Twin of hashing.normalize_text + split: collapse non-ASCII-
+    alphanumerics to spaces, lowercase, split, drop empties."""
     if not text:
         return []
-    return [t for t in _NORM_RE.sub(" ", text.lower()).strip().split(" ") if t]
+    return [t for t in _NORM_RE.sub(" ", text).lower().strip().split(" ") if t]
 
 
 def shingles(toks: list[str], n: int) -> list[str]:
@@ -46,4 +50,4 @@ def md5_int(s: str, hex_digits: int) -> int:
 def normalized(text: str | None) -> str:
     if not text:
         return ""
-    return _NORM_RE.sub(" ", text.lower()).strip()
+    return _NORM_RE.sub(" ", text).lower().strip()

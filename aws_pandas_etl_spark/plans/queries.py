@@ -84,7 +84,8 @@ def _dk_hex(expr: str) -> str:
 
 
 def _dk_norm(col: str) -> str:
-    return f"trim(regexp_replace(lower(coalesce({col}, '')), '[^a-z0-9]+', ' ', 'g'))"
+    # strip-before-lower: see functions/hashing.py::normalize_text
+    return f"trim(lower(regexp_replace(coalesce({col}, ''), '[^a-zA-Z0-9]+', ' ', 'g')))"
 
 
 def _dk_toks(col: str) -> str:

@@ -32,8 +32,26 @@ text_strategy = st.text(
 @settings(max_examples=200, deadline=None)
 def test_tokens_python_vs_duckdb(duck_probe, text):
     got = duck_probe(
-        "SELECT list_filter(string_split(trim(regexp_replace(lower(coalesce(?, '')),"
-        " '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')",
+        "SELECT list_filter(string_split(trim(lower(regexp_replace(coalesce(?, ''),"
+        " '[^a-zA-Z0-9]+', ' ', 'g'))), ' '), t -> t != '')",
+        text,
+    )
+    assert got == pytext.tokens(text)
+
+
+unicode_strategy = st.text(max_size=120)  # full unicode, incl. İ/ß/ﬀ
+
+
+@given(unicode_strategy)
+@settings(max_examples=200, deadline=None)
+def test_tokens_python_vs_duckdb_unicode(duck_probe, text):
+    """Strip-before-lower makes the canonical form engine-proof for
+    ANY input: unicode lowercasing differs between engines (Turkish
+    dotted I, sharp s, ligatures), but non-ASCII is stripped before
+    lower() ever sees it."""
+    got = duck_probe(
+        "SELECT list_filter(string_split(trim(lower(regexp_replace(coalesce(?, ''),"
+        " '[^a-zA-Z0-9]+', ' ', 'g'))), ' '), t -> t != '')",
         text,
     )
     assert got == pytext.tokens(text)
