@@ -36,7 +36,11 @@ from aws_pandas_etl_spark.operators.transforms import (
     enforce_schema,
     standardize_column_names,
 )
-from aws_pandas_etl_spark.sources.sinks import overwrite_load
+from aws_pandas_etl_spark.sources.sinks import (
+    append_load,
+    merge_load,
+    overwrite_load,
+)
 
 
 @dataclass
@@ -52,6 +56,11 @@ class TableSpec:
     decimal_cols: list[str] = field(default_factory=list)
     date_cols: list[str] = field(default_factory=list)
     hash_cols: list[str] | None = None
+    # "overwrite" (reference HistoryLoad full refresh) | "append"
+    # (incremental) | "merge" (CDC upsert; needs merge_keys+order_col)
+    load_mode: str = "overwrite"
+    merge_keys: list[str] = field(default_factory=list)
+    order_col: str | None = None
 
 
 @dataclass
@@ -105,7 +114,17 @@ def run(
             continue
         try:
             df = transform_table(source(spark, name), spec, run_ts, runid, updatedby)
-            rows = overwrite_load(df, f"{target_base.rstrip('/')}/{name}")
+            target = f"{target_base.rstrip('/')}/{name}"
+            if spec.load_mode == "append":
+                rows = append_load(df, target)
+            elif spec.load_mode == "merge":
+                if not spec.merge_keys or not spec.order_col:
+                    raise ValueError(
+                        f"{name}: load_mode='merge' needs merge_keys and order_col"
+                    )
+                rows = merge_load(df, target, spec.merge_keys, spec.order_col)
+            else:
+                rows = overwrite_load(df, target)
             results.append(TableResult(name, "loaded", rows=rows))
         except Exception as exc:  # per-table isolation: job continues
             results.append(TableResult(name, "failed", error=str(exc)))

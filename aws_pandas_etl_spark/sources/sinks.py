@@ -57,3 +57,51 @@ def overwrite_load(df: DataFrame, path: str) -> int:
 
 def read_back(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def append_load(df: DataFrame, path: str) -> int:
+    """Incremental append (beyond the reference's full-refresh-only
+    surface): add this batch's rows to the target, return the batch
+    row count (counted from the input — the target total is not this
+    load's responsibility)."""
+    n = df.count()
+    df.write.mode("append").option("maxRecordsPerFile", str(ROWS_PER_FILE)).parquet(path)
+    return n
+
+
+def merge_load(
+    df: DataFrame, path: str, keys: list[str], order_col: str
+) -> int:
+    """Incremental upsert (CDC compaction): union the incoming batch
+    with the existing target and keep the latest row per key
+    (``order_col`` descending, ties to the incoming batch).  Returns
+    the target row count after the merge.
+
+    Without a transactional table format this is read-union-overwrite —
+    correct but not atomic under concurrent writers; production swaps
+    the final step for Delta/Iceberg MERGE INTO, keeping the identical
+    dedup plan.  The compaction is one shuffle on the merge keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path).withColumn("_src", F.lit(0))
+    except Exception:
+        existing = None
+    incoming = df.withColumn("_src", F.lit(1))
+    allrows = incoming if existing is None else existing.unionByName(incoming)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("_src").desc()
+    )
+    merged = (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+        # materialize before overwriting the path we just read
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").option(
+        "maxRecordsPerFile", str(ROWS_PER_FILE)
+    ).parquet(path)
+    return spark.read.parquet(path).count()

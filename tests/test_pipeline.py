@@ -91,3 +91,54 @@ def test_sink_rows_per_file(spark, tmp_path):
     import glob
     files = glob.glob(str(tmp_path / "p" / "*.parquet"))
     assert len(files) == 4  # 300+300+300+100 — maxRecordsPerFile honored
+
+
+def test_append_load_accumulates(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import append_load
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    assert append_load(df, p) == 2
+    assert append_load(df, p) == 2
+    assert spark.read.parquet(p).count() == 4  # appends, never truncates
+
+
+def test_merge_load_upserts_latest_per_key(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import merge_load
+
+    p = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [Row(k=1, v="old", ver=1), Row(k=2, v="keep", ver=1)]
+    )
+    assert merge_load(b1, p, keys=["k"], order_col="ver") == 2
+    # batch 2: update k=1 (higher ver), same-ver tie for k=2 (incoming
+    # wins), and a brand-new k=3
+    b2 = spark.createDataFrame(
+        [Row(k=1, v="new", ver=2), Row(k=2, v="tie-incoming", ver=1),
+         Row(k=3, v="ins", ver=1)]
+    )
+    assert merge_load(b2, p, keys=["k"], order_col="ver") == 3
+    got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {1: "new", 2: "tie-incoming", 3: "ins"}
+
+
+def test_pipeline_merge_mode(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.plans.pipeline import TableSpec, run
+
+    batches = {
+        0: [Row(id=1, name="a", ver=1), Row(id=2, name="b", ver=1)],
+        1: [Row(id=2, name="b2", ver=2), Row(id=3, name="c", ver=1)],
+    }
+    spec = {"t": TableSpec(name="t", load_mode="merge", merge_keys=["id"], order_col="ver")}
+    d = str(tmp_path)
+    for i in (0, 1):
+        res = run(spark, spec, lambda s, n, _i=i: s.createDataFrame(batches[_i]), d)
+        assert res[0].status == "loaded"
+    out = {r["id"]: r["name"] for r in spark.read.parquet(f"{d}/t").collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
