@@ -45,6 +45,9 @@ _SPEC_KEYS = {
     "decimal_cols",
     "date_cols",
     "hash_cols",
+    "load_mode",
+    "merge_keys",
+    "order_col",
 }
 
 

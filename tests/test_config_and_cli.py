@@ -77,3 +77,21 @@ def test_multimodal_resize_and_frames(spark):
     assert len(rows) > 10  # 1->N explode happened
     assert frames.columns == ["doc_id", "frame_no", "frame"]
     assert all(r["frame_no"] < 3 for r in rows)
+
+
+def test_config_load_mode_keys(tmp_path):
+    from aws_pandas_etl_spark.plans.config import load_config
+
+    p = tmp_path / "job.yaml"
+    p.write_text(
+        "source: {type: parquet, path: /data}\n"
+        "target: {path: /out}\n"
+        "tables:\n"
+        "  events: {load_mode: merge, merge_keys: [event_id], order_col: ts}\n"
+        "  region: {load_mode: append}\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.tables["events"].load_mode == "merge"
+    assert cfg.tables["events"].merge_keys == ["event_id"]
+    assert cfg.tables["events"].order_col == "ts"
+    assert cfg.tables["region"].load_mode == "append"
