@@ -105,3 +105,28 @@ def merge_load(
         "maxRecordsPerFile", str(ROWS_PER_FILE)
     ).parquet(path)
     return spark.read.parquet(path).count()
+
+
+def overwrite_partitions_load(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> int:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in this batch, leave every other partition untouched — the
+    incremental pattern that matters at 100 TB (a daily batch rewrites
+    one date partition, not the table).  Uses Spark's
+    ``partitionOverwriteMode=dynamic`` scoped to this write.  Returns
+    the batch row count."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        n = df.count()
+        (
+            df.write.mode("overwrite")
+            .option("maxRecordsPerFile", str(ROWS_PER_FILE))
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n

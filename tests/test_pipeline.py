@@ -142,3 +142,19 @@ def test_pipeline_merge_mode(spark, tmp_path):
         assert res[0].status == "loaded"
     out = {r["id"]: r["name"] for r in spark.read.parquet(f"{d}/t").collect()}
     assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_overwrite_partitions_touches_only_batch_partitions(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import overwrite_partitions_load
+
+    p = str(tmp_path / "t")
+    day1 = spark.createDataFrame([Row(d="2024-01-01", v=1), Row(d="2024-01-02", v=2)])
+    assert overwrite_partitions_load(day1, p, ["d"]) == 2
+    # re-load ONLY day 2 with new data: day 1 must survive untouched
+    day2 = spark.createDataFrame([Row(d="2024-01-02", v=99)])
+    assert overwrite_partitions_load(day2, p, ["d"]) == 1
+    # partition-column type inference reads the dir values back as dates
+    got = {str(r["d"]): r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {"2024-01-01": 1, "2024-01-02": 99}
