@@ -139,3 +139,18 @@ def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source (images/audio/video as opaque blobs): one row
+    per file with (path, modificationTime, length, content BINARY) —
+    the input end of the multimodal pipeline
+    (operators/multimodal.py).  Spark parallelizes over files; pair
+    with ``sample_frames``/``resize_batch`` which bound the 1->N
+    output amplification."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

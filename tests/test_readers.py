@@ -69,3 +69,27 @@ def test_orc_round_trip(spark, tmp_path):
     # pushdown works on ORC scans too
     ex = read_orc(spark, p).filter("n_nationkey = 3")._jdf.queryExecution().toString()
     assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in ex
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    from aws_pandas_etl_spark.operators.multimodal import sample_frames
+    from aws_pandas_etl_spark.sources.readers import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"x" * 150)
+    (tmp_path / "b.bin").write_bytes(b"y" * 40)
+    (tmp_path / "skip.txt").write_text("nope")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    assert df.count() == 2
+    assert dict(df.select("length").toPandas()["length"].value_counts()) == {150: 1, 40: 1}
+    # feed the blobs straight into the frame sampler (64-byte frames)
+    from pyspark.sql import functions as F
+
+    blobs = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    frames = sample_frames(blobs, every_n_bytes=64, max_frames=8)
+    per_doc = sorted(
+        r["n"] for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert per_doc == [1, 2]  # 40 bytes -> 1 frame, 150 bytes -> 2 frames
