@@ -60,6 +60,15 @@ def load_config(path: str) -> JobConfig:
         unknown = set(spec) - _SPEC_KEYS
         if unknown:
             raise ValueError(f"table {name!r}: unknown config keys {sorted(unknown)}")
+        mode = spec.get("load_mode", "overwrite")
+        if mode not in ("overwrite", "append", "merge"):
+            raise ValueError(
+                f"table {name!r}: load_mode must be overwrite|append|merge, got {mode!r}"
+            )
+        # YAML scalar -> list (merge_keys: event_id would otherwise be
+        # char-unpacked by Window.partitionBy(*keys))
+        if isinstance(spec.get("merge_keys"), str):
+            spec["merge_keys"] = [spec["merge_keys"]]
         tables[name] = TableSpec(name=name, **spec)
     if not tables:
         raise ValueError(f"{path}: no tables configured")

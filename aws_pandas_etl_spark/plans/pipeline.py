@@ -123,8 +123,15 @@ def run(
                         f"{name}: load_mode='merge' needs merge_keys and order_col"
                     )
                 rows = merge_load(df, target, spec.merge_keys, spec.order_col)
-            else:
+            elif spec.load_mode == "overwrite":
                 rows = overwrite_load(df, target)
+            else:
+                # a typo ('upsert', 'Merge', ...) must NOT fall through
+                # to a destructive overwrite of the target
+                raise ValueError(
+                    f"{name}: unknown load_mode {spec.load_mode!r} "
+                    "(expected overwrite | append | merge)"
+                )
             results.append(TableResult(name, "loaded", rows=rows))
         except Exception as exc:  # per-table isolation: job continues
             results.append(TableResult(name, "failed", error=str(exc)))

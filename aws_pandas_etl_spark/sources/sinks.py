@@ -62,11 +62,16 @@ def read_back(spark: SparkSession, path: str) -> DataFrame:
 def append_load(df: DataFrame, path: str) -> int:
     """Incremental append (beyond the reference's full-refresh-only
     surface): add this batch's rows to the target, return the batch
-    row count (counted from the input — the target total is not this
-    load's responsibility)."""
-    n = df.count()
-    df.write.mode("append").option("maxRecordsPerFile", str(ROWS_PER_FILE)).parquet(path)
-    return n
+    row count.  The count rides the write job itself via observe() —
+    a separate count() would execute the whole upstream plan twice."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    write_parquet_sink(
+        df.observe(obs, F.count(F.lit(1)).alias("n")), path, mode="append"
+    )
+    return int(obs.get["n"])
 
 
 def merge_load(
@@ -84,26 +89,40 @@ def merge_load(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
+    # helper columns must not collide with user columns — pick names
+    # that are guaranteed absent (a "_src" column in the data would
+    # otherwise be clobbered and then dropped)
+    src_col, rn_col = "_merge_src", "_merge_rn"
+    while src_col in df.columns:
+        src_col = "_" + src_col
+    while rn_col in df.columns:
+        rn_col = "_" + rn_col
     try:
-        existing = spark.read.parquet(path).withColumn("_src", F.lit(0))
-    except Exception:
+        existing = spark.read.parquet(path).withColumn(src_col, F.lit(0))
+    except AnalysisException as exc:
+        # ONLY a missing target means "first load"; any other read
+        # failure (transient FS error, corrupt footer, permissions)
+        # must propagate — falling through would overwrite the target
+        # with just this batch and silently destroy merged history
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         existing = None
-    incoming = df.withColumn("_src", F.lit(1))
+    incoming = df.withColumn(src_col, F.lit(1))
     allrows = incoming if existing is None else existing.unionByName(incoming)
     w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), F.col("_src").desc()
+        F.col(order_col).desc(), F.col(src_col).desc()
     )
     merged = (
-        allrows.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
+        allrows.withColumn(rn_col, F.row_number().over(w))
+        .filter(F.col(rn_col) == 1)
+        .drop(rn_col, src_col)
         # materialize before overwriting the path we just read
         .localCheckpoint()
     )
-    merged.write.mode("overwrite").option(
-        "maxRecordsPerFile", str(ROWS_PER_FILE)
-    ).parquet(path)
+    write_parquet_sink(merged, path, mode="overwrite")
     return spark.read.parquet(path).count()
 
 
@@ -115,18 +134,22 @@ def overwrite_partitions_load(
     incremental pattern that matters at 100 TB (a daily batch rewrites
     one date partition, not the table).  Uses Spark's
     ``partitionOverwriteMode=dynamic`` scoped to this write.  Returns
-    the batch row count."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        n = df.count()
-        (
-            df.write.mode("overwrite")
-            .option("maxRecordsPerFile", str(ROWS_PER_FILE))
-            .partitionBy(*partition_by)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return n
+    the batch row count (via observe — no second plan execution).
+
+    The mode is set as a PER-WRITE option, not a session conf: a
+    session-global set/restore races with concurrent writers on the
+    same SparkSession (another thread restoring "static" mid-flight
+    would make this overwrite delete EVERY partition)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    (
+        df.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", str(ROWS_PER_FILE))
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+    return int(obs.get["n"])

@@ -95,3 +95,17 @@ def test_config_load_mode_keys(tmp_path):
     assert cfg.tables["events"].merge_keys == ["event_id"]
     assert cfg.tables["events"].order_col == "ts"
     assert cfg.tables["region"].load_mode == "append"
+
+
+def test_config_rejects_bad_load_mode_and_listifies_scalar_keys(tmp_path):
+    import pytest as _pytest
+
+    from aws_pandas_etl_spark.plans.config import load_config
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("tables:\n  t: {load_mode: upsert}\n")
+    with _pytest.raises(ValueError, match="load_mode"):
+        load_config(str(bad))
+    ok = tmp_path / "ok.yaml"
+    ok.write_text("tables:\n  t: {load_mode: merge, merge_keys: event_id, order_col: ts}\n")
+    assert load_config(str(ok)).tables["t"].merge_keys == ["event_id"]

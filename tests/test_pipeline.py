@@ -158,3 +158,33 @@ def test_overwrite_partitions_touches_only_batch_partitions(spark, tmp_path):
     # partition-column type inference reads the dir values back as dates
     got = {str(r["d"]): r["v"] for r in spark.read.parquet(p).collect()}
     assert got == {"2024-01-01": 1, "2024-01-02": 99}
+
+
+def test_unknown_load_mode_fails_table_not_overwrites(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.plans.pipeline import TableSpec, run
+    from aws_pandas_etl_spark.sources.sinks import merge_load
+
+    d = str(tmp_path)
+    # seed a merged target, then run with a typo'd mode: the table must
+    # FAIL, and the existing data must survive
+    seed = spark.createDataFrame([Row(id=1, name="keep", ver=1)])
+    merge_load(seed, f"{d}/t", keys=["id"], order_col="ver")
+    spec = {"t": TableSpec(name="t", load_mode="upsert")}
+    res = run(spark, spec, lambda s, n: seed, d)
+    assert res[0].status == "failed" and "unknown load_mode" in res[0].error
+    assert spark.read.parquet(f"{d}/t").count() == 1
+
+
+def test_merge_load_preserves_user_src_column(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import merge_load
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(k=1, _src="user-data", ver=1)])
+    merge_load(df, p, keys=["k"], order_col="ver")
+    back = spark.read.parquet(p)
+    assert "_src" in back.columns
+    assert back.first()["_src"] == "user-data"
