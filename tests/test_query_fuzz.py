@@ -142,3 +142,45 @@ def test_random_agg_query_matches_duckdb(spark, duck, spec):
         key=repr,
     )
     assert srows == drows, f"spec={spec}\nspark={srows[:3]}\nduck={drows[:3]}"
+
+
+@st.composite
+def having_spec(draw):
+    table = draw(st.sampled_from(sorted(TABLES)))
+    groups, measures, _ = TABLES[table]
+    g = draw(st.lists(st.sampled_from(groups), min_size=1, max_size=2, unique=True))
+    measure = draw(st.sampled_from(measures))
+    threshold = draw(st.integers(min_value=1, max_value=100))
+    return (table, tuple(g), measure, threshold)
+
+
+@given(having_spec())
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_having_query_matches_duckdb(spark, duck, spec):
+    """Multi-column grouping + HAVING on the exact-decimal sum."""
+    table, groups, measure, threshold = spec
+    df = load_table(spark, SF, table)
+    sdf = (
+        df.groupBy(*[F.col(c) for c in groups])
+        .agg(
+            F.sum(F.col(measure).cast("decimal(18,4)")).alias("s_dec"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .filter(F.col("s_dec") > threshold)
+        .select(*groups, F.col("s_dec").cast("double").alias("s"), "n")
+    )
+    gcols = ", ".join(groups)
+    sql = (
+        f"SELECT {gcols}, CAST(SUM(CAST({measure} AS DECIMAL(18,4))) AS DOUBLE) AS s,"
+        f" CAST(COUNT(*) AS BIGINT) AS n FROM {table} GROUP BY {gcols}"
+        f" HAVING SUM(CAST({measure} AS DECIMAL(18,4))) > {threshold}"
+    )
+    srows = sorted((tuple(_norm(v) for v in r) for r in sdf.collect()), key=repr)
+    drows = sorted(
+        (tuple(_norm(v) for v in r) for r in duck.execute(sql).fetchall()), key=repr
+    )
+    assert srows == drows, f"spec={spec}"
