@@ -3435,6 +3435,78 @@ def hourly_spine_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spark dayofweek: 1=Sunday..7=Saturday; DuckDB EXTRACT(dow): 0=Sunday
+# ..6=Saturday — subtract 1 on the Spark side and they align exactly.
+DOW_ORACLE = """
+SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY dow ORDER BY dow
+"""
+
+
+@register("dow_event_totals", DOW_ORACLE)
+def dow_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar analytics: per-day-of-week totals (the weekday/weekend
+    seasonality cut).  Engine gotcha handled: the two engines number
+    weekdays differently (Spark 1-based from Sunday, DuckDB 0-based),
+    aligned by an explicit -1."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.dayofweek("ts") - 1).cast("bigint").alias("dow"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("dow")
+    )
+
+
+GINI_ORACLE = """
+WITH r AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS i
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS DOUBLE) AS sx,
+         CAST(SUM(v * CAST(i AS DECIMAL(10,0))) AS DOUBLE) AS six
+  FROM r GROUP BY event_type
+)
+SELECT event_type,
+       2.0 * six / (n * sx) - (CAST(n AS DOUBLE) + 1.0) / n AS gini
+FROM m ORDER BY event_type
+"""
+
+
+@register("value_gini_per_event_type", GINI_ORACLE)
+def value_gini_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of value concentration per event type (how
+    unequal is spend — the whale-detection statistic), via the exact
+    rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending
+    values.  Both moments are exact decimal x integer-rank sums; only
+    the closed form runs in double (the engine's statistics pattern —
+    see value_trend_correlation_per_user)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum(F.col("v") * F.col("i").cast("decimal(10,0)")).cast("double").alias("six"),
+    )
+    n = F.col("n")
+    gini = F.lit(2.0) * F.col("six") / (n * F.col("sx")) - (
+        n.cast("double") + F.lit(1.0)
+    ) / n
+    return m.select("event_type", gini.alias("gini")).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
