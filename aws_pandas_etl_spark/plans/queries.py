@@ -3507,6 +3507,80 @@ def value_gini_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("event_type", gini.alias("gini")).orderBy("event_type")
 
 
+SHARE_ORACLE = f"""
+WITH n AS (
+  SELECT n_name, {REV_DK} AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue, revenue / t AS revenue_share
+FROM n, (SELECT CAST(SUM(CAST(revenue AS DECIMAL(28,6))) AS DOUBLE) AS t FROM n) tot
+ORDER BY n_name
+"""
+
+
+@register("nation_revenue_share", SHARE_ORACLE)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total over the already-aggregated frame (25 rows) —
+    the share-of-whole pattern.  The denominator is an exact decimal
+    sum of the per-nation revenues, NOT a float window sum (whose
+    25-value accumulation order would differ per engine), broadcast
+    back as a 1-row cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(_rev_spark().alias("revenue"))
+    )
+    # exact-decimal total, not a float window sum: the 25-value double
+    # addition order differs between engines, the decimal sum cannot
+    total = n.agg(
+        F.sum(F.col("revenue").cast("decimal(28,6)")).cast("double").alias("t")
+    )
+    return (
+        n.crossJoin(F.broadcast(total))
+        .select("n_name", "revenue", (F.col("revenue") / F.col("t")).alias("revenue_share"))
+        .orderBy("n_name")
+    )
+
+
+PCTRANK_ORACLE = """
+WITH t AS (
+  SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, total,
+       percent_rank() OVER (ORDER BY total, user_id) AS spend_pct_rank
+FROM t ORDER BY user_id
+"""
+
+
+@register("user_spend_percent_rank", PCTRANK_ORACLE)
+def user_spend_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank over per-user purchase totals — (rank-1)/(n-1),
+    defined identically in both engines; the total order (total,
+    user_id) makes ranks deterministic.  Window runs over the
+    aggregated frame (one row per user), not raw events."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    t = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total")
+    )
+    w = Window.orderBy("total", "user_id")
+    return t.select(
+        "user_id", "total", F.percent_rank().over(w).alias("spend_pct_rank")
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
