@@ -117,6 +117,7 @@ _SCALAR_CROSS_OK = {
     "stratified_sample_by_lang",     # n/a but CASE-rate may fold oddly
     "ann_ivf_topk",                  # corpus x 16-row broadcast centroid
                                      # table (IVF cell assignment)
+    "nation_revenue_share",          # 1-row exact-decimal denominator
 }
 
 # Streaming queries execute a real job on invocation — planning them
