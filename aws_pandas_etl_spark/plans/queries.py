@@ -492,7 +492,7 @@ def urgent_not_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ETL_ORACLE = """
 SELECT event_id, user_id, event_type,
-       CAST(value AS DECIMAL(18,4)) AS value_dec,
+       CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value_dec,
        date_trunc('milliseconds', ts) AS ts_ms,
        props,
        md5('(' || concat_ws(',',
@@ -518,7 +518,12 @@ def etl_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.col("value").cast("decimal(18,4)").alias("value_dec"),
+        # Decimal quantization happens first (reference cast_decimal
+        # parity) but the *emitted* column is DOUBLE: raw DECIMAL output
+        # hashes differently across engines (driver canonicalization of
+        # e.g. 1.50 vs 1.5) — repo parity rule "decimal results back to
+        # DOUBLE".
+        F.col("value").cast("decimal(18,4)").cast("double").alias("value_dec"),
         F.timestamp_millis(F.unix_millis(F.col("ts"))).alias("ts_ms"),
         "props",
     )
@@ -549,8 +554,8 @@ def row_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 ENFORCE_ORACLE = """
 SELECT l_orderkey,
        l_linenumber,
-       CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
-       CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
+       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS l_quantity,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS l_extendedprice,
        CAST(l_shipdate AS DATE) AS l_shipdate
 FROM lineitem
 """
@@ -569,7 +574,18 @@ def schema_enforce_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("l_shipdate", T.DateType()),
         ]
     )
-    return enforce_schema(li, target)
+    enforced = enforce_schema(li, target)
+    # enforce_schema's cast-or-fail DECIMAL semantics stay intact above;
+    # only the emitted projection is canonicalized to DOUBLE so the
+    # driver's order-insensitive hash agrees across engines (parity rule:
+    # decimal results back to DOUBLE).
+    return enforced.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        "l_shipdate",
+    )
 
 
 # ===========================================================================
