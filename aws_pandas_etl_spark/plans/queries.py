@@ -588,6 +588,85 @@ def schema_enforce_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIPELINE_ROUNDTRIP_ORACLE = """
+SELECT o_orderpriority AS order_priority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST(o_orderkey % 2 AS BOOLEAN) AS SMALLINT)) AS BIGINT) AS sum_is_odd,
+       CAST(SUM(CAST(o_orderkey % 100 AS SMALLINT)) AS BIGINT) AS sum_tinymod,
+       (SELECT COUNT(*) FROM orders) AS loaded_rows
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY order_priority
+"""
+
+
+@register("pipeline_roundtrip", PIPELINE_ROUNDTRIP_ORACLE)
+def pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole per-table pipeline driver-verifiable in one
+    query: F1 active-table gate (main.py:44) -> messy source column
+    names -> P7 standardize (rdbms_operations.py:239-243) -> P1 bit and
+    P2 tinyint casts (dataframe_operations.py:26-33) -> K1 distributed
+    parquet sink + K2 full-refresh load with read-back count
+    reconciliation (main.py:52-65, redshift_operations.py:121-167).
+
+    The aggregate runs over the READ-BACK table, so a wrong write
+    (dropped rows, mangled casts, lost columns) breaks the oracle match;
+    ``loaded_rows`` carries the K2 reconciled count on every row.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from aws_pandas_etl_spark.operators.transforms import (
+        active_tables,
+        cast_bit_columns,
+        cast_tinyint_columns,
+        standardize_column_names,
+    )
+    from aws_pandas_etl_spark.sources.sinks import overwrite_load, read_back
+
+    registry = {
+        "orders": {"active_flag": "T"},
+        "lineitem_skipped": {"active_flag": "F"},
+    }
+    active = active_tables(registry)  # F1 — only "orders" survives
+    if active != ["orders"]:  # pragma: no cover - config invariant
+        raise AssertionError(f"active_tables gate broken: {active}")
+    orders = load_table(spark, sf_dir, active[0])
+    # A deliberately messy source shape: spaced/hyphenated/uppercase
+    # names plus bit- and tinyint-shaped columns, as an MSSQL extract
+    # would present them.
+    messy = orders.select(
+        F.col("o_orderkey").alias("Order Key"),
+        F.col("o_orderpriority").alias("Order__Priority"),
+        (F.col("o_orderkey") % 2).cast("boolean").alias("Is-Odd"),
+        (F.col("o_orderkey") % 100).cast("tinyint").alias("Tiny Mod"),
+    )
+    df = standardize_column_names(messy)  # -> order_key, order_priority, isodd, tiny_mod
+    df = cast_bit_columns(df, ["isodd"])  # P1: boolean -> smallint
+    df = cast_tinyint_columns(df, ["tiny_mod"])  # P2: tinyint -> smallint
+    # K1/K2: land to a deterministic per-sf temp target, full-refresh
+    # overwrite, count read back from what actually landed
+    # (PG_LAST_COPY_COUNT parity).  The temp dir must outlive this
+    # function: the returned DataFrame lazily re-scans the target.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), "aws_pandas_etl_spark_roundtrip", tag, "orders"
+    )
+    loaded = overwrite_load(df, path)
+    back = read_back(spark, path)
+    return (
+        back.groupBy("order_priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("isodd").cast("bigint")).alias("sum_is_odd"),
+            F.sum(F.col("tiny_mod").cast("bigint")).alias("sum_tinymod"),
+        )
+        .withColumn("loaded_rows", F.lit(loaded).cast("bigint"))
+        .orderBy("order_priority")
+    )
+
+
 # ===========================================================================
 # Dedup (X1/X2) — exact, MinHash-LSH, SimHash
 # ===========================================================================
