@@ -210,6 +210,7 @@ def similarity_self_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    dims: int | None = None,
 ) -> DataFrame:
     """X6 — all pairs with cosine >= threshold, LSH-blocked.
 
@@ -218,8 +219,20 @@ def similarity_self_join(
     (pairs in different buckets are missed — by design; multi-probe or
     band-OR amplification raises recall).  Embedding-cosine near-dup
     dedup (X2e) is this with a high threshold.
+
+    ``dims`` (the embedding dimensionality) should be passed by callers
+    that know it: inferring it requires scanning one row, which is a
+    Spark job at plan-construction time and breaks lazy composition.
     """
-    dims = len(embeddings.select(vec_col).first()[0])
+    if dims is None:
+        # Explicit fallback probe — one-row scan, documented cost.
+        first = embeddings.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "similarity_self_join: cannot infer dims from an empty "
+                f"table or NULL first {vec_col!r}; pass dims= explicitly"
+            )
+        dims = len(first[0])
     planes = [hyperplane(p, dims) for p in range(num_planes)]
     # Sketch + norm computed once per vector (persisted): the pair
     # stage then does ONE dot per candidate pair instead of three

@@ -970,7 +970,8 @@ def topk_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.topk_bruteforce(emb, [float(x) for x in q], k=10)
 
 
-_ANN_PLANES = [SIM.hyperplane(p, 64) for p in range(4)]
+EMB_DIMS = 64  # harness embeddings.parquet dimensionality (TESTDATA.md)
+_ANN_PLANES = [SIM.hyperplane(p, EMB_DIMS) for p in range(4)]
 
 
 def _ann_oracle() -> str:
@@ -1018,7 +1019,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 — similarity self-join (cosine >= 0.3) blocked by LSH sketch
     equality; the blocked equi-join replaces the O(n²) cross join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.similarity_self_join(emb, threshold=0.3, num_planes=4)
+    # dims passed statically: no plan-time probe job (the oracle's
+    # hyperplanes are generated for the same EMB_DIMS)
+    return SIM.similarity_self_join(emb, threshold=0.3, num_planes=4, dims=EMB_DIMS)
 
 
 def _ivf_oracle() -> str:
@@ -1354,20 +1357,38 @@ SELECT a, b, jaccard FROM j WHERE jaccard >= 0.3
 """
 
 
-@register("ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2c standalone — exact word-3-gram Jaccard over (lang, source)
-    blocks.  Attribute blocking is the cheap alternative to LSH when a
-    natural partition key exists: the join is an equi-join on the block
-    key, never a cross join.  (MinHash-LSH covers the no-natural-key
-    case.)"""
+# Attribute blocks above this many docs degenerate to ~n²/2 pairs inside
+# the equi-join (one hot block — e.g. 80% of a crawl being en/web — is
+# quadratic no matter how good the block key is).  Mirrors
+# dedup.MAX_BUCKET: oversized blocks are excluded here and belong to the
+# MinHash-LSH path (minhash_lsh_pairs), whose banding re-blocks them by
+# content with its own bucket cap.
+MAX_BLOCK_DOCS = 10_000
+
+
+def _ngram_jaccard_pairs_blocked(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_block_docs: int = MAX_BLOCK_DOCS,
+) -> DataFrame:
+    """Exact word-3-gram Jaccard over (lang, source) attribute blocks
+    with a degenerate-block guard (same shape as dedup.py MAX_BUCKET)."""
     from aws_pandas_etl_spark.operators.dedup import shingle_hash_table
 
-    docs = load_table(spark, sf_dir, "documents")
     sh = shingle_hash_table(docs, "doc_id", "text", shingle_n=3).select(
         "doc_id", "shingles", F.size("shingles").alias("n_sh")
     )
     meta = docs.select("doc_id", "lang", "source")
+    # Degenerate-block guard: the oversized-block list is tiny (it's the
+    # skew tail), so a broadcast anti-join removes those docs without
+    # shuffling the gram table.
+    oversized = (
+        meta.groupBy("lang", "source")
+        .agg(F.count("*").alias("block_n"))
+        .filter(F.col("block_n") > max_block_docs)
+        .select("lang", "source")
+    )
+    meta = meta.join(F.broadcast(oversized), ["lang", "source"], "left_anti")
     # Relational intersection: explode distinct grams, equi-join on
     # (gram, block), count shared grams per pair.  |A∪B| = na+nb-shared,
     # so jaccard needs no array ops — pure shuffle relational plan
@@ -1394,8 +1415,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("shared"), F.lit(1)
     )
     return shared.select("a", "b", jaccard.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.3
+        F.col("jaccard") >= threshold
     )
+
+
+@register("ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c standalone — exact word-3-gram Jaccard over (lang, source)
+    blocks.  Attribute blocking is the cheap alternative to LSH when a
+    natural partition key exists: the join is an equi-join on the block
+    key, never a cross join.  Blocks above MAX_BLOCK_DOCS are excluded
+    (they'd be quadratic) — skewed corpora route those through
+    MinHash-LSH instead.  (The harness corpora sit far below the cap, so
+    the DuckDB oracle needs no guard clause.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ngram_jaccard_pairs_blocked(docs)
 
 
 NORM_STATS_ORACLE = f"""
@@ -3662,18 +3696,24 @@ FROM t ORDER BY user_id
 def user_spend_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank over per-user purchase totals — (rank-1)/(n-1),
     defined identically in both engines; the total order (total,
-    user_id) makes ranks deterministic.  Window runs over the
-    aggregated frame (one row per user), not raw events."""
+    user_id) makes ranks deterministic and tie-free.
+
+    Computed with the distributed two-pass ``global_percent_rank``
+    (range-repartition + local numbering + broadcast offsets), NOT a
+    bare ``Window.orderBy``: the bare window sorts every row through a
+    single task — serial at 10^9 users even though the frame here is
+    already aggregated to one row per user."""
+    from aws_pandas_etl_spark.operators.ranking import global_percent_rank
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
     t = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total")
     )
-    w = Window.orderBy("total", "user_id")
-    return t.select(
-        "user_id", "total", F.percent_rank().over(w).alias("spend_pct_rank")
-    ).orderBy("user_id")
+    return global_percent_rank(t, ["total", "user_id"], "spend_pct_rank").orderBy(
+        "user_id"
+    )
 
 
 # ---------------------------------------------------------------------------

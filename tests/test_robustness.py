@@ -145,3 +145,24 @@ def test_correlation_zero_variance_yields_null_not_crash(spark, tmp_path):
     finally:
         con.close()
     assert want[1] is None and abs(want[2] - out[2]) == 0.0
+
+
+def test_ngram_jaccard_block_guard_excludes_hot_block(spark):
+    """A block above max_block_docs would be quadratic inside the
+    equi-join — the guard must drop it entirely while leaving small
+    blocks' pairs untouched."""
+    from aws_pandas_etl_spark.plans.queries import _ngram_jaccard_pairs_blocked
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, "en", "web", text) for i in range(50)]          # hot block
+    rows += [(1000, "fr", "web", text), (1001, "fr", "web", text)]  # small block
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    guarded = _ngram_jaccard_pairs_blocked(docs, max_block_docs=10).collect()
+    # en/web (50 docs > cap) contributes nothing; fr/web pair survives
+    assert {(r["a"], r["b"]) for r in guarded} == {(1000, 1001)}
+    assert guarded[0]["jaccard"] == 1.0
+    # with the cap lifted the hot block's identical docs all pair up
+    unguarded = _ngram_jaccard_pairs_blocked(docs, max_block_docs=10_000)
+    assert unguarded.count() == 50 * 49 // 2 + 1
