@@ -216,10 +216,22 @@ def dedup_near_minhash(
     return exact_jaccard(pairs, sigs).filter(F.col("jaccard") >= threshold)
 
 
+def _check_simhash_bits(num_bits: int) -> None:
+    """num_bits is capped at 63: bit 63's weight (1 << 63) overflows
+    signed 64-bit (both the ``F.lit`` long and numpy int64), and under
+    ANSI mode that's a runtime error, not a wrap.  63 bits of SimHash
+    loses nothing material; packing the full 64 would need unsigned /
+    two's-complement handling on both engines for zero gain."""
+    if not 1 <= num_bits <= 63:
+        raise ValueError(f"simhash num_bits must be in [1, 63], got {num_bits}")
+
+
 def simhash64(text_col: str, num_bits: int = 32) -> "F.Column":
     """SimHash over whitespace tokens: bit i is set when the sum over
     tokens of (bit_i(token_hash) ? +1 : -1) is positive.  Pure array
-    aggregate — no explode, no shuffle."""
+    aggregate — no explode, no shuffle.  ``num_bits`` <= 63 (see
+    ``_check_simhash_bits``)."""
+    _check_simhash_bits(num_bits)
     toks = F.filter(F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "), lambda t: t != "")
     hashed = F.transform(toks, lambda t: md5_bigint(t))
     counts = F.aggregate(
@@ -260,6 +272,7 @@ def simhash_table(
 
     from aws_pandas_etl_spark.functions import pytext
 
+    _check_simhash_bits(num_bits)
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

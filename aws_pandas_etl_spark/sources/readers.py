@@ -54,11 +54,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = _read_parquet_nanos(spark, path)
     return df.withColumns(
         {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
     )
+
+
+def _read_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet containing TIMESTAMP(NANOS) columns (as raw longs).
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is scoped to this read:
+    set, schema-capture (``spark.read.parquet`` resolves the schema
+    eagerly; later execution of the returned lazy DataFrame does not
+    re-consult the conf — verified behavior), restore.  A session-wide
+    set would make every OTHER nanos-parquet read in the session
+    silently yield longs instead of failing loudly.  Not safe against
+    a concurrent reader thread on the same session mid-window — the
+    window is schema-resolution only (footer read, milliseconds)."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key)  # conf has a defined default ("false")
+    spark.conf.set(key, "true")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        spark.conf.set(key, prior)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

@@ -82,10 +82,13 @@ def merge_load(
     (``order_col`` descending, ties to the incoming batch).  Returns
     the target row count after the merge.
 
-    Without a transactional table format this is read-union-overwrite —
-    correct but not atomic under concurrent writers; production swaps
-    the final step for Delta/Iceberg MERGE INTO, keeping the identical
-    dedup plan.  The compaction is one shuffle on the merge keys."""
+    Without a transactional table format the merged result is written
+    to a temp sibling path and swapped in with two filesystem metadata
+    ops (delete + rename) — a write failure leaves the existing target
+    fully intact (the failure window is the delete->rename gap, not the
+    whole write).  Production swaps the final step for Delta/Iceberg
+    MERGE INTO, keeping the identical dedup plan.  The compaction is
+    one shuffle on the merge keys."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -119,10 +122,21 @@ def merge_load(
         allrows.withColumn(rn_col, F.row_number().over(w))
         .filter(F.col(rn_col) == 1)
         .drop(rn_col, src_col)
-        # materialize before overwriting the path we just read
-        .localCheckpoint()
     )
-    write_parquet_sink(merged, path, mode="overwrite")
+    # Write to a temp sibling, then swap: the full distributed write
+    # (the risky, long part) never touches the live target; no
+    # localCheckpoint materialization needed since the target is only
+    # read, not overwritten, during the write.
+    tmp_path = path.rstrip("/") + "._merge_tmp"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)  # leftover from a previously failed run
+    write_parquet_sink(merged, tmp_path, mode="overwrite")
+    final = jvm.org.apache.hadoop.fs.Path(path)
+    fs.delete(final, True)
+    if not fs.rename(jpath, final):
+        raise IOError(f"merge_load: rename {tmp_path} -> {path} failed")
     return spark.read.parquet(path).count()
 
 

@@ -35,13 +35,23 @@ EVENTS_LONG_TS_SCHEMA = T.StructType(
 
 
 def events_stream(spark: SparkSession, sf_dir: str, with_watermark: str | None = "2 hours") -> DataFrame:
-    """File-source stream of the events table (nanos ts -> µs timestamp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    """File-source stream of the events table (nanos ts -> µs timestamp).
+
+    The ``nanosAsLong`` conf is scoped to stream construction (the
+    streaming plan captures it here; micro-batch execution after a
+    restore still reads correctly — verified), so the session is left
+    untouched for other readers."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key)  # conf has a defined default ("false")
+    spark.conf.set(key, "true")
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    finally:
+        spark.conf.set(key, prior)
     stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if with_watermark:
         stream = stream.withWatermark("ts", with_watermark)

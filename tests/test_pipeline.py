@@ -188,3 +188,31 @@ def test_merge_load_preserves_user_src_column(spark, tmp_path):
     back = spark.read.parquet(p)
     assert "_src" in back.columns
     assert back.first()["_src"] == "user-data"
+
+
+def test_merge_load_failed_write_preserves_target(spark, tmp_path):
+    """A batch whose write job fails must leave the live target intact
+    (the temp-path + swap contract — the old read-union-overwrite
+    destroyed the target on partial failure)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.sinks import merge_load, overwrite_load
+
+    p = str(tmp_path / "target")
+    base = spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], "k long, v long, s string")
+    assert overwrite_load(base, p) == 2
+
+    def boom(s):
+        raise RuntimeError("boom")
+
+    bad = spark.createDataFrame([(3, 30, "c")], "k long, v long, s string").withColumn(
+        "s", F.udf(boom, "string")(F.col("s"))
+    )
+    with pytest.raises(Exception, match="boom"):
+        merge_load(bad, p, ["k"], "v")
+    kept = spark.read.parquet(p)
+    assert kept.count() == 2 and set(kept.columns) == {"k", "v", "s"}
+    # and a good merge afterwards still works (leftover tmp cleaned up)
+    good = spark.createDataFrame([(2, 99, "B"), (3, 30, "c")], "k long, v long, s string")
+    assert merge_load(good, p, ["k"], "v") == 3

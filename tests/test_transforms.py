@@ -132,3 +132,34 @@ def test_audit_schema_tail():
 def test_columns_with_type(spark):
     df = spark.createDataFrame([], "a smallint, b string, c smallint")
     assert columns_with_type(df, T.ShortType()) == ["a", "c"]
+
+
+def test_simhash_num_bits_guard(spark):
+    """1<<63 overflows signed 64-bit; both simhash paths must refuse
+    num_bits outside [1, 63] instead of erroring mid-job under ANSI."""
+    import pytest
+
+    from aws_pandas_etl_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0, 64):
+        with pytest.raises(ValueError, match=r"\[1, 63\]"):
+            D.simhash64("text", num_bits=bad)
+        with pytest.raises(ValueError, match=r"\[1, 63\]"):
+            D.simhash_table(docs, num_bits=bad)
+    # 63 is the documented max and must work end-to-end
+    assert D.simhash_table(docs, num_bits=63).count() == 1
+
+
+def test_nanos_conf_scoped_per_read(spark):
+    """load_table must not leave nanosAsLong set session-wide."""
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.streaming.events_stream import events_stream
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(key, "false")
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert spark.conf.get(key) == "false"
+    assert df.count() == 1000  # lazy scan still works after restore
+    events_stream(spark, "/root/testdata/sf0.001")
+    assert spark.conf.get(key) == "false"
