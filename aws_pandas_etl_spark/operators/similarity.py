@@ -99,13 +99,18 @@ def topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    hamming_probe: int = 0,
 ) -> DataFrame:
-    """X3 scale path — ANN top-k searching only the query's LSH bucket.
+    """X3 scale path — ANN top-k searching the query's LSH bucket plus,
+    with ``hamming_probe`` = m > 0, every bucket whose sketch is within
+    Hamming distance m (multi-probe: sum(C(planes, i), i<=m) buckets,
+    the standard recall knob — a near neighbor on the far side of one
+    hyperplane lands one bit away).
 
     At scale the sketch is precomputed and the table bucketed/
-    partitioned by it, so a query touches 1/2^planes of the data
-    (multi-probe: flip bits for higher recall — not needed for the
-    harness).  Falls back to exact cosine *within* the bucket.
+    partitioned by it, so the probe is an IN-list of bucket keys
+    touching ``probed/2^planes`` of the data, with exact cosine only
+    *within* the probed buckets.
     """
     dims = len(query_vec)
     planes = [hyperplane(p, dims) for p in range(num_planes)]
@@ -115,9 +120,21 @@ def topk_lsh(
             qsketch |= 1 << i
     q = _lit_array(query_vec)
     sim = F.round(cosine(F.col(vec_col), q), round_digits)
+    sketch = lsh_sketch(F.col(vec_col), planes)
+    if hamming_probe <= 0:
+        bucket_pred = sketch == F.lit(qsketch)
+    else:
+        # enumerate the probed bucket keys driver-side (tiny: sum of
+        # C(num_planes, i)) — at scale this is the partition-pruning
+        # IN-list, not a per-row bit_count over the full table
+        probed = [
+            s
+            for s in range(1 << num_planes)
+            if bin(s ^ qsketch).count("1") <= hamming_probe
+        ]
+        bucket_pred = sketch.isin(probed)
     return (
-        embeddings.withColumn("sketch", lsh_sketch(F.col(vec_col), planes))
-        .filter(F.col("sketch") == F.lit(qsketch))
+        embeddings.filter(bucket_pred)
         .select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
