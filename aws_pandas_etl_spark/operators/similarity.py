@@ -124,14 +124,22 @@ def topk_lsh(
     if hamming_probe <= 0:
         bucket_pred = sketch == F.lit(qsketch)
     else:
-        # enumerate the probed bucket keys driver-side (tiny: sum of
-        # C(num_planes, i)) — at scale this is the partition-pruning
-        # IN-list, not a per-row bit_count over the full table
-        probed = [
-            s
-            for s in range(1 << num_planes)
-            if bin(s ^ qsketch).count("1") <= hamming_probe
-        ]
+        # enumerate the probed bucket keys driver-side by XOR-ing the
+        # query sketch with every <=m-subset of bit positions —
+        # O(sum C(num_planes, i)), NOT a scan of all 2^num_planes
+        # values (which would hang the driver at num_planes >= ~24
+        # even though only a handful of buckets qualify).  At scale
+        # this list is the partition-pruning IN-list, not a per-row
+        # bit_count over the full table.
+        import itertools
+
+        probed = [qsketch]
+        for m in range(1, min(hamming_probe, num_planes) + 1):
+            for bits in itertools.combinations(range(num_planes), m):
+                flipped = qsketch
+                for b in bits:
+                    flipped ^= 1 << b
+                probed.append(flipped)
         bucket_pred = sketch.isin(probed)
     return (
         embeddings.filter(bucket_pred)

@@ -74,6 +74,17 @@ def append_load(df: DataFrame, path: str) -> int:
     return int(obs.get["n"])
 
 
+def _merge_side_paths(path: str) -> tuple[str, str]:
+    """Dot-prefixed tmp/old sibling paths for ``merge_load``'s swap.
+    The dot prefix matters: Spark's file index skips paths starting
+    with ``.`` or ``_``, so a parent-directory glob reader never picks
+    up an in-flight tmp write or the kept-aside previous copy."""
+    base = path.rstrip("/")
+    head, _, tail = base.rpartition("/")
+    prefix = f"{head}/" if head else ""
+    return f"{prefix}.{tail}._merge_tmp", f"{prefix}.{tail}._merge_old"
+
+
 def merge_load(
     df: DataFrame, path: str, keys: list[str], order_col: str
 ) -> int:
@@ -83,18 +94,35 @@ def merge_load(
     the target row count after the merge.
 
     Without a transactional table format the merged result is written
-    to a temp sibling path and swapped in with two filesystem metadata
-    ops (delete + rename) — a write failure leaves the existing target
-    fully intact (the failure window is the delete->rename gap, not the
-    whole write).  Production swaps the final step for Delta/Iceberg
-    MERGE INTO, keeping the identical dedup plan.  The compaction is
-    one shuffle on the merge keys."""
+    to a hidden temp sibling and swapped in with metadata ops only:
+    the live target is first renamed ASIDE (to ``.<name>._merge_old``),
+    then the tmp renamed in, then the old copy dropped.  Every crash
+    point leaves a full copy of the data on disk: a write failure
+    leaves the target untouched; a crash between the two renames leaves
+    the ``._merge_old`` copy, which the next run restores before
+    merging (see the recovery step below).  Rename is still non-atomic
+    on object stores — production swaps the final step for
+    Delta/Iceberg MERGE INTO, keeping the identical dedup plan.  The
+    compaction is one shuffle on the merge keys."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from pyspark.errors import AnalysisException
 
     spark = df.sparkSession
+    tmp_path, old_path = _merge_side_paths(path)
+    jvm = spark._jvm
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    jold = jvm.org.apache.hadoop.fs.Path(old_path)
+    jfinal = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jfinal.getFileSystem(spark._jsc.hadoopConfiguration())
+    # Recovery + cleanup from a previously crashed run, BEFORE reading
+    # the existing target: a crash between the two swap renames leaves
+    # no live target but a complete ._merge_old copy — restore it.
+    if not fs.exists(jfinal) and fs.exists(jold):
+        if not fs.rename(jold, jfinal):
+            raise IOError(f"merge_load: crash recovery {old_path} -> {path} failed")
+    fs.delete(jtmp, True)  # leftover tmp from a failed write
     # helper columns must not collide with user columns — pick names
     # that are guaranteed absent (a "_src" column in the data would
     # otherwise be clobbered and then dropped)
@@ -123,20 +151,17 @@ def merge_load(
         .filter(F.col(rn_col) == 1)
         .drop(rn_col, src_col)
     )
-    # Write to a temp sibling, then swap: the full distributed write
-    # (the risky, long part) never touches the live target; no
+    # Write to the hidden temp sibling, then swap: the full distributed
+    # write (the risky, long part) never touches the live target; no
     # localCheckpoint materialization needed since the target is only
     # read, not overwritten, during the write.
-    tmp_path = path.rstrip("/") + "._merge_tmp"
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(tmp_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jpath, True)  # leftover from a previously failed run
     write_parquet_sink(merged, tmp_path, mode="overwrite")
-    final = jvm.org.apache.hadoop.fs.Path(path)
-    fs.delete(final, True)
-    if not fs.rename(jpath, final):
+    fs.delete(jold, True)  # stale kept-aside copy from an old success
+    if fs.exists(jfinal) and not fs.rename(jfinal, jold):
+        raise IOError(f"merge_load: keep-aside {path} -> {old_path} failed")
+    if not fs.rename(jtmp, jfinal):
         raise IOError(f"merge_load: rename {tmp_path} -> {path} failed")
+    fs.delete(jold, True)
     return spark.read.parquet(path).count()
 
 

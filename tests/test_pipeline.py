@@ -216,3 +216,39 @@ def test_merge_load_failed_write_preserves_target(spark, tmp_path):
     # and a good merge afterwards still works (leftover tmp cleaned up)
     good = spark.createDataFrame([(2, 99, "B"), (3, 30, "c")], "k long, v long, s string")
     assert merge_load(good, p, ["k"], "v") == 3
+
+
+def test_merge_load_sibling_paths_are_hidden(tmp_path):
+    """Swap siblings are dot-prefixed so Spark's file index (which skips
+    names starting with '.' or '_') never surfaces an in-flight tmp or
+    the kept-aside copy to parent-directory glob readers."""
+    from aws_pandas_etl_spark.sources.sinks import _merge_side_paths
+
+    tmp, old = _merge_side_paths(str(tmp_path / "warehouse" / "t"))
+    assert tmp.rsplit("/", 1)[1] == ".t._merge_tmp"
+    assert old.rsplit("/", 1)[1] == ".t._merge_old"
+    # relative single-segment path doesn't gain a leading slash
+    tmp2, _ = _merge_side_paths("t")
+    assert tmp2 == ".t._merge_tmp"
+
+
+def test_merge_load_recovers_from_crash_between_renames(spark, tmp_path):
+    """Crash window: target renamed aside but tmp not yet renamed in —
+    no live target, full copy at ._merge_old.  The next merge_load must
+    restore that copy BEFORE merging, so history survives."""
+    import os
+
+    from aws_pandas_etl_spark.sources.sinks import _merge_side_paths, merge_load
+
+    p = str(tmp_path / "t")
+    seed = spark.createDataFrame([(1, "keep", 1), (2, "b", 1)], "k long, v string, ver long")
+    assert merge_load(seed, p, ["k"], "ver") == 2
+    # simulate the crash state: live target moved aside, nothing live
+    _, old = _merge_side_paths(p)
+    os.rename(p, old)
+    assert not os.path.exists(p)
+    nxt = spark.createDataFrame([(2, "b2", 2)], "k long, v string, ver long")
+    assert merge_load(nxt, p, ["k"], "ver") == 2
+    got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {1: "keep", 2: "b2"}  # k=1 recovered from the aside copy
+    assert not os.path.exists(old)  # aside copy dropped after the swap
