@@ -645,13 +645,20 @@ def pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = standardize_column_names(messy)  # -> order_key, order_priority, isodd, tiny_mod
     df = cast_bit_columns(df, ["isodd"])  # P1: boolean -> smallint
     df = cast_tinyint_columns(df, ["tiny_mod"])  # P2: tinyint -> smallint
-    # K1/K2: land to a deterministic per-sf temp target, full-refresh
-    # overwrite, count read back from what actually landed
-    # (PG_LAST_COPY_COUNT parity).  The temp dir must outlive this
-    # function: the returned DataFrame lazily re-scans the target.
+    # K1/K2: land to a per-sf temp target, full-refresh overwrite, count
+    # read back from what actually landed (PG_LAST_COPY_COUNT parity).
+    # The temp dir must outlive this function: the returned DataFrame
+    # lazily re-scans the target.  The path carries the process pid so
+    # two concurrent runs against the same sf_dir can't race each
+    # other's overwrite/lazy-rescan; the per-pid leftover is bounded (a
+    # few KB per process) and lands under the OS tempdir, which the OS
+    # reaps.
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(
-        tempfile.gettempdir(), "aws_pandas_etl_spark_roundtrip", tag, "orders"
+        tempfile.gettempdir(),
+        "aws_pandas_etl_spark_roundtrip",
+        f"{tag}_pid{os.getpid()}",
+        "orders",
     )
     loaded = overwrite_load(df, path)
     back = read_back(spark, path)
@@ -665,6 +672,62 @@ def pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("loaded_rows", F.lit(loaded).cast("bigint"))
         .orderBy("order_priority")
     )
+
+
+PIPELINE_ERROR_ISOLATION_ORACLE = """
+SELECT * FROM (VALUES
+  ('orders_bad',    'failed',  CAST(0 AS BIGINT)),
+  ('orders_ok',     'loaded',  (SELECT COUNT(*) FROM orders)),
+  ('part_inactive', 'skipped', CAST(0 AS BIGINT))
+) AS t(table_name, status, loaded_rows)
+ORDER BY table_name
+"""
+
+
+@register("pipeline_error_isolation", PIPELINE_ERROR_ISOLATION_ORACLE)
+def pipeline_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 job counters + E1 per-table error isolation, driver-visible
+    (reference main.py:36-80: per-table try/except so one bad table
+    doesn't kill the run, plus per-table load reporting — minus the
+    reference's unconditional "No failures in this run" log bug,
+    main.py:79-80).
+
+    Three-table registry: a healthy table (loads, reports the reconciled
+    read-back count), a poisoned one (string priority column declared
+    DECIMAL — the cast-or-fail write aborts under ANSI, exercising E1),
+    and an inactive one (F1 gate -> skipped).  The emitted frame is the
+    per-table ``TableResult`` ledger; the oracle pins the exact
+    (status, rows) triple per table, so a pipeline that stops at the
+    failure, loads the poisoned table anyway, or loses the loaded-count
+    reconciliation breaks the match.
+    """
+    import os
+    import tempfile
+
+    from aws_pandas_etl_spark.plans.pipeline import TableSpec, run
+
+    specs = {
+        "orders_bad": TableSpec(
+            name="orders_bad", decimal_cols=["o_orderpriority"]
+        ),
+        "orders_ok": TableSpec(name="orders_ok"),
+        "part_inactive": TableSpec(name="part_inactive", active_flag="F"),
+    }
+
+    def source(s: SparkSession, name: str) -> DataFrame:
+        return load_table(s, sf_dir, "part" if name == "part_inactive" else "orders")
+
+    target = os.path.join(
+        tempfile.gettempdir(),
+        "aws_pandas_etl_spark_error_isolation",
+        f"pid{os.getpid()}",
+    )
+    results = run(spark, specs, source, target)
+    assert len(results) == 3  # every table reported, failure included
+    return spark.createDataFrame(
+        [(r.table, r.status, r.rows) for r in results],
+        "table_name string, status string, loaded_rows bigint",
+    ).orderBy("table_name")
 
 
 # ===========================================================================

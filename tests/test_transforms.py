@@ -151,8 +151,15 @@ def test_simhash_num_bits_guard(spark):
     assert D.simhash_table(docs, num_bits=63).count() == 1
 
 
-def test_nanos_conf_scoped_per_read(spark):
-    """load_table must not leave nanosAsLong set session-wide."""
+def test_nanos_conf_scoped_per_read(spark, tmp_path):
+    """load_table must not leave nanosAsLong set session-wide — AND the
+    TIMESTAMP(NANOS) column itself must still be readable after the conf
+    is restored (a count() would let Catalyst prune the ts column and
+    prove nothing about the nanos decode path)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
     from aws_pandas_etl_spark.sources.readers import load_table
     from aws_pandas_etl_spark.streaming.events_stream import events_stream
 
@@ -160,6 +167,21 @@ def test_nanos_conf_scoped_per_read(spark):
     spark.conf.set(key, "false")
     df = load_table(spark, "/root/testdata/sf0.001", "events")
     assert spark.conf.get(key) == "false"
-    assert df.count() == 1000  # lazy scan still works after restore
-    events_stream(spark, "/root/testdata/sf0.001")
+    # force the scan THROUGH the nanos column post-restore
+    [row] = df.agg(F.max("ts").alias("m"), F.count(F.lit(1)).alias("n")).collect()
+    assert row["n"] == 1000 and isinstance(row["m"], dt.datetime)
+    stream = events_stream(spark, "/root/testdata/sf0.001")
+    assert spark.conf.get(key) == "false"
+    # and the streaming scan too: one availableNow micro-batch that
+    # materializes the ts column into a noop sink
+    q = (
+        stream.select("ts")
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    q.stop()
     assert spark.conf.get(key) == "false"
