@@ -109,3 +109,30 @@ def test_config_rejects_bad_load_mode_and_listifies_scalar_keys(tmp_path):
     ok = tmp_path / "ok.yaml"
     ok.write_text("tables:\n  t: {load_mode: merge, merge_keys: event_id, order_col: ts}\n")
     assert load_config(str(ok)).tables["t"].merge_keys == ["event_id"]
+
+
+def test_driver_window_spans_operator_families():
+    """The first 50 registry entries are the driver-verified window; it
+    must stay an explicit, family-spanning choice (one row per SURVEY
+    §2/§2b family), not an accident of registration order."""
+    from aws_pandas_etl_spark.plans import queries as Q
+
+    names = list(Q.QUERIES)
+    assert names[: len(Q._DRIVER_WINDOW)] == Q._DRIVER_WINDOW
+    assert len(Q._DRIVER_WINDOW) == 50
+    assert len(set(Q._DRIVER_WINDOW)) == 50
+    # every windowed query still has its oracle twin, same order
+    assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
+    # spot-pin one representative per family group that must never
+    # drift back out of the window
+    for must in [
+        "q8_market_share",            # TPC-H extension set
+        "user_spend_percent_rank",    # distributed global ranking
+        "pipeline_error_isolation",   # A1/E1
+        "ngram_jaccard_pairs",        # dedup variant
+        "multimodal_features",        # X5
+        "scd2_purchase_history",      # SCD2
+        "pack_sequences_greedy",      # training-data ops
+        "streaming_dedup_events",     # streaming
+    ]:
+        assert must in Q._DRIVER_WINDOW, must
