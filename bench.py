@@ -3,6 +3,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+The same JSON is also written to $SPARK_GRAFT_BENCH_OUT (default
+``BENCH_LOCAL.json`` next to this script): the driver's per-round
+artifact preserves only a stdout tail, which truncated the per-query
+map both prior rounds — the committed file keeps the full timing
+distribution for round-over-round regression analysis (snapshots are
+committed as ``BENCH_LOCAL_r{N}.json``).
 """
 
 from __future__ import annotations
@@ -58,17 +65,22 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_wall_sec_all_queries",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    with open(out_path, "w") as fh:
+        fh.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":
