@@ -3789,6 +3789,136 @@ def user_spend_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MERGE_ROUNDTRIP_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT o_orderpriority AS order_priority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY order_priority
+"""
+
+
+@register("pipeline_merge_roundtrip", MERGE_ROUNDTRIP_ORACLE)
+def pipeline_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 incremental flavor — CDC upsert via ``merge_load`` (beyond the
+    reference's TRUNCATE+COPY-only surface, cited at
+    redshift_operations.py:121-167), driver-verifiable end-to-end.
+
+    Batch 1 seeds every order at version 1; batch 2 upserts a third of
+    the keys (``o_orderkey % 3 = 0``) with a changed price at version 2.
+    The aggregate runs over the READ-BACK merged target, so a merge that
+    drops history, double-counts updated keys, loses the keep-aside
+    swap, or applies the wrong version breaks the oracle match.  The
+    compaction itself is one shuffle on the merge key; the swap is
+    metadata-only (sources/sinks.py::merge_load).
+    """
+    import os
+    import tempfile
+
+    from aws_pandas_etl_spark.sources.sinks import merge_load, read_back
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    seed = orders.withColumn("ver", F.lit(1).cast("int"))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("ver", F.lit(2).cast("int"))
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "aws_pandas_etl_spark_merge_roundtrip",
+        f"pid{os.getpid()}",
+        "orders",
+    )
+    n1 = merge_load(seed, path, keys=["o_orderkey"], order_col="ver")
+    n2 = merge_load(updates, path, keys=["o_orderkey"], order_col="ver")
+    if n1 != n2:  # upsert must not grow the keyspace
+        raise AssertionError(f"merge grew keys: {n1} -> {n2}")
+    back = read_back(spark, path)
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.sum((F.col("ver") == 2).cast("bigint")).alias("n_updated"),
+        )
+        .orderBy("order_priority")
+    )
+
+
+PARTITION_OVERWRITE_ORACLE = """
+WITH reloaded AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date FROM events
+  WHERE CAST(ts AS DATE) <> DATE '2024-01-03' OR event_type = 'error'
+)
+SELECT event_date, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+FROM reloaded
+GROUP BY event_date
+ORDER BY event_date
+"""
+
+
+@register("pipeline_partition_overwrite", PARTITION_OVERWRITE_ORACLE)
+def pipeline_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 incremental flavor — dynamic partition overwrite
+    (``overwrite_partitions_load``): the daily-batch pattern that
+    matters at 100 TB, where a re-run rewrites ONE date partition and
+    must leave every other partition byte-untouched.
+
+    Full load partitioned by event_date, then a corrected re-load of
+    2024-01-03 containing only its error events.  The aggregate runs
+    over the READ-BACK partitioned table: if the re-load had clobbered
+    sibling partitions (static overwrite semantics) every other date's
+    count would vanish; if it appended instead of overwriting, the
+    target date would double-count.
+    """
+    import os
+    import tempfile
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        overwrite_partitions_load,
+        read_back,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("date").alias("event_date")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "aws_pandas_etl_spark_partition_overwrite",
+        f"pid{os.getpid()}",
+        "events",
+    )
+    reload_day = F.lit("2024-01-03").cast("date")
+    overwrite_partitions_load(ev, path, ["event_date"])
+    corrected = ev.filter(
+        (F.col("event_date") == reload_day) & (F.col("event_type") == "error")
+    )
+    overwrite_partitions_load(corrected, path, ["event_date"])
+    back = read_back(spark, path)
+    return (
+        back.groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("event_type") == "error").cast("bigint")).alias("n_errors"),
+        )
+        .orderBy("event_date")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
