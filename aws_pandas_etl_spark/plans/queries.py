@@ -1660,6 +1660,21 @@ def range_join_clicks_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("error_id", "click_id", "gap_us")
 
 
+@register("streaming_range_join_errors_clicks", RANGE_JOIN_ORACLE)
+def streaming_range_join_errors_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream twin of ``range_join_clicks_near_errors``: both
+    sides are unbounded file streams, joined with Spark's symmetric
+    hash join on the same tolerance-wide bin key + exact interval
+    predicate (streaming/events_stream.py).  Same oracle as the batch
+    query — the streaming execution must produce the identical pair
+    set."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_stream_stream_range_join,
+    )
+
+    return run_stream_stream_range_join(spark, sf_dir, tolerance_us=300_000_000)
+
+
 def _curation_oracle() -> str:
     toks = _dk_toks("text")
     return f"""

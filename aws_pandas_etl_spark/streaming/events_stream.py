@@ -155,6 +155,82 @@ def run_streaming_dedup(
     )
 
 
+def run_stream_stream_range_join(
+    spark: SparkSession,
+    sf_dir: str,
+    tolerance_us: int = 300_000_000,
+    watermark: str = "10 minutes",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Stream-stream interval join: every (error, click) pair within
+    ±tolerance, both sides unbounded.
+
+    Spark's streaming symmetric hash join needs an equi-key — a pure
+    range predicate between two streams is unplannable — so this reuses
+    the batch range join's binning trick (operators/relational.py::
+    range_join_binned): bucket event-time into tolerance-wide bins,
+    explode the left side to {b-1, b, b+1}, join on bin equality, keep
+    the exact interval predicate.  The same construction that turns the
+    batch plan from a nested loop into an equi-join is what makes the
+    streaming join EXIST at all.
+
+    Both sides carry watermarks and the join condition bounds c_ts to
+    [e_ts - tol, e_ts + tol], so state for bins older than the
+    watermark horizon is evicted — bounded state on unbounded streams.
+    Append-mode memory sink under availableNow; results are identical
+    to the batch `range_join_clicks_near_errors` (same DuckDB oracle).
+    """
+    left = events_stream(spark, sf_dir, with_watermark=None)
+    right = events_stream(spark, sf_dir, with_watermark=None)
+    joined = stream_stream_range_join(left, right, tolerance_us, watermark)
+    return _run_to_memory_sink(spark, joined, "append", "ssrange", timeout_sec)
+
+
+def stream_stream_range_join(
+    left_events: DataFrame,
+    right_events: DataFrame,
+    tolerance_us: int = 300_000_000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Build the (error, click) interval-join plan over two event
+    streams (see ``run_stream_stream_range_join``; split out so tests
+    can feed file-per-trigger streams and prove pairs form across
+    micro-batch boundaries)."""
+    tol_sec = tolerance_us // 1_000_000
+
+    def _bin(ts_col: str) -> F.Column:
+        # exact integer bin — same arithmetic as range_join_binned
+        ux = F.unix_micros(F.col(ts_col))
+        return ((ux - F.pmod(ux, F.lit(tolerance_us))) / F.lit(tolerance_us)).cast(
+            "bigint"
+        )
+
+    errors = (
+        left_events.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", watermark)
+        .withColumn(
+            "e_bin", F.explode(F.array(_bin("e_ts") - 1, _bin("e_ts"), _bin("e_ts") + 1))
+        )
+    )
+    clicks = (
+        right_events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+        .withColumn("c_bin", _bin("c_ts"))
+    )
+    cond = (
+        (F.col("e_bin") == F.col("c_bin"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {tol_sec} SECONDS"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {tol_sec} SECONDS"))
+    )
+    return errors.join(clicks, cond, "inner").select(
+        "error_id",
+        "click_id",
+        (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))).alias("gap_us"),
+    )
+
+
 def run_stream_static_join(
     spark: SparkSession,
     sf_dir: str,

@@ -219,3 +219,84 @@ def test_watermark_drops_late_event(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1, f"expected 1 watermark-dropped row, got {dropped}"
+
+
+def test_stream_stream_range_join_pairs_across_batches(
+    spark, split_events_dir, tmp_path
+):
+    """Stream-stream interval join with file-per-trigger sources: an
+    error in one micro-batch must still pair with a click arriving in a
+    LATER micro-batch (the symmetric hash join buffers both sides in
+    state).  The 4 files are time-ordered ntile quarters, so every
+    near-boundary pair crosses a batch; result must equal the batch
+    range join over the same rows."""
+    import uuid as _uuid
+
+    from aws_pandas_etl_spark.operators.relational import range_join_binned
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        stream_stream_range_join,
+    )
+
+    d = split_events_dir
+
+    def _src():
+        return (
+            spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    joined = stream_stream_range_join(_src(), _src(), tolerance_us=300_000_000)
+    name = f"ssrj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r["error_id"], r["click_id"], r["gap_us"])
+        for r in spark.table(name).collect()
+    }
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.schema(EVENTS_LONG_TS_SCHEMA).parquet(d).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    errors = batch.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    want = {
+        (r["error_id"], r["click_id"], r["gap_us"])
+        for r in range_join_binned(
+            errors, clicks, "e_ts", "c_ts", tolerance_us=300_000_000
+        )
+        .select("error_id", "click_id", "gap_us")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # and at least one pair genuinely crossed a file boundary: the
+    # quarters are time-ordered, so pairs with members in different
+    # quarter files exist whenever a boundary gap < tolerance exists
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    bounds = [
+        spark.read.parquet(f"{d}/batch_{i}.parquet")
+        .agg(F.max("ts").alias("mx"), F.min("ts").alias("mn"))
+        .collect()[0]
+        for i in range(1, 5)
+    ]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    crossing = any(
+        (bounds[i + 1]["mn"] - bounds[i]["mx"]) // 1000 <= 300_000_000
+        for i in range(3)
+    )
+    assert crossing  # the state-carry claim is actually exercised
