@@ -216,6 +216,58 @@ def dedup_near_minhash(
     return exact_jaccard(pairs, sigs).filter(F.col("jaccard") >= threshold)
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_threshold: float | None = None,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Admit only new-batch docs that are not already in the historical
+    corpus — the shape every production ingest actually runs (dedup the
+    DELTA against the store, never re-dedup the store).
+
+    Exact stage: anti-join on md5(text) — the corpus contributes only
+    its distinct content hashes (at 100 TB that fingerprint column is
+    the precomputed store; the corpus text is never reshuffled).  With
+    ``near_threshold`` set, a second stage removes new docs whose
+    exact shingle-Jaccard against ANY corpus doc reaches the threshold:
+    signatures over both sides (same global hash family, so sides can
+    be signed independently/incrementally), LSH banding, and only
+    CROSS-side candidate pairs rescored — new-vs-new near-dups are
+    deliberately admitted (they are the next batch's corpus-vs-new
+    problem; dropping them here would make admission order-dependent).
+
+    Doc ids must be unique across both sides.  Returns the admitted
+    subset of ``new_docs`` (all columns).
+    """
+    seen = corpus.select(F.md5(F.col(text_col)).alias("_seen_h")).distinct()
+    admitted = new_docs.join(
+        seen, F.md5(F.col(text_col)) == F.col("_seen_h"), "left_anti"
+    )
+    if near_threshold is None:
+        return admitted
+    both = corpus.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col)
+    )
+    pairs = dedup_near_minhash(
+        both, id_col, text_col, threshold=near_threshold, shingle_n=shingle_n
+    )
+    old_ids = corpus.select(F.col(id_col).alias("_oid"))
+    # orient pairs both ways, keep edges whose partner is a corpus doc;
+    # the other endpoint is then a new doc to drop
+    edges = pairs.select(F.col("a").alias("_x"), F.col("b").alias("_y")).unionByName(
+        pairs.select(F.col("b").alias("_x"), F.col("a").alias("_y"))
+    )
+    drop = (
+        edges.join(old_ids, edges._x == F.col("_oid"), "left_semi")
+        .select(F.col("_y").alias(id_col))
+        .distinct()
+    )
+    return admitted.join(drop, id_col, "left_anti")
+
+
 def _check_simhash_bits(num_bits: int) -> None:
     """num_bits is capped at 63: bit 63's weight (1 << 63) overflows
     signed 64-bit (both the ``F.lit`` long and numpy int64), and under

@@ -1,0 +1,76 @@
+"""Deterministic sampling for training-data mixing.
+
+``mixture_sample`` downsamples each group toward a target mixture —
+the data-mixing step of an LLM corpus pipeline ("50% web, 20% code,
+…").  Two properties matter at 100 TB:
+
+- **Deterministic membership.**  Keep/drop is a pure function of the
+  row id (md5 hash fraction), never ``rand()``: re-runs, task retries,
+  and different partitionings all select the same rows, and the DuckDB
+  oracle can replay the exact choice.
+- **No data shuffle.**  The keep-rates come from a group-count
+  aggregate (rows = number of groups, broadcast back); the sampling
+  itself is a scan-side filter, so sampled-out rows die at the
+  projection without ever being shuffled.
+
+The mixture is the largest corpus achievable without upsampling:
+``scale = min_g(count_g / share_g)`` is the total size at which the
+scarcest group exactly meets its target share; every group keeps
+``share_g * scale`` rows (rate ≤ 1 by construction, clamped for float
+safety).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+_HASH_SPACE = float(1 << 60)  # md5_bigint is a 60-bit hash
+
+
+def hash_fraction(col: F.Column, salt: str) -> F.Column:
+    """Uniform-ish [0, 1) fraction from a deterministic 60-bit md5 hash
+    of ``salt || ':' || col`` — DuckDB twin:
+    ``('0x'||substr(md5('salt:'||CAST(col AS VARCHAR)),1,15))::BIGINT
+    / 1152921504606846976.0``."""
+    tagged = F.concat(F.lit(f"{salt}:"), col.cast("string"))
+    return md5_bigint(tagged) / F.lit(_HASH_SPACE)
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    id_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample ``df`` so group proportions match ``target_shares``
+    (groups absent from the dict are dropped), keeping the largest
+    corpus the targets allow without upsampling.  Returns the sampled
+    rows with all original columns."""
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        [(k, float(v)) for k, v in target_shares.items()],
+        f"{group_col} string, _share double",
+    )
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    sized = counts.join(shares, group_col)  # inner: untargeted groups drop
+    scale = sized.agg(F.min(F.col("_n") / F.col("_share")).alias("_scale"))
+    rates = (
+        sized.crossJoin(F.broadcast(scale))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0), F.col("_share") * F.col("_scale") / F.col("_n")
+            ).alias("_rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_fraction(F.col(id_col), salt) < F.col("_rate"))
+        .drop("_rate")
+    )

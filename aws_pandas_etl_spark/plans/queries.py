@@ -1660,6 +1660,82 @@ def range_join_clicks_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("error_id", "click_id", "gap_us")
 
 
+def _incremental_dedup_oracle() -> str:
+    return f"""
+WITH neardup AS (
+  {_minhash_oracle()}
+), drop_near AS (
+  SELECT b AS doc_id FROM neardup WHERE a % 2 = 0 AND b % 2 = 1
+  UNION
+  SELECT a AS doc_id FROM neardup WHERE b % 2 = 0 AND a % 2 = 1
+)
+SELECT n.doc_id, md5(n.text) AS text_md5
+FROM documents n
+WHERE n.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents o WHERE o.doc_id % 2 = 0 AND o.text = n.text)
+  AND n.doc_id NOT IN (SELECT doc_id FROM drop_near)
+"""
+
+
+@register("incremental_dedup_new_batch", _incremental_dedup_oracle())
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 incremental flavor — dedup the DELTA against the historical
+    store (odd doc_ids are the incoming batch, even doc_ids the
+    corpus): exact content-hash anti-join plus cross-side MinHash-LSH
+    near-dup removal at Jaccard >= 0.5.  New-vs-new near-dups are
+    admitted by design (order-independence; they become the next
+    batch's corpus side).  The oracle replays the same split over the
+    full-table banding pipeline, keeping only cross-parity pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    admitted = D.dedup_incremental(
+        new, corpus, near_threshold=0.5, shingle_n=3
+    )
+    return admitted.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+MIXTURE_SAMPLE_ORACLE = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+), s AS (
+  SELECT * FROM (VALUES
+    ('en', CAST(0.5 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+    ('de', CAST(0.1 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE)),
+    ('zh', CAST(0.1 AS DOUBLE))) t(lang, share)
+), sc AS (
+  SELECT MIN(c.n / s.share) AS scale FROM c JOIN s USING (lang)
+), r AS (
+  SELECT c.lang, LEAST(CAST(1.0 AS DOUBLE), s.share * sc.scale / c.n) AS rate
+  FROM c JOIN s USING (lang), sc
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x'||substr(md5('mix:'||CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT)
+      / 1152921504606846976.0 < r.rate
+"""
+
+
+@register("mixture_sample_by_lang", MIXTURE_SAMPLE_ORACLE)
+def mixture_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing — downsample each language toward a target mixture
+    (en 50%, fr 20%, de/es/zh 10% each), keeping the largest corpus the
+    targets allow without upsampling: scale = min(count/share) across
+    groups, per-group keep-rate = share*scale/count, membership by
+    deterministic hash fraction (reproducible across retries and
+    partitionings — no rand()).  The rate computation is a 5-row
+    aggregate broadcast back over the scan; sampled-out rows die at the
+    projection."""
+    from aws_pandas_etl_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    shares = {"en": 0.5, "fr": 0.2, "de": 0.1, "es": 0.1, "zh": 0.1}
+    return mixture_sample(docs, "lang", shares, id_col="doc_id", salt="mix").select(
+        "doc_id", "lang"
+    )
+
+
 @register("streaming_range_join_errors_clicks", RANGE_JOIN_ORACLE)
 def streaming_range_join_errors_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream twin of ``range_join_clicks_near_errors``: both

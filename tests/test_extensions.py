@@ -395,3 +395,61 @@ def test_similarity_self_join_lazy_when_dims_given(spark):
     empty = emb.filter("vec_id < 0")
     with pytest.raises(ValueError, match="pass dims= explicitly"):
         SIM.similarity_self_join(empty, num_planes=2)
+
+
+def test_dedup_incremental_exact_and_near(spark):
+    """Incremental admission: exact dup of the corpus dropped, near-dup
+    (one word changed) dropped at threshold 0.5, unrelated admitted —
+    and a new-vs-new near-dup pair is admitted whole (order
+    independence: intra-batch dups are the NEXT batch's problem)."""
+    corpus = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha beta gamma delta epsilon zeta eta theta")]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=3, text="alpha beta gamma delta epsilon zeta eta iota"),
+            Row(doc_id=5, text="completely different words entirely unrelated content here now"),
+            Row(doc_id=7, text="twin sentence one two three four five six"),
+            Row(doc_id=9, text="twin sentence one two three four five seven"),
+        ]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in D.dedup_incremental(batch, corpus, near_threshold=0.5).collect()
+    )
+    assert got == [3, 5, 7, 9] or got == [5, 7, 9]
+    # doc 1 (exact) must always be gone; 5/7/9 must always survive
+    assert 1 not in got and {5, 7, 9} <= set(got)
+    # exact-only mode admits the near-dup
+    got_exact = sorted(
+        r["doc_id"] for r in D.dedup_incremental(batch, corpus).collect()
+    )
+    assert got_exact == [3, 5, 7, 9]
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """Sampled mixture approaches the target proportions and never
+    upsamples: the scarcest-relative group keeps all its rows."""
+    from aws_pandas_etl_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [Row(doc_id=i, g="a") for i in range(800)]
+        + [Row(doc_id=1000 + i, g="b") for i in range(150)]
+        + [Row(doc_id=2000 + i, g="c") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows)
+    shares = {"a": 0.6, "b": 0.3, "c": 0.1}
+    out = mixture_sample(df, "g", shares, id_col="doc_id").collect()
+    by_g = {}
+    for r in out:
+        by_g[r["g"]] = by_g.get(r["g"], 0) + 1
+    # b is scarcest relative to its target (150/0.3=500 < 800/0.6,
+    # 50/0.1): kept whole; total ~500, a ~300, c ~50
+    assert by_g["b"] == 150
+    total = sum(by_g.values())
+    assert abs(by_g["a"] / total - 0.6) < 0.05
+    assert abs(by_g["c"] / total - 0.1) < 0.05
+    # determinism: a second run selects the identical rows
+    again = {r["doc_id"] for r in mixture_sample(df, "g", shares, id_col="doc_id").collect()}
+    assert again == {r["doc_id"] for r in out}
