@@ -39,6 +39,37 @@ def salted_sum(
     return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big (skewed) side, replicate the
+    small side once per salt value, join on (keys + salt).  A hot key's
+    rows spread across ``num_salts`` reducers instead of pinning one;
+    the cost is a bounded ``num_salts``× blow-up of the SMALL side
+    only.  Pre-AQE pattern — prefer AQE skew-join splitting (on in
+    session.py) when the join is sort-merge and statistics see the
+    skew; explicit salting is for the cases AQE can't fix (e.g. the
+    skewed side feeds a co-partitioned downstream op, or hot keys
+    emerge only at runtime inside one partition).
+
+    ``how`` supports inner and left (left rows with no match survive
+    with their salt, NULL-extended).  Join keys must be non-null on the
+    small side (standard equi-join semantics).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: how={how!r} (inner | left)")
+    entropy = [c for c in big.columns if c not in keys] or keys
+    b = with_salt(big, entropy, num_salts)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+
+
 def exact_distinct_by_key(
     df: DataFrame, key: str, value: str, alias: str = "n_distinct"
 ) -> DataFrame:

@@ -165,6 +165,51 @@ def merge_load(
     return spark.read.parquet(path).count()
 
 
+def compact_table(spark: SparkSession, path: str, target_file_mb: int = 512) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet target into
+    ``ceil(bytes / target_file_mb)`` files.
+
+    Every incremental pattern (append_load batches, streaming sinks,
+    dynamic partition re-loads) accretes small files, and at 100 TB
+    the resulting per-file open/footer overhead dominates scans long
+    before data volume does.  The rewrite is one job — scan, round-robin
+    ``repartition`` to the target file count, write to the hidden
+    ``merge_load`` tmp sibling, metadata-swap in (same crash-safe
+    keep-aside dance, so a failed compaction never damages the live
+    target).  Returns (files_before, files_after).
+    """
+    import math
+
+    jvm = spark._jvm
+    jfinal = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jfinal.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _data_files(p) -> int:
+        # count part-files only (not _SUCCESS / hidden); flat tables —
+        # partitioned targets compact per-partition via a re-load
+        hits = fs.globStatus(jvm.org.apache.hadoop.fs.Path(p.toString() + "/part-*"))
+        return 0 if hits is None else len(hits)
+
+    summary = fs.getContentSummary(jfinal)
+    files_before = _data_files(jfinal)
+    n_out = max(1, math.ceil(summary.getLength() / (target_file_mb * 1024 * 1024)))
+    if files_before <= n_out:
+        return files_before, files_before  # already compact: no rewrite
+    df = spark.read.parquet(path).repartition(n_out)
+    tmp_path, old_path = _merge_side_paths(path)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    jold = jvm.org.apache.hadoop.fs.Path(old_path)
+    fs.delete(jtmp, True)
+    df.write.mode("overwrite").parquet(tmp_path)
+    fs.delete(jold, True)
+    if not fs.rename(jfinal, jold):
+        raise IOError(f"compact_table: keep-aside {path} -> {old_path} failed")
+    if not fs.rename(jtmp, jfinal):
+        raise IOError(f"compact_table: rename {tmp_path} -> {path} failed")
+    fs.delete(jold, True)
+    return files_before, _data_files(jfinal)
+
+
 def overwrite_partitions_load(
     df: DataFrame, path: str, partition_by: list[str]
 ) -> int:

@@ -166,3 +166,44 @@ def test_ngram_jaccard_block_guard_excludes_hot_block(spark):
     # with the cap lifted the hot block's identical docs all pair up
     unguarded = _ngram_jaccard_pairs_blocked(docs, max_block_docs=10_000)
     assert unguarded.count() == 50 * 49 // 2 + 1
+
+
+def test_salted_join_matches_plain_join_on_skew(spark):
+    """salted_join must produce exactly the plain join's rows on a
+    one-hot-key input, for inner and left."""
+    from aws_pandas_etl_spark.functions.skew import salted_join
+
+    big = _skewed_df(spark, hot_rows=5_000, cold_rows=100)
+    dim_rows = [("HOT", "hot-dim")] + [(f"c{i}", f"dim{i}") for i in range(10)]
+    small = spark.createDataFrame(dim_rows, "k string, label string")
+    for how in ("inner", "left"):
+        got = (
+            salted_join(big, small, ["k"], num_salts=8, how=how)
+            .groupBy("k", "label")
+            .count()
+        )
+        want = big.join(small, ["k"], how).groupBy("k", "label").count()
+        g = {(r["k"], r["label"]): r["count"] for r in got.collect()}
+        w = {(r["k"], r["label"]): r["count"] for r in want.collect()}
+        assert g == w, how
+    # cold keys c10..c19 have no dim row: inner drops them, left keeps
+    inner_keys = {r["k"] for r in salted_join(big, small, ["k"], how="inner").select("k").distinct().collect()}
+    left_keys = {r["k"] for r in salted_join(big, small, ["k"], how="left").select("k").distinct().collect()}
+    assert "c15" not in inner_keys and "c15" in left_keys
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Compaction: many small part-files -> few, same rows, live target
+    swapped atomically-ish (keep-aside dance), idempotent second call."""
+    from aws_pandas_etl_spark.sources.sinks import compact_table
+
+    p = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS v")
+    df.repartition(64).write.parquet(p)  # 64 tiny part-files
+    before, after = compact_table(spark, p, target_file_mb=512)
+    assert before == 64 and after == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+    # already compact: no rewrite
+    assert compact_table(spark, p, target_file_mb=512) == (1, 1)
