@@ -118,6 +118,7 @@ _SCALAR_CROSS_OK = {
     "ann_ivf_topk",                  # corpus x 16-row broadcast centroid
                                      # table (IVF cell assignment)
     "nation_revenue_share",          # 1-row exact-decimal denominator
+    "mixture_sample_by_lang",        # 1-row min(count/share) scale factor
 }
 
 # Streaming queries execute a real job on invocation — planning them
@@ -127,6 +128,7 @@ _SKIP_EXECUTING = {
     "streaming_sessionize_stateful",
     "streaming_dedup_events",
     "streaming_static_join_enrich",
+    "streaming_range_join_errors_clicks",
 }
 
 
