@@ -151,3 +151,26 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"non-scalar cross joins: {offenders}"
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """The mixture keep-rates (one row per group) must reach the scan
+    side as a broadcast, never a shuffle of the documents table."""
+    plan = _plan(QUERIES["mixture_sample_by_lang"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the sampling predicate is a hash-fraction filter, not a sample()
+    assert "Sample" not in plan
+
+
+def test_incremental_dedup_exact_stage_is_anti_join(spark):
+    """Exact admission = anti-join on content hash (the corpus side
+    contributes only hashes; its text is never re-shuffled)."""
+    from aws_pandas_etl_spark.operators.dedup import dedup_incremental
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = dedup_incremental(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+    )
+    plan = _plan(out)
+    assert "LeftAnti" in plan
