@@ -3880,6 +3880,142 @@ def user_spend_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q9_ORACLE = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("q9_product_profit", Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit by supplier nation x order year across a
+    5-table join (part retail price stands in for ps_supplycost: the
+    harness schema has no partsupp).  Scale plan: the fact table joins
+    orders by key and BROADCASTS part/supplier/nation; the profit
+    expression is per-row double (deterministic) cast to decimal before
+    the order-independent SUM."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+Q13_ORACLE = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS n_custs
+FROM c_orders GROUP BY c_count
+ORDER BY n_custs DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — order-count-per-customer distribution via a
+    left outer join (customers with zero qualifying orders count at 0)
+    and a double aggregation.  The ON-clause extra predicate becomes a
+    pre-join filter on the orders side (same semantics for LEFT joins;
+    it prunes the shuffle instead of widening the join)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.col("n_custs").desc(), F.col("c_count").desc())
+    )
+
+
+Q21_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_supp_r
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(DISTINCT l.l_orderkey) AS numwait
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+JOIN per_order p ON p.l_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE l.l_returnflag = 'R' AND p.n_supp > 1 AND p.n_supp_r = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("q21_sole_returning_supplier", Q21_ORACLE)
+def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who are the ONLY supplier with
+    returned items in multi-supplier finalized orders (returnflag 'R'
+    stands in for the receipt/commit-date lateness columns the harness
+    schema lacks).
+
+    The classic formulation is EXISTS + NOT EXISTS against the same
+    fact table (two correlated re-scans); here both decorrelate into
+    ONE per-order aggregation — n_supp > 1 replaces EXISTS(other
+    supplier), n_supp_r = 1 replaces NOT EXISTS(other supplier with a
+    return) — so lineitem is scanned once and shuffled once on the
+    order key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
 MERGE_ROUNDTRIP_ORACLE = """
 WITH merged AS (
   SELECT o_orderkey, o_orderpriority,
