@@ -3998,11 +3998,16 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_supp_r"),
+    # two distinct-counts over the same frame: aggregate to the
+    # (order, supplier) grain first, then count — one shuffle on the
+    # order key and no Expand doubling of the fact rows (the fused
+    # two-countDistinct plan expands every lineitem row 2x)
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_supp_r"),
     )
     l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     return (
