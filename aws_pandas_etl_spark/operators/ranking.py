@@ -100,6 +100,46 @@ def global_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` over the global
+    ``order_cols`` order — ``sum(value) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING TO -1)`` — without a single-partition global
+    sort.  Same two-pass scheme as ``global_rank`` (module docstring):
+    range-repartition on the order key, partition-local prefix sums,
+    then a broadcast join of the per-partition running offsets.  The
+    composite order key must be unique (callers append a tiebreaker)."""
+    if num_partitions is None:
+        num_partitions = _default_partitions(df)
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    pid_tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pid_tagged.withColumn(
+        "_lps", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)).cast("long")
+    )
+    # tiny: one row per non-empty partition (already hash-partitioned
+    # on pid, so the aggregation adds no exchange)
+    totals = local.groupBy(_PID).agg(F.sum(value_col).alias("_tot"))
+    w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID, F.coalesce(F.sum("_tot").over(w_prev), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.col("_off") + F.col("_lps")).cast("long"))
+        .drop(_PID, "_lps", "_off")
+    )
+
+
 def global_percent_rank(
     df: DataFrame,
     order_cols: list[str],

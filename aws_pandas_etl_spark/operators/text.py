@@ -11,7 +11,7 @@ Every constant here is shared with the DuckDB oracle SQL generators in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aws_pandas_etl_spark.functions.hashing import normalize_text, shingles
@@ -233,26 +233,19 @@ def pack_sequences(
     order-stable (no bin-packing heuristics that depend on visit
     order).
 
-    Scale note: the prefix sum is a global ordered window.  On a
-    cluster this must NOT run as one partition — the production path
-    is the same two-pass scheme the sessionizer uses:
-    ``repartitionByRange(id_col)`` then per-partition prefix sums
-    offset by the broadcast partition totals.  At test scale the
-    single window is exact and cheap; the semantics (and the oracle)
-    are identical either way."""
-    # orderBy the POST-projection name: the select below aliases id_col
-    # to "doc_id", so ordering by the original name would not resolve
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    Scale posture: the corpus-wide prefix sum runs through
+    ``ranking.global_prefix_sum`` — ``repartitionByRange(doc_id)``,
+    partition-local prefix sums, broadcast per-partition offsets — so
+    the plan contains a range exchange plus ``num_partitions``-way
+    windows, never a single-partition global sort.  ``id_col`` must be
+    unique (it is the ordering key)."""
+    from aws_pandas_etl_spark.operators.ranking import global_prefix_sum
+
     ntok = F.size(tokens(text_col))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), ntok.alias("n_tokens"))
-        .withColumn(
-            "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
-        )
-        .withColumn("pack_id", F.expr(f"CAST(start_tok DIV {budget} AS BIGINT)"))
+    base = df.select(F.col(id_col).alias("doc_id"), ntok.alias("n_tokens"))
+    packed = global_prefix_sum(base, ["doc_id"], "n_tokens", out_col="start_tok")
+    return packed.withColumn(
+        "pack_id", F.expr(f"CAST(start_tok DIV {budget} AS BIGINT)")
     )
 
 

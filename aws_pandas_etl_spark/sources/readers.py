@@ -46,18 +46,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table (parquet).  Catalyst handles column
     pruning and predicate pushdown into the scan.
 
-    Parquet TIMESTAMP(NANOS) columns (e.g. ``events.ts``) are read via
-    ``spark.sql.legacy.parquet.nanosAsLong`` and converted to µs
-    timestamps with exact integer division (``div 1000`` — float
-    division would lose precision above 2^53 ns)."""
+    Timestamp columns are normalized to ``TimestampType`` (session tz
+    is UTC) whatever the fixture stores, so the engine's contract is
+    stable across testdata regenerations:
+
+    - TIMESTAMP(NANOS) (Spark 4 refuses by default) is read via
+      ``spark.sql.legacy.parquet.nanosAsLong`` and converted with exact
+      integer division (``div 1000`` — float division would lose
+      precision above 2^53 ns);
+    - TIMESTAMP(µs/ms) without tz infers as TIMESTAMP_NTZ and is cast
+      to TimestampType (same instant under the UTC session tz)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return normalize_ntz_timestamps(df)
     df = _read_parquet_nanos(spark, path)
     return df.withColumns(
         {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
     )
+
+
+def normalize_ntz_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TimestampType.  With the
+    session tz pinned to UTC (session.py) this is instant-preserving;
+    it keeps one timestamp flavor flowing through the engine regardless
+    of how a parquet producer annotated its columns."""
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def _read_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:

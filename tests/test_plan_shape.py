@@ -162,6 +162,27 @@ def test_mixture_sample_broadcasts_rates(spark):
     assert "Sample" not in plan
 
 
+def test_pack_sequences_uses_range_exchange_not_global_sort(spark):
+    """The corpus-wide prefix sum must be the two-pass distributed
+    scheme: a range exchange feeding partition-local windows, never a
+    `Window [sum(...) ORDER BY doc_id]` over a single partition."""
+    plan = _plan(QUERIES["pack_sequences_greedy"](spark, SF))
+    assert "rangepartitioning" in plan.lower(), plan
+    # the only SinglePartition exchange allowed is the tiny
+    # per-partition-offsets frame (num_partitions rows), which is
+    # broadcast back — the full data must never hit SinglePartition.
+    data_single = [
+        l
+        for l in plan.splitlines()
+        if "Exchange SinglePartition" in l and "ENSURE_REQUIREMENTS" in l
+    ]
+    # offsets frame goes through a SinglePartition window; its input is
+    # the num_partitions-row aggregate, so at most one such exchange
+    # may exist and it must sit above the groupBy(_gr_pid) aggregate.
+    assert len(data_single) <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan  # offsets join back via broadcast
+
+
 def test_incremental_dedup_exact_stage_is_anti_join(spark):
     """Exact admission = anti-join on content hash (the corpus side
     contributes only hashes; its text is never re-shuffled)."""
