@@ -14,6 +14,7 @@ cluster for large keyspaces.
 
 from __future__ import annotations
 
+import fnmatch
 import os
 import tempfile
 import uuid
@@ -21,6 +22,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from aws_pandas_etl_spark.sources.readers import _nanos_timestamp_cols
 
 EVENTS_LONG_TS_SCHEMA = T.StructType(
     [
@@ -34,25 +37,89 @@ EVENTS_LONG_TS_SCHEMA = T.StructType(
 )
 
 
-def events_stream(spark: SparkSession, sf_dir: str, with_watermark: str | None = "2 hours") -> DataFrame:
-    """File-source stream of the events table (nanos ts -> µs timestamp).
+def _events_schema_with_ts(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f.name, ts_type if f.name == "ts" else f.dataType)
+            for f in EVENTS_LONG_TS_SCHEMA.fields
+        ]
+    )
 
-    The ``nanosAsLong`` conf is scoped to stream construction (the
-    streaming plan captures it here; micro-batch execution after a
-    restore still reads correctly — verified), so the session is left
-    untouched for other readers."""
+
+def _probe_ts_type(directory: str, glob: str) -> str:
+    """Physical parquet type of ``ts`` in the first file matching
+    ``glob`` under ``directory`` (footer-only read, cheap at any
+    scale): 'ns' | 'tz' | 'ntz'.
+
+    The batch reader got per-file probing in round 4
+    (sources/readers.py::load_table) when the fixtures moved from
+    TIMESTAMP(NANOS) to TIMESTAMP(µs); this is the streaming twin —
+    the stream's schema must be declared up front, so the probe
+    decides between the long+``div 1000`` nanos path and a native
+    timestamp schema.  One footer stands in for the directory: a file
+    stream requires a single fixed schema anyway, so mixed-unit
+    directories are unsupported either way (the first file wins, and
+    a mismatched later file fails loudly in the scan)."""
+    import pyarrow.parquet as _pq
+
+    matches = sorted(
+        f for f in os.listdir(directory) if fnmatch.fnmatch(f, glob)
+    )
+    if not matches:
+        raise FileNotFoundError(f"no parquet matching {glob!r} in {directory}")
+    path = os.path.join(directory, matches[0])
+    if "ts" in _nanos_timestamp_cols(path):
+        return "ns"
+    ts_type = str(next(f.type for f in _pq.read_schema(path) if f.name == "ts"))
+    return "tz" if "tz=" in ts_type else "ntz"
+
+
+def open_events_stream(
+    spark: SparkSession,
+    directory: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over event parquet files, normalized to
+    TimestampType ``ts`` whatever the files store (the streaming twin
+    of readers.load_table's contract):
+
+    - TIMESTAMP(NANOS): read as long under ``nanosAsLong`` (conf
+      scoped to stream construction — the plan captures it; verified
+      that micro-batch execution after restore still decodes
+      correctly), converted with exact integer ``div 1000``;
+    - TIMESTAMP(µs/ms) without tz: TIMESTAMP_NTZ schema, cast to
+      TimestampType (instant-preserving under the UTC session tz);
+    - TIMESTAMP with tz: TimestampType schema directly."""
+    kind = _probe_ts_type(directory, glob)
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prior = spark.conf.get(key)  # conf has a defined default ("false")
-    spark.conf.set(key, "true")
+    if kind == "ns":
+        schema = EVENTS_LONG_TS_SCHEMA
+        spark.conf.set(key, "true")
+    elif kind == "tz":
+        schema = _events_schema_with_ts(T.TimestampType())
+    else:
+        schema = _events_schema_with_ts(T.TimestampNTZType())
     try:
-        stream = (
-            spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = reader.parquet(directory)
     finally:
         spark.conf.set(key, prior)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "ns":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def events_stream(spark: SparkSession, sf_dir: str, with_watermark: str | None = "2 hours") -> DataFrame:
+    """File-source stream of the harness events table, ``ts``
+    normalized to TimestampType regardless of the fixture's physical
+    timestamp unit (see ``open_events_stream``)."""
+    stream = open_events_stream(spark, sf_dir, "events.parquet")
     if with_watermark:
         stream = stream.withWatermark("ts", with_watermark)
     return stream

@@ -93,3 +93,47 @@ def test_binary_file_source_feeds_multimodal(spark, tmp_path):
         r["n"] for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     )
     assert per_doc == [1, 2]  # 40 bytes -> 1 frame, 150 bytes -> 2 frames
+
+
+def test_batch_and_stream_agree_on_event_instants(spark, tmp_path):
+    """Fixture-drift canary: the batch reader (load_table) and the
+    streaming reader (open_events_stream) must agree on min/max(ts)
+    instants for the SAME fixture file.  Round 4 regressed exactly
+    here — the fixtures moved from TIMESTAMP(NANOS) to TIMESTAMP(µs),
+    the batch reader was adapted, the streaming reader was not, and
+    every streamed event collapsed to ~1970.  Any future testdata
+    regeneration that changes the physical timestamp unit trips this
+    at commit time."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.streaming.events_stream import open_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    [b] = (
+        load_table(spark, sf, "events")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .collect()
+    )
+
+    name = f"canary_{uuid.uuid4().hex[:8]}"
+    q = (
+        open_events_stream(spark, sf)
+        .select("ts")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    [s] = spark.table(name).agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()
+    assert (s["mn"], s["mx"]) == (b["mn"], b["mx"])
+    # and the events really are in the fixtures' 2024 range, not 1970
+    assert b["mn"].year >= 2020, f"batch reader itself drifted: {b['mn']}"

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 from aws_pandas_etl_spark.plans.queries import QUERIES
-from aws_pandas_etl_spark.streaming.events_stream import EVENTS_LONG_TS_SCHEMA
+from aws_pandas_etl_spark.streaming.events_stream import open_events_stream
 from aws_pandas_etl_spark.streaming.sessionize import (
     OUTPUT_SCHEMA,
     STATE_SCHEMA,
@@ -27,7 +27,6 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def split_events_dir(spark, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{SF}/events.parquet")
     q = raw.withColumn("q", F.ntile(4).over(Window.orderBy("ts")))
     d = str(tmp_path)
@@ -64,13 +63,9 @@ def test_session_continues_across_batch_boundary(spark, tmp_path):
         pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
         pq.write_table(pa.Table.from_pandas(pdf), f"{tmp_path}/batch_{i}.parquet")
 
-    stream = (
-        spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "batch_*.parquet")
-        .parquet(str(tmp_path))
+    stream = open_events_stream(
+        spark, str(tmp_path), "batch_*.parquet", max_files_per_trigger=1
     )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     sess = stream.groupBy("user_id").applyInPandasWithState(
         _sessionize_group, OUTPUT_SCHEMA, STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout,
@@ -97,13 +92,9 @@ def test_session_continues_across_batch_boundary(spark, tmp_path):
 
 
 def test_state_carries_across_micro_batches(spark, split_events_dir):
-    stream = (
-        spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "batch_*.parquet")
-        .parquet(split_events_dir)
+    stream = open_events_stream(
+        spark, split_events_dir, "batch_*.parquet", max_files_per_trigger=1
     )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     sess = stream.groupBy("user_id").applyInPandasWithState(
         _sessionize_group, OUTPUT_SCHEMA, STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout,
@@ -147,7 +138,8 @@ def test_watermark_drops_late_event(spark, tmp_path):
     import pyarrow.parquet as pq
 
     def us(h, m=0):
-        return int(dt.datetime(2024, 1, 1, h, m).timestamp() * 1_000_000) * 1000
+        # epoch µs — the fixtures' current physical unit (timestamp[us])
+        return int(dt.datetime(2024, 1, 1, h, m).timestamp() * 1_000_000)
 
     def write(path, rows):
         pdf = pd.DataFrame(
@@ -156,7 +148,7 @@ def test_watermark_drops_late_event(spark, tmp_path):
         schema = pa.schema(
             [
                 ("event_id", pa.int64()),
-                ("ts", pa.int64()),
+                ("ts", pa.timestamp("us")),
                 ("user_id", pa.int64()),
                 ("event_type", pa.string()),
                 ("value", pa.float64()),
@@ -185,13 +177,9 @@ def test_watermark_drops_late_event(spark, tmp_path):
         os.utime(f"{d}/{fn}.parquet", (now - 120 + i * 60, now - 120 + i * 60))
 
     name = f"wm_{uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
-    )
+    stream = open_events_stream(
+        spark, d, "b*.parquet", max_files_per_trigger=1
+    ).withWatermark("ts", "10 minutes")
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"))
@@ -240,12 +228,7 @@ def test_stream_stream_range_join_pairs_across_batches(
     d = split_events_dir
 
     def _src():
-        return (
-            spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(d)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return open_events_stream(spark, d, "batch_*.parquet", max_files_per_trigger=1)
 
     joined = stream_stream_range_join(_src(), _src(), tolerance_us=300_000_000)
     name = f"ssrj_{_uuid.uuid4().hex[:8]}"
@@ -264,11 +247,11 @@ def test_stream_stream_range_join_pairs_across_batches(
         for r in spark.table(name).collect()
     }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.schema(EVENTS_LONG_TS_SCHEMA).parquet(d).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    from aws_pandas_etl_spark.sources.readers import normalize_ntz_timestamps
+
+    batch = normalize_ntz_timestamps(
+        spark.read.option("pathGlobFilter", "batch_*.parquet").parquet(d)
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     errors = batch.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
     )
@@ -287,16 +270,14 @@ def test_stream_stream_range_join_pairs_across_batches(
     # and at least one pair genuinely crossed a file boundary: the
     # quarters are time-ordered, so pairs with members in different
     # quarter files exist whenever a boundary gap < tolerance exists
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     bounds = [
         spark.read.parquet(f"{d}/batch_{i}.parquet")
-        .agg(F.max("ts").alias("mx"), F.min("ts").alias("mn"))
+        .agg(F.max(ts_us).alias("mx"), F.min(ts_us).alias("mn"))
         .collect()[0]
         for i in range(1, 5)
     ]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     crossing = any(
-        (bounds[i + 1]["mn"] - bounds[i]["mx"]) // 1000 <= 300_000_000
-        for i in range(3)
+        bounds[i + 1]["mn"] - bounds[i]["mx"] <= 300_000_000 for i in range(3)
     )
     assert crossing  # the state-carry claim is actually exercised
