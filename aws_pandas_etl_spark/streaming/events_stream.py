@@ -138,6 +138,52 @@ def tumbling_window_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def _run_to_parquet_sink(
+    spark: SparkSession,
+    df: DataFrame,
+    name_prefix: str,
+    timeout_sec: int,
+) -> DataFrame:
+    """Execution scaffold for append-mode streaming queries whose output
+    size is NOT bounded by construction (joins, dedup, sessionize):
+    availableNow trigger -> parquet file sink -> read back.
+
+    Executors write the sink directly; nothing funnels through the
+    driver, so a query whose output explodes (e.g. a mis-tolerated
+    stream-stream join producing near-quadratic pairs) degrades into a
+    big-but-finishable file write instead of a fatal driver
+    task-result transfer — exactly the failure that killed round 4's
+    bench when the memory sink collected ~647 MB to the driver.  This
+    is also the 100 TB shape: streaming results land on distributed
+    storage, and downstream consumption is another scan."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    out = os.path.join(tempfile.gettempdir(), f"out_{name}")
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {name} did not finish within {timeout_sec}s "
+                "— partial results discarded"
+            )
+    try:
+        return spark.read.parquet(out)
+    except Exception:
+        # zero micro-batches committed no files — empty result, same schema
+        return spark.createDataFrame([], df.schema)
+
+
 def _run_to_memory_sink(
     spark: SparkSession,
     df: DataFrame,
@@ -147,7 +193,12 @@ def _run_to_memory_sink(
 ) -> DataFrame:
     """Shared execution scaffold: availableNow trigger -> memory sink,
     bounded wait, stop-on-exit, error (never partial results) on
-    timeout."""
+    timeout.
+
+    Memory sinks collect results to the driver — reserved for
+    complete-mode aggregates whose output is bounded by the grouping
+    cardinality.  Unbounded append-mode results go through
+    ``_run_to_parquet_sink`` instead."""
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     with _scoped_shuffle_partitions(spark, 8):
@@ -217,9 +268,7 @@ def run_streaming_dedup(
     exactly what a reprocessing/backfill job does."""
     keys = keys or ["event_id"]
     stream = events_stream(spark, sf_dir, with_watermark=None).select(*keys)
-    return _run_to_memory_sink(
-        spark, stream.dropDuplicates(keys), "append", "dedup", timeout_sec
-    )
+    return _run_to_parquet_sink(spark, stream.dropDuplicates(keys), "dedup", timeout_sec)
 
 
 def run_stream_stream_range_join(
@@ -250,7 +299,7 @@ def run_stream_stream_range_join(
     left = events_stream(spark, sf_dir, with_watermark=None)
     right = events_stream(spark, sf_dir, with_watermark=None)
     joined = stream_stream_range_join(left, right, tolerance_us, watermark)
-    return _run_to_memory_sink(spark, joined, "append", "ssrange", timeout_sec)
+    return _run_to_parquet_sink(spark, joined, "ssrange", timeout_sec)
 
 
 def stream_stream_range_join(

@@ -16,9 +16,6 @@ incremental pass.
 
 from __future__ import annotations
 
-import os
-import tempfile
-import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -102,30 +99,13 @@ def run_sessionize_stream(
     as one fragment per batch (same ``session_no`` carried by state);
     downstream consumers merge fragments by (user_id, session_no) —
     the standard emit-partial/compact-later pattern.  Cross-batch
-    state continuity is pinned by tests/test_streaming_multibatch.py."""
-    from aws_pandas_etl_spark.streaming.events_stream import (
-        _scoped_shuffle_partitions,
-    )
+    state continuity is pinned by tests/test_streaming_multibatch.py.
 
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    with _scoped_shuffle_partitions(spark, 8):
-        q = (
-            sessionize_stream(spark, sf_dir)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            finished = q.awaitTermination(timeout_sec)
-        finally:
-            q.stop()
-        if not finished:
-            raise TimeoutError(
-                f"streaming query {name} did not finish within {timeout_sec}s "
-                "— partial results discarded"
-            )
-    return spark.table(name)
+    Output goes through the parquet sink (executors write distributed
+    storage; session count scales with the data, so nothing may funnel
+    through the driver)."""
+    from aws_pandas_etl_spark.streaming.events_stream import _run_to_parquet_sink
+
+    return _run_to_parquet_sink(
+        spark, sessionize_stream(spark, sf_dir), "sessions", timeout_sec
+    )

@@ -219,6 +219,34 @@ def test_stateful_sessionize_stream_matches_batch(spark):
     assert stream == batch
 
 
+def test_exploding_stream_join_lands_in_files_not_driver(spark):
+    """Round-4 regression: a stream-stream join whose output explodes
+    (tolerance spanning most of the timeline -> near-quadratic
+    error x click pairs) used to be collected into a driver-side
+    memory sink — one 647 MB task-result transfer killed the whole
+    bench harness.  The append-mode scaffold now writes a parquet
+    sink: executors land the pairs on storage, the query finishes, the
+    session stays alive, and the result is file-backed (never a
+    driver collection)."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_stream_stream_range_join,
+    )
+
+    # ±2 days at sf0.001 (31-day span, 1000 events) -> tens of
+    # thousands of pairs, orders of magnitude beyond the bounded case
+    out = run_stream_stream_range_join(
+        spark, SF, tolerance_us=2 * 86_400 * 1_000_000, watermark="30 days"
+    )
+    assert out.inputFiles(), "result must be file-backed, not driver-collected"
+    n = out.count()
+    bounded = run_stream_stream_range_join(spark, SF, tolerance_us=300_000_000)
+    assert n > 10 * bounded.count()
+    # session is alive and well afterwards
+    assert spark.range(3).agg(F.sum("id")).collect()[0][0] == 3
+
+
 def test_streaming_matches_batch(spark):
     batch = tumbling_window_agg(load_table(spark, SF, "events"), "1 hour")
     stream = run_tumbling_agg_stream(spark, SF, "1 hour")
