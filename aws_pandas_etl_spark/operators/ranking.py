@@ -113,7 +113,15 @@ def global_prefix_sum(
     sort.  Same two-pass scheme as ``global_rank`` (module docstring):
     range-repartition on the order key, partition-local prefix sums,
     then a broadcast join of the per-partition running offsets.  The
-    composite order key must be unique (callers append a tiebreaker)."""
+    composite order key must be unique (callers append a tiebreaker).
+
+    ``out_col``'s type is ``sum(value_col)``'s natural result type
+    (long for integral inputs, double/decimal for fractional) — both
+    the partition-local and the cross-partition component carry that
+    same type.  For long/decimal inputs results equal a plain windowed
+    sum exactly; for float/double the two-pass association can differ
+    from the sequential window in the last ulps (inherent to any
+    distributed float sum)."""
     if num_partitions is None:
         num_partitions = _default_partitions(df)
     ranged = df.repartitionByRange(num_partitions, *order_cols)
@@ -124,7 +132,7 @@ def global_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = pid_tagged.withColumn(
-        "_lps", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)).cast("long")
+        "_lps", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
     )
     # tiny: one row per non-empty partition (already hash-partitioned
     # on pid, so the aggregation adds no exchange)
@@ -135,7 +143,7 @@ def global_prefix_sum(
     )
     return (
         local.join(F.broadcast(offsets), _PID)
-        .withColumn(out_col, (F.col("_off") + F.col("_lps")).cast("long"))
+        .withColumn(out_col, F.col("_off") + F.col("_lps"))
         .drop(_PID, "_lps", "_off")
     )
 

@@ -62,9 +62,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         return normalize_ntz_timestamps(df)
     df = _read_parquet_nanos(spark, path)
-    return df.withColumns(
+    df = df.withColumns(
         {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
     )
+    # a table can mix TIMESTAMP(NANOS) and µs/ms NTZ columns — normalize
+    # the non-nanos ones too, honoring the contract above
+    return normalize_ntz_timestamps(df)
 
 
 def normalize_ntz_timestamps(df: DataFrame) -> DataFrame:

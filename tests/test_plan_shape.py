@@ -171,16 +171,83 @@ def test_pack_sequences_uses_range_exchange_not_global_sort(spark):
     # the only SinglePartition exchange allowed is the tiny
     # per-partition-offsets frame (num_partitions rows), which is
     # broadcast back — the full data must never hit SinglePartition.
-    data_single = [
-        l
-        for l in plan.splitlines()
+    lines = plan.splitlines()
+    single_idx = [
+        i
+        for i, l in enumerate(lines)
         if "Exchange SinglePartition" in l and "ENSURE_REQUIREMENTS" in l
     ]
     # offsets frame goes through a SinglePartition window; its input is
     # the num_partitions-row aggregate, so at most one such exchange
-    # may exist and it must sit above the groupBy(_gr_pid) aggregate.
-    assert len(data_single) <= 1, plan
+    # may exist and it must sit above the groupBy(_gr_pid) aggregate —
+    # checked structurally: the exchange's subtree must contain the
+    # HashAggregate keyed on _gr_pid, never the full-data scan.
+    assert len(single_idx) <= 1, plan
+    for i in single_idx:
+        # direct child of the exchange = what actually crosses into the
+        # single partition: must be the tiny pid-keyed aggregate (one
+        # row per partition), never the full data
+        child = _subtree(lines, i).splitlines()[0]
+        assert "HashAggregate" in child and "_gr_pid" in child, plan
     assert "BroadcastHashJoin" in plan, plan  # offsets join back via broadcast
+
+
+def _alnum_indent(line: str) -> int:
+    for i, ch in enumerate(line):
+        if ch not in " :+-*":
+            return i
+    return len(line)
+
+
+def _subtree(lines: list[str], i: int) -> str:
+    """Lines of the tree-string subtree rooted at line i (everything
+    below with strictly deeper indentation)."""
+    indent = _alnum_indent(lines[i])
+    out = []
+    for line in lines[i + 1 :]:
+        if _alnum_indent(line) <= indent:
+            break
+        out.append(line)
+    return "\n".join(out)
+
+
+# Key columns identifying tables whose size scales linearly with SF —
+# ~2 TB each at the 100 TB target, where a forced broadcast hint
+# bypasses the size threshold and OOMs the build instead of degrading
+# to a shuffle join.
+_SF_SCALING_KEYS = ("c_custkey", "p_partkey", "s_suppkey")
+
+
+def test_no_forced_broadcast_of_sf_scaling_tables(spark):
+    """No registered TPC-H-family query may carry an explicit broadcast
+    hint over a RAW customer/part/supplier relation: fixed-cardinality
+    dims (nation=25, region=5) and bounded aggregates may be hinted;
+    SF-scaling tables must be left to AQE's size-based dynamic join
+    selection (broadcast at small SF, shuffle join when too big)."""
+    family = [
+        "q3_shipping_priority", "q5_region_revenue", "q7_trade_volume",
+        "q8_market_share", "q9_product_profit", "q10_returned_items",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q18_large_volume_orders", "q19_disjunctive_filter",
+        "q21_sole_returning_supplier", "q22_wealthy_inactive",
+        "nation_revenue_share", "top_supplier_per_nation",
+    ]
+    offenders = {}
+    for q in family:
+        tree = QUERIES[q](spark, SF)._jdf.queryExecution().analyzed().treeString()
+        lines = tree.splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line and "UnresolvedHint" not in line:
+                continue
+            sub = _subtree(lines, i)
+            # an Aggregate inside the hinted subtree bounds its size by
+            # the grouping cardinality — scalar/denominator frames are fine
+            if "Aggregate" in sub:
+                continue
+            hit = [k for k in _SF_SCALING_KEYS if k in sub]
+            if hit:
+                offenders.setdefault(q, []).extend(hit)
+    assert not offenders, f"forced broadcast of SF-scaling tables: {offenders}"
 
 
 def test_incremental_dedup_exact_stage_is_anti_join(spark):
