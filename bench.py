@@ -51,29 +51,35 @@ def main() -> None:
         ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(Q.QUERIES):
         fn = Q.QUERIES[name]
         t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        # noop sink fully materializes every output column (count()
-        # would let Catalyst skip expensive projections)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        try:
+            df = fn(spark, sf_dir)
+            # noop sink fully materializes every output column (count()
+            # would let Catalyst skip expensive projections)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        except Exception as exc:  # one exploding query must not zero the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
         # operators persist intermediates (signature tables etc.);
         # release between queries so storage memory stays bounded
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    payload = json.dumps(
-        {
-            "metric": "total_wall_sec_all_queries",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        }
-    )
+    result = {
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    payload = json.dumps(result)
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),

@@ -47,3 +47,50 @@ def test_approx_percentile_within_tolerance(spark):
     exact = ev.approxQuantile("value", [0.5, 0.95], 0.0)  # 0.0 = exact
     assert abs(p50 - exact[0]) <= 0.01 * max(1.0, abs(exact[0]))
     assert abs(p95 - exact[1]) <= 0.01 * max(1.0, abs(exact[1]))
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """Recall@10 of the two ANN paths against exact brute force,
+    averaged over 20 held-out query vectors drawn from the corpus
+    (excluded from their own result sets).  Floors are the measured
+    sf0.01 numbers minus slack; the point is a tripwire for a probe /
+    bucketing regression silently nuking recall while row counts stay
+    plausible.  Measured values are recorded in BASELINE.md §ANN."""
+    from aws_pandas_etl_spark.operators import similarity as SIM
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(20).collect()
+    }
+
+    def ids(df, qid):
+        return {r["vec_id"] for r in df.collect() if r["vec_id"] != qid}
+
+    k = 10
+    recalls = {"lsh": [], "lsh_probe1": [], "lsh_probe2": [], "ivf2": [], "ivf4": []}
+    for qid, q in queries.items():
+        exact = ids(SIM.topk_bruteforce(emb, q, k=k + 1), qid)
+        for name, approx in (
+            ("lsh", SIM.topk_lsh(emb, q, k=k + 1, num_planes=4)),
+            ("lsh_probe1", SIM.topk_lsh(emb, q, k=k + 1, num_planes=4, hamming_probe=1)),
+            ("lsh_probe2", SIM.topk_lsh(emb, q, k=k + 1, num_planes=4, hamming_probe=2)),
+            ("ivf2", SIM.topk_ivf(emb, q, k=k + 1, num_centroids=16, nprobe=2)),
+            ("ivf4", SIM.topk_ivf(emb, q, k=k + 1, num_centroids=16, nprobe=4)),
+        ):
+            got = ids(approx, qid)
+            recalls[name].append(len(got & exact) / len(exact))
+
+    means = {n: sum(v) / len(v) for n, v in recalls.items()}
+    print("ANN recall@10:", {n: round(m, 3) for n, m in means.items()})
+    # the recall knobs must be monotone: more probed buckets/cells
+    # never lose recall
+    assert means["lsh_probe1"] >= means["lsh"] - 1e-9
+    assert means["lsh_probe2"] >= means["lsh_probe1"] - 1e-9
+    assert means["ivf4"] >= means["ivf2"] - 1e-9
+    # measured floors = sf0.01 measurements minus slack (BASELINE.md §ANN:
+    # lsh 0.135, probe1 0.445, probe2 ~0.8, ivf2 0.73, ivf4 0.805)
+    assert means["lsh_probe1"] >= 0.30, means
+    assert means["lsh_probe2"] >= 0.60, means
+    assert means["ivf2"] >= 0.55, means
+    assert means["ivf4"] >= 0.65, means

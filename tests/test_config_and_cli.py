@@ -30,6 +30,38 @@ def test_load_config(tmp_path):
     assert cfg.tables["documents"].active_flag == "F"
 
 
+def test_load_config_from_url_with_injected_fetcher(tmp_path):
+    """S5 counterpart, DI seam: the fetcher receives the URL verbatim
+    and its payload goes through the same parser/validation as local
+    files (reference: s3_operations.py:22-46)."""
+    from aws_pandas_etl_spark.plans.config import load_config_from_url
+
+    seen = {}
+
+    def fetcher(url):
+        seen["url"] = url
+        return CFG.format(sf=SF, out=tmp_path / "out")
+
+    cfg = load_config_from_url("s3://bucket/prefix/job.yaml", fetcher=fetcher)
+    assert seen["url"] == "s3://bucket/prefix/job.yaml"
+    assert cfg.runid == 7 and cfg.tables["events"].red_schema == "T"
+
+    with pytest.raises(ValueError, match="no tables configured"):
+        load_config_from_url("s3://b/empty.yaml", fetcher=lambda u: "source: {}")
+
+
+def test_load_config_from_url_via_hadoop_fs(spark, tmp_path):
+    """The default (no fetcher) path goes through the cluster's Hadoop
+    FileSystem — same code path an s3a:// URL takes on a real cluster,
+    exercised here with the file:// scheme."""
+    from aws_pandas_etl_spark.plans.config import load_config_from_url
+
+    p = tmp_path / "job.yaml"
+    p.write_text(CFG.format(sf=SF, out=tmp_path / "out"))
+    cfg = load_config_from_url(f"file://{p}", spark=spark)
+    assert cfg.runid == 7 and cfg.tables["documents"].active_flag == "F"
+
+
 def test_load_config_rejects_unknown_keys(tmp_path):
     p = tmp_path / "bad.yaml"
     p.write_text("tables:\n  t: {activ_flag: T}\nsource: {}\ntarget: {}\n")

@@ -137,3 +137,43 @@ def test_batch_and_stream_agree_on_event_instants(spark, tmp_path):
     assert (s["mn"], s["mx"]) == (b["mn"], b["mx"])
     # and the events really are in the fixtures' 2024 range, not 1970
     assert b["mn"].year >= 2020, f"batch reader itself drifted: {b['mn']}"
+
+
+def test_jdbc_scan_executes_against_embedded_derby(spark, tmp_path):
+    """S1 production path actually executed: write the orders table
+    into an embedded Derby database (on Spark's classpath for the Hive
+    metastore), then ``jdbc_scan`` it back partitioned — schema derived
+    from JDBC metadata (the reference's S2 catalog_scan, done by hand
+    there: /root/reference/utils/rdbms_operations.py:47-122), the scan
+    split into numPartitions ranges on partitionColumn (replacing the
+    reference's single-cursor chunksize=1000000 loop at :224-227).
+    Compares row-for-row against the parquet twin."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.readers import jdbc_scan, load_table
+
+    url = f"jdbc:derby:{tmp_path}/ordersdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+
+    writer = orders.write.format("jdbc").option("url", url).option("dbtable", "orders")
+    for k, v in props.items():
+        writer = writer.option(k, v)
+    writer.mode("overwrite").save()
+
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    scanned = jdbc_scan(
+        spark,
+        url,
+        "orders",
+        partition_column="o_orderkey",
+        num_partitions=4,
+        lower_bound=lo,
+        upper_bound=hi,
+        properties=props,
+    )
+    # the scan is genuinely range-partitioned, not one cursor
+    assert scanned.rdd.getNumPartitions() == 4
+    want = sorted(tuple(r) for r in orders.collect())
+    got = sorted(tuple(r) for r in scanned.collect())
+    assert got == want
