@@ -401,6 +401,85 @@ def decontaminate(
     )
 
 
+def _bloom_pos(gram: F.Column, seed: int, num_bits: int) -> F.Column:
+    """Probe position ``seed`` for a gram: md5-prefix int modulo the
+    bitmap size — the same arithmetic the DuckDB oracle replays
+    (plans/queries.py BLOOM_DECON_ORACLE), so positions are
+    cross-engine byte-identical."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), gram)), 1, 15), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(num_bits))
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    benchmark_max_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination — the variant of ``decontaminate``
+    for benchmark suites whose exact n-gram set is too large to
+    broadcast as a hash set (10^9 grams ≈ 60+ GB exact vs ~1.5 GB of
+    bloom bits at the same false-positive rate).
+
+    A gram is flagged when all ``num_hashes`` md5-derived probe bits
+    are set in the ``num_bits``-wide bitmap built from the benchmark
+    side.  No false negatives by construction (every truly shared gram
+    set its own bits); false positives are deterministic — the same
+    md5 arithmetic runs in the DuckDB oracle, so even the FP set is
+    cross-engine verified, not just bounded.
+
+    Scale posture: the bitmap derives from the BENCHMARK side only
+    (positions ∝ |bench grams| × k; collected driver-side here — at
+    billion-gram benchmarks build it distributed with bitwise-or
+    partial aggregates instead and broadcast the bytes).  The corpus
+    streams ONCE through pure JVM column math (md5/conv/shift inside
+    whole-stage codegen) with no join at all on the hot path — cheaper
+    than the exact variant's broadcast hash join — then one shuffle
+    for the per-doc count.  Reference anchor: the exact twin mirrors
+    /root/reference's full-refresh leakage guard surface (none exists
+    there; SURVEY §2b X-family)."""
+    sh = shingle_hash_table(df, id_col, text_col, shingle_n=shingle_n).select(
+        F.col("doc_id"), F.explode(F.array_distinct("shingles")).alias("gram")
+    )
+    bench = sh.filter(F.col("doc_id") < benchmark_max_id)
+    positions = {
+        r["p"]
+        for r in bench.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("gram"), i, num_bits) for i in range(num_hashes)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    }
+    words = [0] * ((num_bits + 63) // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    # wrap to signed int64 for LongType literals
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    corpus = sh.filter(F.col("doc_id") >= benchmark_max_id).withColumn(
+        "_bm", F.array(*[F.lit(w) for w in words])
+    )
+    for i in range(num_hashes):
+        corpus = corpus.withColumn(f"_p{i}", _bloom_pos(F.col("gram"), i, num_bits))
+    hit = " AND ".join(
+        f"(shiftright(element_at(_bm, cast(_p{i} div 64 as int) + 1), "
+        f"cast(_p{i} % 64 as int)) & 1) = 1"
+        for i in range(num_hashes)
+    )
+    return (
+        corpus.filter(F.expr(hit))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("bigint").alias("n_flagged_ngrams"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a",

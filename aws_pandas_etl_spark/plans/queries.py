@@ -2644,6 +2644,64 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BLOOM_BITS = 1 << 17
+BLOOM_K = 3
+
+
+def _bloom_decon_oracle() -> str:
+    n = DECON_SHINGLE_N
+    pos = (
+        "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || gram), 1, 15)) "
+        f"AS BIGINT) % {BLOOM_BITS}"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks('text')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+           i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))) AS g
+  FROM t
+),
+grams AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+pos AS (
+  SELECT doc_id, gram, i, {pos} AS p
+  FROM grams, generate_series(0, {BLOOM_K - 1}) s(i)
+),
+bp AS (SELECT DISTINCT p FROM pos WHERE doc_id < {DECON_BENCH_MAX_ID}),
+flagged AS (
+  SELECT doc_id, gram
+  FROM pos JOIN bp USING (p)
+  WHERE doc_id >= {DECON_BENCH_MAX_ID}
+  GROUP BY doc_id, gram
+  HAVING COUNT(DISTINCT i) = {BLOOM_K}
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_ngrams
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("decontaminate_bloom", _bloom_decon_oracle())
+def decontaminate_bloom_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/dedup.py::
+    decontaminate_bloom): same leakage guard as
+    ``decontaminate_benchmark`` but with the benchmark n-gram set
+    compressed to a {BLOOM_BITS}-bit bloom bitmap — the shape for
+    benchmark suites too large to broadcast exactly.  The corpus-side
+    membership test is pure codegen column math (no join); the
+    deterministic false-positive set is part of the oracle contract,
+    verified bit-for-bit by DuckDB replaying the identical md5 probe
+    arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.decontaminate_bloom(
+        docs,
+        benchmark_max_id=DECON_BENCH_MAX_ID,
+        shingle_n=DECON_SHINGLE_N,
+        num_bits=BLOOM_BITS,
+        num_hashes=BLOOM_K,
+    ).orderBy("doc_id")
+
+
 STREAM_DEDUP_ORACLE = """
 SELECT DISTINCT event_id FROM events
 """
@@ -2657,6 +2715,21 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_pandas_etl_spark.streaming.events_stream import run_streaming_dedup
 
     return run_streaming_dedup(spark, sf_dir, keys=["event_id"])
+
+
+@register("streaming_dedup_within_watermark", STREAM_DEDUP_ORACLE)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (streaming/events_stream.py::
+    run_streaming_dedup_within_watermark): state per key lives only for
+    the watermark horizon instead of forever — the continuous-ingest
+    twin of ``streaming_dedup_events``.  Unique fixture keys make the
+    result exactly DISTINCT (same oracle); the drop-within /
+    evict-after semantics are pinned by the multibatch unit test."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_streaming_dedup_within_watermark,
+    )
+
+    return run_streaming_dedup_within_watermark(spark, sf_dir, keys=["event_id"])
 
 
 SCD2_ORACLE = """

@@ -54,6 +54,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # hard ceiling on any single driver-bound result transfer: a
+        # pathological collect (e.g. an un-bounded streaming join into
+        # a memory sink) fails ITS query cleanly instead of driving the
+        # whole JVM into the ground — unbounded results belong on the
+        # executors' storage path (parquet sinks), never the driver
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

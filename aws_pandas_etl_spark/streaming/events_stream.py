@@ -271,6 +271,33 @@ def run_streaming_dedup(
     return _run_to_parquet_sink(spark, stream.dropDuplicates(keys), "dedup", timeout_sec)
 
 
+def run_streaming_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: list[str] | None = None,
+    delay: str = "2 hours",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` holds each key only until the
+    watermark passes its event time + delay, then evicts — state size
+    tracks the late-data horizon, not the full key history.  This is
+    the 100 TB/continuous-ingest shape of ``run_streaming_dedup``
+    (whose full-state variant is the right tool for bounded backfills
+    only).
+
+    Contract: duplicates arriving within ``delay`` of the first
+    occurrence are dropped; a key re-arriving after its state was
+    evicted is re-admitted (exactly the documented semantics —
+    eviction/readmission is pinned by
+    tests/test_streaming_multibatch.py).  On fixtures with unique keys
+    the result equals DISTINCT, which is the exact oracle."""
+    keys = keys or ["event_id"]
+    stream = events_stream(spark, sf_dir, with_watermark=delay).select("ts", *keys)
+    deduped = stream.dropDuplicatesWithinWatermark(keys).select(*keys)
+    return _run_to_parquet_sink(spark, deduped, "dedupww", timeout_sec)
+
+
 def run_stream_stream_range_join(
     spark: SparkSession,
     sf_dir: str,

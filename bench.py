@@ -49,6 +49,41 @@ def main() -> None:
         w.limit(64).mapInPandas(lambda it: it, schema=w.schema).write.format(
             "noop"
         ).mode("overwrite").save()
+        # warm the join + decimal-agg + sort codegen paths the TPC-H
+        # family leans on (C2 JIT of generated code dominates
+        # first-execution time at this scale — measured 15.5 s -> 3.9 s
+        # across identical q21 runs)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        li = load_table(spark, warm_dir, "lineitem")
+        orders = load_table(spark, warm_dir, "orders")
+        (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).alias("rev"),
+                F.countDistinct("l_suppkey").alias("nsupp"),
+            )
+            .orderBy("rev")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        # warm the Structured Streaming machinery (micro-batch planner,
+        # state store, checkpoint commits) — the five streaming queries
+        # each pay ~2-4 s of it cold
+        try:
+            from aws_pandas_etl_spark.streaming.events_stream import (
+                run_tumbling_agg_stream,
+            )
+
+            run_tumbling_agg_stream(spark, warm_dir, "6 hours").count()
+        except Exception as exc:
+            print(f"# streaming warmup skipped: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -219,6 +219,45 @@ def test_stateful_sessionize_stream_matches_batch(spark):
     assert stream == batch
 
 
+def test_bloom_decontaminate_superset_of_exact_no_join(spark):
+    """Bloom membership can only ADD docs (false positives), never drop
+    one the exact n-gram intersection finds — a false negative means
+    the filter arithmetic is broken.  And the corpus-side hot path must
+    be pure column math: no join anywhere below the final count
+    aggregate (the exact variant's broadcast join is the shape bloom
+    exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.operators import dedup as D
+    from aws_pandas_etl_spark.operators.dedup import shingle_hash_table
+
+    docs = load_table(spark, SF, "documents")
+    # ground truth = STRING-gram intersection (the `decontaminate`
+    # operator matches 28-bit gram hashes, which has its own
+    # deterministic, oracle-replicated collisions — doc 431 at sf0.001
+    # is exactly such a collision, shared hash but no shared gram)
+    sh = shingle_hash_table(docs, shingle_n=8).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("g")
+    )
+    bench_grams = sh.filter("doc_id < 50").select("g").distinct()
+    truth = {
+        r["doc_id"]: r["n"]
+        for r in sh.filter("doc_id >= 50")
+        .join(bench_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n"))
+        .collect()
+    }
+    bloom = D.decontaminate_bloom(docs, benchmark_max_id=50, shingle_n=8)
+    bloom_rows = {r["doc_id"]: r["n_flagged_ngrams"] for r in bloom.collect()}
+    missing = set(truth) - set(bloom_rows)
+    assert not missing, f"bloom false negatives: {missing}"
+    for d, n in truth.items():
+        assert bloom_rows[d] >= n  # flagged >= truly shared, per doc
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
 def test_exploding_stream_join_lands_in_files_not_driver(spark):
     """Round-4 regression: a stream-stream join whose output explodes
     (tolerance spanning most of the timeline -> near-quadratic

@@ -281,3 +281,87 @@ def test_stream_stream_range_join_pairs_across_batches(
         bounds[i + 1]["mn"] - bounds[i]["mx"] <= 300_000_000 for i in range(3)
     )
     assert crossing  # the state-carry claim is actually exercised
+
+
+def test_dedup_within_watermark_drops_then_readmits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics end-to-end: a duplicate
+    key arriving within the delay is DROPPED; once the watermark
+    evicts the key's state, the same key is RE-ADMITTED.  This is the
+    bounded-state contract that lets streaming dedup run forever —
+    state ∝ late-data horizon, not key history."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def us(h, m=0):
+        return int(dt.datetime(2024, 1, 1, h, m).timestamp() * 1_000_000)
+
+    def write(path, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), path)
+
+    d = str(tmp_path)
+    # b1: key 7 first seen 10:00. b2: duplicate at 10:20 (within the
+    # 30-min delay -> dropped) plus an event far ahead that pushes the
+    # watermark past 10:00+delay. State eviction runs at the END of a
+    # batch, after its input was deduped (verified via
+    # recentProgress.numRowsRemoved), so b3's 18:00 re-arrival is still
+    # deduped against live state while advancing the watermark further;
+    # b4's 19:00 re-arrival then lands on evicted state -> readmitted.
+    write(f"{d}/b1.parquet", [(7, us(10), 1, "view", 1.0, "{}")])
+    write(f"{d}/b2.parquet", [
+        (7, us(10, 20), 1, "view", 1.0, "{}"),
+        (99, us(14), 1, "view", 1.0, "{}"),
+    ])
+    write(f"{d}/b3.parquet", [(7, us(18), 1, "view", 1.0, "{}")])
+    write(f"{d}/b4.parquet", [
+        (7, us(19), 1, "view", 1.0, "{}"),
+        (100, us(19, 30), 1, "view", 1.0, "{}"),
+    ])
+    now = dt.datetime.now().timestamp()
+    for i, fn in enumerate(["b1", "b2", "b3", "b4"]):
+        os.utime(f"{d}/{fn}.parquet", (now - 240 + i * 60, now - 240 + i * 60))
+
+    stream = (
+        open_events_stream(spark, d, "b*.parquet", max_files_per_trigger=1)
+        .withWatermark("ts", "30 minutes")
+        .select("ts", "event_id")
+    )
+    out = stream.dropDuplicatesWithinWatermark(["event_id"])
+    name = f"ww_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    rows = sorted((r["event_id"], r["ts"].hour) for r in spark.table(name).collect())
+    # key 7 emitted at 10:00 and re-admitted at 19:00; the 10:20
+    # within-delay dup and the 18:00 pre-eviction arrival are gone
+    assert rows == [(7, 10), (7, 19), (99, 14), (100, 19)], rows
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert removed >= 2, f"state never evicted: {removed}"  # keys 7 and 99
