@@ -520,3 +520,60 @@ def test_mixture_sample_hits_target_shares(spark):
     # determinism: a second run selects the identical rows
     again = {r["doc_id"] for r in mixture_sample(df, "g", shares, id_col="doc_id").collect()}
     assert again == {r["doc_id"] for r in out}
+
+
+def test_zorder_localizes_both_dimensions(spark, tmp_path):
+    """Data-skipping quality, measured: write events clustered by
+    z-order(user_id, value) vs linear sort on user_id, then for each
+    output file compute the fraction of the 2-D (user_id, value)
+    domain its min/max box covers.  A selective conjunctive predicate
+    prunes a file iff the box misses it, so mean box area IS the
+    expected fraction of files a point query must read.  Z-order must
+    localize both dimensions at once; linear sort leaves the second
+    dimension's per-file range spanning ~the whole domain."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.operators.layout import zorder_write
+
+    # two HIGH-cardinality dims (event_id uniform ints, value
+    # continuous) — min/max pruning is per-dimension, so the metric is
+    # each file's normalized extent per dim: a range predicate on one
+    # dim reads ~mean-extent of the files
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    [dom] = ev.agg(
+        F.min("event_id").alias("u0"), F.max("event_id").alias("u1"),
+        F.min("value").alias("v0"), F.max("value").alias("v1"),
+    ).collect()
+
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    zorder_write(ev, zpath, ["event_id", "value"], num_files=16)
+    (
+        ev.repartitionByRange(16, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(lpath)
+    )
+
+    def mean_extents(path):
+        import glob as g
+        dus, dvs = [], []
+        for f in sorted(g.glob(f"{path}/part-*.parquet")):
+            [r] = spark.read.parquet(f).agg(
+                F.min("event_id").alias("u0"), F.max("event_id").alias("u1"),
+                F.min("value").alias("v0"), F.max("value").alias("v1"),
+            ).collect()
+            dus.append((r["u1"] - r["u0"]) / max(dom["u1"] - dom["u0"], 1))
+            dvs.append((r["v1"] - r["v0"]) / max(dom["v1"] - dom["v0"], 1e-12))
+        n = len(dus)
+        return sum(dus) / n, sum(dvs) / n, n
+
+    z_du, z_dv, zn = mean_extents(zpath)
+    l_du, l_dv, ln = mean_extents(lpath)
+    assert zn > 4 and ln > 4  # clustering actually produced many files
+    # linear sort clusters dim 1 perfectly but leaves dim 2's per-file
+    # range spanning ~the whole domain; z-order must localize BOTH:
+    # a value-range query reads ~z_dv of the z-files vs ~l_dv (≈all)
+    # of the linear files
+    assert z_dv < l_dv / 2, f"value extent: zorder {z_dv:.3f} vs linear {l_dv:.3f}"
+    assert z_du < 0.5, f"event_id extent not localized: {z_du:.3f}"
+    # and the z-ordered copy is the same data
+    assert spark.read.parquet(zpath).count() == ev.count()
