@@ -2315,6 +2315,96 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(cond).agg(_rev_spark().alias("revenue"))
 
 
+Q15_ORACLE = """
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_d
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_d AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_d = (SELECT MAX(total_d) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.  The
+    `revenue0` view becomes one aggregated frame computed ONCE and
+    reused for both the max (1-row broadcast) and the equality filter
+    — no re-evaluation, no correlated subquery.  The tie comparison
+    runs on the exact decimal, so equal-revenue suppliers surface
+    deterministically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("total_d")
+        )
+    )
+    mx = rev.agg(F.max("total_d").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_d == mx.mx)
+        .join(supp, rev.supplier_no == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_d").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_parts_supplier_counts", Q16_ORACLE)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute
+    group under negated predicates.  Deviations from spec, both forced
+    by the harness schema: the part-supplier relation is derived from
+    lineitem (no partsupp fixture — `SELECT DISTINCT l_partkey,
+    l_suppkey`), and the `s_comment NOT LIKE '%Complaints%'` NOT-IN
+    arm is dropped (supplier has no comment column).  The plan shape
+    is the point: NOT/NOT-LIKE/IN predicates push to the part scan,
+    the pair-distinct is one shuffle, and the count-distinct rides the
+    same grouping."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").startswith("PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
 Q22_ORACLE = """
 WITH avg_bal AS (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v
@@ -2715,6 +2805,45 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_pandas_etl_spark.streaming.events_stream import run_streaming_dedup
 
     return run_streaming_dedup(spark, sf_dir, keys=["event_id"])
+
+
+SESSION_WINDOW_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), s AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM g GROUP BY user_id, sid
+)
+SELECT * FROM s
+WHERE session_end <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
+@register("streaming_session_window_native", SESSION_WINDOW_ORACLE)
+def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window streaming sessionization
+    (streaming/events_stream.py::run_session_window_agg): Spark-managed
+    merging session state + watermark eviction, append mode.  The
+    oracle replays BOTH the session construction (gap >= 30 min starts
+    a session; end = last event + gap) and the emission rule (only
+    sessions whose end the final watermark passed) — so the
+    still-open-stays-in-state contract is value-checked, not assumed."""
+    from aws_pandas_etl_spark.streaming.events_stream import run_session_window_agg
+
+    return run_session_window_agg(spark, sf_dir)
 
 
 @register("streaming_dedup_within_watermark", STREAM_DEDUP_ORACLE)

@@ -271,6 +271,41 @@ def run_streaming_dedup(
     return _run_to_parquet_sink(spark, stream.dropDuplicates(keys), "dedup", timeout_sec)
 
 
+def run_session_window_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Native session windows (``F.session_window``): Spark's own
+    merging session state, watermark-bounded, append mode — the
+    idiomatic streaming sessionization (the custom
+    ``applyInPandasWithState`` sessionizer in sessionize.py exists for
+    the semantics session_window can't express: cross-batch fragment
+    numbering and arbitrary per-session state).
+
+    Emission contract (exact, oracle-verified): a session [first_ts,
+    last_ts + gap) is emitted once the event-time watermark
+    (max(ts) - delay) passes its end; sessions still open at the end
+    of the backlog stay in state, unemitted — precisely the
+    incremental semantics a resumed availableNow run needs.  Session
+    boundary: a gap >= ``gap`` starts a new session (session windows
+    merge only on strict overlap)."""
+    stream = events_stream(spark, sf_dir, with_watermark=watermark)
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_parquet_sink(spark, agg, "sesswin", timeout_sec)
+
+
 def run_streaming_dedup_within_watermark(
     spark: SparkSession,
     sf_dir: str,

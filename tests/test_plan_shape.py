@@ -127,6 +127,8 @@ _SKIP_EXECUTING = {
     "streaming_events_hourly",
     "streaming_sessionize_stateful",
     "streaming_dedup_events",
+    "streaming_dedup_within_watermark",
+    "streaming_session_window_native",
     "streaming_static_join_enrich",
     "streaming_range_join_errors_clicks",
 }
