@@ -34,45 +34,48 @@ def _bucket(col: Column, bounds: list[float], bits: int) -> Column:
     return F.least(n, F.lit((1 << bits) - 1)).cast("bigint")
 
 
-def _interleave(x: Column, y: Column, bits: int) -> Column:
-    """Morton-interleave two ``bits``-wide ints: bit i of x lands at
-    position 2i, bit i of y at 2i+1.  Unrolled shift/mask chain — stays
-    inside whole-stage codegen."""
+def _interleave(dims: list[Column], bits: int) -> Column:
+    """Morton-interleave N ``bits``-wide ints: bit i of dimension d
+    lands at position i*N + d.  Unrolled shift/mask chain — stays
+    inside whole-stage codegen.  The total z-width (bits*N) must fit a
+    long; callers size bits accordingly."""
+    n = len(dims)
+    if bits * n > 62:
+        raise ValueError(f"{n} dims x {bits} bits exceeds a long z-value")
     z = F.lit(0).cast("bigint")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for d, col in enumerate(dims):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(col, i).bitwiseAND(F.lit(1)), i * n + d)
+            )
     return z
 
 
 def zorder_value(
     df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS, out_col: str = "_z"
 ) -> DataFrame:
-    """Attach the z-order key for ``cols`` (currently 2 dims — the
-    overwhelmingly common case; more dims = smaller per-dim bit budget
-    with the same construction).
+    """Attach the z-order key for ``cols`` (2+ dims; per-dim resolution
+    is capped so the interleaved key fits a long — more dims = coarser
+    cells, same construction).
 
     Quantile-based rank normalization makes the curve robust to skewed
     distributions (equi-POPULATED cells, not equi-width), at the cost
-    of one approxQuantile pass over the two columns."""
-    if len(cols) != 2:
-        raise ValueError("zorder_value supports exactly 2 columns")
-    nq = min(1 << bits, 256)  # boundary count: 256 cells/dim localizes
-    # plenty and keeps the literal array (and quantile pass) small
+    of one approxQuantile pass over the columns."""
+    if len(cols) < 2:
+        raise ValueError("zorder_value needs at least 2 columns")
+    nq = min(1 << bits, 256, 1 << (62 // len(cols)))
+    # boundary count: 256 cells/dim localizes plenty and keeps the
+    # literal array (and quantile pass) small
     probs = [i / nq for i in range(1, nq)]
     eff_bits = (nq - 1).bit_length()
-    b0, b1 = (
+    bounds = (
         df.selectExpr(*[f"cast(`{c}` as double) as `{c}`" for c in cols])
         .approxQuantile(cols, probs, 0.01)
     )
     return df.withColumn(
         out_col,
         _interleave(
-            _bucket(F.col(cols[0]), b0, eff_bits),
-            _bucket(F.col(cols[1]), b1, eff_bits),
+            [_bucket(F.col(c), b, eff_bits) for c, b in zip(cols, bounds)],
             eff_bits,
         ),
     )

@@ -577,3 +577,35 @@ def test_zorder_localizes_both_dimensions(spark, tmp_path):
     assert z_du < 0.5, f"event_id extent not localized: {z_du:.3f}"
     # and the z-ordered copy is the same data
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_zorder_interleave_bijective(spark):
+    """The Morton interleave must be a bijection on (x, y) bucket pairs
+    (collisions would merge unrelated cells and silently destroy
+    clustering), and the 3-dim variant must round-trip too."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.operators.layout import _interleave
+
+    df = spark.range(0, 64).selectExpr(
+        "cast(id % 8 as bigint) as x", "cast(id div 8 as bigint) as y"
+    )
+    rows = df.withColumn("z", _interleave([F.col("x"), F.col("y")], 3)).collect()
+    assert len({r["z"] for r in rows}) == 64  # injective on the 8x8 grid
+    for r in rows:
+        x = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(3))
+        y = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(3))
+        assert (x, y) == (r["x"], r["y"])  # exact inverse
+
+    d3 = spark.range(0, 27).selectExpr(
+        "cast(id % 3 as bigint) as a",
+        "cast((id div 3) % 3 as bigint) as b",
+        "cast(id div 9 as bigint) as c",
+    )
+    zs = {
+        r["z"]
+        for r in d3.withColumn(
+            "z", _interleave([F.col("a"), F.col("b"), F.col("c")], 2)
+        ).collect()
+    }
+    assert len(zs) == 27

@@ -365,3 +365,51 @@ def test_dedup_within_watermark_drops_then_readmits(spark, tmp_path):
         if p["stateOperators"]
     )
     assert removed >= 2, f"state never evicted: {removed}"  # keys 7 and 99
+
+
+def test_streaming_resume_from_checkpoint_exactly_once(spark, split_events_dir, tmp_path):
+    """Kill-and-resume: stop a file-sink streaming query mid-backlog,
+    restart it with the SAME checkpoint + output path, and the final
+    output must be exactly the batch result — no lost batch, no
+    double-committed batch.  This is the exactly-once contract the
+    parquet-sink scaffold relies on (checkpoint WAL + _spark_metadata
+    transaction log); a regression here silently corrupts every
+    incremental load built on the engine."""
+    import time
+
+    d = split_events_dir
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def start():
+        stream = open_events_stream(
+            spark, d, "batch_*.parquet", max_files_per_trigger=1
+        ).select("event_id")
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    # stop as soon as at least one micro-batch has committed
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    q2 = start()
+    assert q2.awaitTermination(300)
+    q2.stop()
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.option("pathGlobFilter", "batch_*.parquet").parquet(d).collect()
+    )
+    assert got == want  # every event exactly once across the restart
