@@ -2341,6 +2341,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
+    # the view feeds BOTH the max and the equality filter — persist so
+    # lineitem is scanned once, not twice (the aggregated frame is one
+    # row per supplier)
     rev = (
         li.filter(
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
@@ -2353,7 +2356,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("total_d")
         )
-    )
+    ).persist()
     mx = rev.agg(F.max("total_d").alias("mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_d == mx.mx)
