@@ -4365,16 +4365,18 @@ def pipeline_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representative of every SURVEY §2 / §2b operator family in the first
 # 50 — TPC-H core + extension shapes, anti/semi joins, windows,
 # distributed global ranking, cube/pivot, sessionization (batch +
-# stateful streaming), streaming aggregation + dedup, JSON, the whole
-# ETL pipeline surface (P1-P8/F1/K1/K2/A1/E1), all five mandated dedup
-# variants (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
-# cosine), ANN (brute-force/LSH/IVF), text + LLM-training-data ops
-# (stats, tf-idf, PII, chunking, corpus curation, splits, packing,
-# stratified sampling), multimodal, as-of/range joins, SCD2, funnel,
-# skew-salted agg, percentiles, upsert, the SQL interface, and outer
-# joins.  Everything outside the window keeps full coverage in the
-# local exact-value oracle sweep (tests/test_queries_oracle.py, all
-# entries).
+# stateful streaming + native session windows), streaming aggregation
+# + dedup (full-state AND bounded within-watermark), JSON, the whole
+# ETL pipeline surface (P1-P8/F1/K1/K2/A1/E1), the dedup family
+# (exact, MinHash-LSH, n-gram Jaccard, embedding cosine, bloom
+# decontamination; SimHash + exact decon are exact-checked locally),
+# ANN (brute-
+# force/LSH/IVF), text + LLM-training-data ops (stats, tf-idf, PII,
+# chunking, corpus curation, splits, packing, stratified sampling),
+# multimodal, as-of/range joins, SCD2, funnel, skew-salted agg,
+# percentiles, upsert, the SQL interface, and outer joins.  Everything
+# outside the window keeps full coverage in the local exact-value
+# oracle sweep (tests/test_queries_oracle.py, all entries).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -4386,7 +4388,7 @@ _DRIVER_WINDOW = [
     "customers_without_urgent_orders",
     "order_priority_counts",
     "window_topk_orders_per_customer",
-    "window_running_total",
+    "streaming_session_window_native",
     "user_spend_percent_rank",
     "nation_revenue_share",
     "lineitem_cube",
@@ -4396,7 +4398,7 @@ _DRIVER_WINDOW = [
     "streaming_events_hourly",
     "streaming_dedup_events",
     "events_json_kpi",
-    "events_json_struct",
+    "streaming_dedup_within_watermark",
     "etl_enriched_events",
     "row_hash_documents",
     "schema_enforce_lineitem",
@@ -4404,7 +4406,7 @@ _DRIVER_WINDOW = [
     "pipeline_error_isolation",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "decontaminate_bloom",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "topk_similarity_bruteforce",
