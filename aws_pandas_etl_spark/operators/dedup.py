@@ -381,19 +381,24 @@ def decontaminate(
     table).  The standard guard against test-set leakage into
     training data.
 
-    Plan shape: explode per-doc distinct shingle hashes once, split
-    into benchmark/corpus sides, broadcast the (small) benchmark hash
-    set, semi-style inner join + per-doc distinct count.  Never
-    compares documents pairwise — cost is O(total shingles), and the
-    benchmark side is tiny by construction, so the join is a broadcast
-    hash join with no shuffle of the corpus shingles."""
-    sh = shingle_hash_table(df, id_col, text_col, shingle_n=shingle_n).select(
-        "doc_id", F.explode("hashes").alias("h")
-    )
+    Plan shape: split benchmark/corpus BEFORE shingle extraction (the
+    mapInPandas stage is a pushdown barrier — filtering its output
+    would shingle the whole table once per side; filtering its input
+    pushes each side's predicate into the parquet scan, so the tiny
+    benchmark pass reads only benchmark rows and the corpus is
+    shingled exactly once), broadcast the (small) benchmark hash set,
+    semi-style inner join + per-doc distinct count.  Never compares
+    documents pairwise — cost is O(total shingles)."""
+
+    def _grams(side: DataFrame) -> DataFrame:
+        return shingle_hash_table(side, id_col, text_col, shingle_n=shingle_n).select(
+            "doc_id", F.explode("hashes").alias("h")
+        )
+
     bench = (
-        sh.filter(F.col("doc_id") < benchmark_max_id).select("h").distinct()
+        _grams(df.filter(F.col(id_col) < benchmark_max_id)).select("h").distinct()
     )
-    corpus = sh.filter(F.col("doc_id") >= benchmark_max_id)
+    corpus = _grams(df.filter(F.col(id_col) >= benchmark_max_id))
     return (
         corpus.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
@@ -443,10 +448,14 @@ def decontaminate_bloom(
     for the per-doc count.  Reference anchor: the exact twin mirrors
     /root/reference's full-refresh leakage guard surface (none exists
     there; SURVEY §2b X-family)."""
-    sh = shingle_hash_table(df, id_col, text_col, shingle_n=shingle_n).select(
-        F.col("doc_id"), F.explode(F.array_distinct("shingles")).alias("gram")
-    )
-    bench = sh.filter(F.col("doc_id") < benchmark_max_id)
+    def _grams(side: DataFrame) -> DataFrame:
+        # split BEFORE the mapInPandas stage: filters push into the
+        # scan instead of shingling the whole table per side
+        return shingle_hash_table(side, id_col, text_col, shingle_n=shingle_n).select(
+            F.col("doc_id"), F.explode(F.array_distinct("shingles")).alias("gram")
+        )
+
+    bench = _grams(df.filter(F.col(id_col) < benchmark_max_id))
     positions = {
         r["p"]
         for r in bench.select(
@@ -463,8 +472,11 @@ def decontaminate_bloom(
     # wrap to signed int64 for LongType literals
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
-    corpus = sh.filter(F.col("doc_id") >= benchmark_max_id).withColumn(
-        "_bm", F.array(*[F.lit(w) for w in words])
+    # ONE array Literal (constant object in codegen) — F.array(*lits)
+    # would be a CreateArray re-evaluated per row: num_bits/64 element
+    # allocations x corpus grams
+    corpus = _grams(df.filter(F.col(id_col) >= benchmark_max_id)).withColumn(
+        "_bm", F.lit(words)
     )
     for i in range(num_hashes):
         corpus = corpus.withColumn(f"_p{i}", _bloom_pos(F.col("gram"), i, num_bits))
