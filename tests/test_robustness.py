@@ -207,3 +207,24 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
     # already compact: no rewrite
     assert compact_table(spark, p, target_file_mb=512) == (1, 1)
+
+
+def test_bloom_decontaminate_invariant_under_partitioning(spark):
+    """The bloom bitmap is built from collected positions and the
+    membership test is per-row math, so the flagged set must be
+    bit-identical whatever the input partitioning (3 vs 32) — a
+    partition-dependent result would mean the bitmap build raced or
+    the probe arithmetic touched partition state."""
+    from aws_pandas_etl_spark.operators.dedup import decontaminate_bloom
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(
+        tuple(r)
+        for r in decontaminate_bloom(docs.repartition(3), benchmark_max_id=50).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in decontaminate_bloom(docs.repartition(32), benchmark_max_id=50).collect()
+    )
+    assert a == b and len(a) > 0
