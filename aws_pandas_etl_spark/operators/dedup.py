@@ -406,15 +406,18 @@ def decontaminate(
     )
 
 
-def _bloom_pos(gram: F.Column, seed: int, num_bits: int) -> F.Column:
-    """Probe position ``seed`` for a gram: md5-prefix int modulo the
-    bitmap size — the same arithmetic the DuckDB oracle replays
-    (plans/queries.py BLOOM_DECON_ORACLE), so positions are
-    cross-engine byte-identical."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), gram)), 1, 15), 16, 10
-    ).cast("bigint")
-    return F.pmod(h, F.lit(num_bits))
+# Multiplicative-hash probe constants (xxhash primes).  With 28-bit
+# gram hashes the products stay < 2^60 — exact in a signed 64-bit long
+# on BOTH engines, so the DuckDB oracle replays positions bit-for-bit.
+_BLOOM_MULT = (2654435761, 2246822519, 3266489917)
+
+
+def _bloom_pos(h: F.Column, seed: int, num_bits: int) -> F.Column:
+    """Probe position ``seed`` for a gram's 28-bit hash: one integer
+    multiply + modulo (no per-probe md5 — the gram hash was already
+    computed once in the Arrow shingle stage; plans/queries.py
+    BLOOM_DECON_ORACLE replays the identical arithmetic)."""
+    return F.pmod(h * F.lit(_BLOOM_MULT[seed]), F.lit(num_bits))
 
 
 def decontaminate_bloom(
@@ -431,28 +434,36 @@ def decontaminate_bloom(
     broadcast as a hash set (10^9 grams ≈ 60+ GB exact vs ~1.5 GB of
     bloom bits at the same false-positive rate).
 
-    A gram is flagged when all ``num_hashes`` md5-derived probe bits
-    are set in the ``num_bits``-wide bitmap built from the benchmark
-    side.  No false negatives by construction (every truly shared gram
-    set its own bits); false positives are deterministic — the same
-    md5 arithmetic runs in the DuckDB oracle, so even the FP set is
-    cross-engine verified, not just bounded.
+    A gram is flagged when all ``num_hashes`` probe bits are set in
+    the ``num_bits``-wide bitmap built from the benchmark side.  The
+    probes are multiplicative hashes of the 28-bit gram hash the Arrow
+    shingle stage already computed — no further hashing of gram text.
+    No false negatives relative to the exact variant by construction
+    (the exact variant matches on the same 28-bit hashes, and every
+    benchmark hash set its own bits); false positives are
+    deterministic — the DuckDB oracle replays the identical integer
+    arithmetic, so even the FP set is cross-engine verified, not just
+    bounded.
 
     Scale posture: the bitmap derives from the BENCHMARK side only
     (positions ∝ |bench grams| × k; collected driver-side here — at
     billion-gram benchmarks build it distributed with bitwise-or
     partial aggregates instead and broadcast the bytes).  The corpus
-    streams ONCE through pure JVM column math (md5/conv/shift inside
-    whole-stage codegen) with no join at all on the hot path — cheaper
-    than the exact variant's broadcast hash join — then one shuffle
-    for the per-doc count.  Reference anchor: the exact twin mirrors
-    /root/reference's full-refresh leakage guard surface (none exists
-    there; SURVEY §2b X-family)."""
+    streams ONCE through pure JVM integer math (multiply/mod/shift
+    inside whole-stage codegen) with no join at all on the hot path —
+    cheaper than the exact variant's broadcast hash join — then one
+    shuffle for the per-doc count.  Reference anchor: the exact twin
+    mirrors /root/reference's full-refresh leakage guard surface (none
+    exists there; SURVEY §2b X-family)."""
+    if num_hashes > len(_BLOOM_MULT):
+        raise ValueError(f"num_hashes capped at {len(_BLOOM_MULT)}")
+
     def _grams(side: DataFrame) -> DataFrame:
         # split BEFORE the mapInPandas stage: filters push into the
-        # scan instead of shingling the whole table per side
+        # scan instead of shingling the whole table per side; probe on
+        # the precomputed per-doc-distinct gram hashes, not gram text
         return shingle_hash_table(side, id_col, text_col, shingle_n=shingle_n).select(
-            F.col("doc_id"), F.explode(F.array_distinct("shingles")).alias("gram")
+            F.col("doc_id"), F.explode("hashes").alias("h")
         )
 
     bench = _grams(df.filter(F.col(id_col) < benchmark_max_id))
@@ -460,7 +471,7 @@ def decontaminate_bloom(
         r["p"]
         for r in bench.select(
             F.explode(
-                F.array(*[_bloom_pos(F.col("gram"), i, num_bits) for i in range(num_hashes)])
+                F.array(*[_bloom_pos(F.col("h"), i, num_bits) for i in range(num_hashes)])
             ).alias("p")
         )
         .distinct()
@@ -479,7 +490,7 @@ def decontaminate_bloom(
         "_bm", F.lit(words)
     )
     for i in range(num_hashes):
-        corpus = corpus.withColumn(f"_p{i}", _bloom_pos(F.col("gram"), i, num_bits))
+        corpus = corpus.withColumn(f"_p{i}", _bloom_pos(F.col("h"), i, num_bits))
     hit = " AND ".join(
         f"(shiftright(element_at(_bm, cast(_p{i} div 64 as int) + 1), "
         f"cast(_p{i} % 64 as int)) & 1) = 1"
@@ -488,7 +499,7 @@ def decontaminate_bloom(
     return (
         corpus.filter(F.expr(hit))
         .groupBy("doc_id")
-        .agg(F.count_distinct("gram").cast("bigint").alias("n_flagged_ngrams"))
+        .agg(F.count_distinct("h").cast("bigint").alias("n_flagged_ngrams"))
     )
 
 

@@ -2743,9 +2743,11 @@ BLOOM_K = 3
 
 def _bloom_decon_oracle() -> str:
     n = DECON_SHINGLE_N
-    pos = (
-        "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || gram), 1, 15)) "
-        f"AS BIGINT) % {BLOOM_BITS}"
+    from aws_pandas_etl_spark.operators.dedup import _BLOOM_MULT
+
+    mult = (
+        "CASE i WHEN 0 THEN " + " WHEN 1 THEN ".join(str(m) for m in _BLOOM_MULT[:2])
+        + f" ELSE {_BLOOM_MULT[2]} END"
     )
     return f"""
 WITH t AS (SELECT doc_id, {_dk_toks('text')} AS toks FROM documents),
@@ -2756,17 +2758,20 @@ sh AS (
            i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))) AS g
   FROM t
 ),
-grams AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+e AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 7)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(g) AS gram FROM sh)
+),
 pos AS (
-  SELECT doc_id, gram, i, {pos} AS p
-  FROM grams, generate_series(0, {BLOOM_K - 1}) s(i)
+  SELECT doc_id, h, i, (h * ({mult})) % {BLOOM_BITS} AS p
+  FROM e, generate_series(0, {BLOOM_K - 1}) s(i)
 ),
 bp AS (SELECT DISTINCT p FROM pos WHERE doc_id < {DECON_BENCH_MAX_ID}),
 flagged AS (
-  SELECT doc_id, gram
+  SELECT doc_id, h
   FROM pos JOIN bp USING (p)
   WHERE doc_id >= {DECON_BENCH_MAX_ID}
-  GROUP BY doc_id, gram
+  GROUP BY doc_id, h
   HAVING COUNT(DISTINCT i) = {BLOOM_K}
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_ngrams
