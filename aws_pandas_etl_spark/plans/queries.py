@@ -823,6 +823,102 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_near_minhash(docs, threshold=0.5, shingle_n=3)
 
 
+def _levenshtein_oracle() -> str:
+    return f"""
+WITH neardup AS (
+  {_minhash_oracle()}
+)
+SELECT n.a, n.b,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+       CAST(ROUND(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                  / greatest(len(ta.text), len(tb.text), 1), 6) AS DOUBLE)
+         AS edit_similarity
+FROM neardup n
+JOIN documents ta ON ta.doc_id = n.a
+JOIN documents tb ON tb.doc_id = n.b
+ORDER BY n.a, n.b
+"""
+
+
+@register("levenshtein_near_dup_rescore", _levenshtein_oracle())
+def levenshtein_near_dup_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance rescoring of near-dup candidates — the standard
+    entity-resolution second pass: Jaccard banding finds the
+    candidates cheaply, character-level Levenshtein (JVM built-in,
+    O(len_a * len_b) per pair) confirms them.  Scale shape: the
+    quadratic-cost function only ever touches the LSH candidate set
+    (∝ true duplicates), never the corpus cross product; the two
+    document-text lookups are hash joins on doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.dedup_near_minhash(docs, threshold=0.5, shingle_n=3).select("a", "b")
+    ta = docs.select(F.col("doc_id").alias("a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("b"), F.col("text").alias("_tb"))
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    sim = F.round(
+        F.lit(1.0)
+        - dist.cast("double")
+        / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)),
+        6,
+    )
+    return (
+        pairs.join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            dist.cast("bigint").alias("edit_distance"),
+            sim.cast("double").alias("edit_similarity"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+BATCH_SESSION_WINDOW_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("session_window_batch", BATCH_SESSION_WINDOW_ORACLE)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window`` in BATCH mode — the third construction of
+    the same sessionization semantics (lag+cumsum windows, stateful
+    streaming, and now Spark's native merging session aggregation).
+    One groupBy, no window functions: the aggregation merges
+    overlapping [ts, ts+gap) intervals per user directly.  Plan scales
+    as a hash aggregation on (user, session) — no per-user global
+    sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def _simhash_oracle() -> str:
     bits = 32
     return f"""
