@@ -364,6 +364,40 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DISTRIBUTION_WINDOW_ORACLE = """
+SELECT event_id, user_id,
+       CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS value_cume_dist,
+       first_value(event_id) OVER w AS first_event,
+       last_value(event_id) OVER (PARTITION BY user_id ORDER BY value, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event,
+       nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY value, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+
+
+@register("window_value_distribution", DISTRIBUTION_WINDOW_ORACLE)
+def window_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/navigation window family: cume_dist plus
+    first/last/nth_value under an explicit full-partition frame (the
+    default RANGE..CURRENT ROW frame makes last_value a footgun both
+    engines share — pinned here with the unbounded frame).  Order key
+    includes event_id so ties are deterministic cross-engine.  One
+    shuffle on user_id serves all four functions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("value_cume_dist"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wf).alias("last_event"),
+        F.nth_value("event_id", 2).over(wf).alias("second_event"),
+    )
+
+
 SESSION_ORACLE = """
 WITH g AS (
   SELECT user_id, event_id, ts,

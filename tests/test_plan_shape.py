@@ -155,6 +155,24 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
     assert not offenders, f"non-scalar cross joins: {offenders}"
 
 
+def test_no_row_at_a_time_python_in_any_plan(spark):
+    """Global hot-path guard: no registered query may plan a
+    BatchEvalPython (row-at-a-time Python UDF — the 10-100x slow path).
+    Python is allowed ONLY at Arrow boundaries (MapInPandas /
+    FlatMapGroupsInPandas), which render as different nodes.  Sole
+    exception: the Python-UDTF API-coverage query, whose docstring
+    declares the relational trigram query as the hot-path twin —
+    UDTFs have no Arrow evaluation mode to switch to."""
+    allowed = {"udtf_char_trigrams_top20"}
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in _SKIP_EXECUTING or name in allowed:
+            continue
+        if "BatchEvalPython" in _plan(fn(spark, SF)):
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
 def test_mixture_sample_broadcasts_rates(spark):
     """The mixture keep-rates (one row per group) must reach the scan
     side as a broadcast, never a shuffle of the documents table."""
