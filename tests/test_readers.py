@@ -177,3 +177,27 @@ def test_jdbc_scan_executes_against_embedded_derby(spark, tmp_path):
     want = sorted(tuple(r) for r in orders.collect())
     got = sorted(tuple(r) for r in scanned.collect())
     assert got == want
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution across appended batches: an old batch written
+    without a column and a new batch with it must read back as one
+    table under mergeSchema, old rows NULL-filled — the evolution path
+    the reference's cast-or-fail schema enforcement cannot express
+    (its answer is a full TRUNCATE+reload).  Also pins the default:
+    without mergeSchema Spark serves ONE footer's schema, so relying
+    on implicit merging is a silent-data-loss bug, not a feature."""
+    from pyspark.sql import functions as F
+
+    old = spark.range(3).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    new = spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("new").alias("v"), F.lit(7).alias("extra")
+    )
+    old.write.mode("append").parquet(str(tmp_path / "t"))
+    new.write.mode("append").parquet(str(tmp_path / "t"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"k", "v", "extra"}
+    rows = {r["k"]: (r["v"], r["extra"]) for r in merged.collect()}
+    assert rows[0] == ("old", None) and rows[4] == ("new", 7)
+    assert len(rows) == 5
