@@ -3546,8 +3546,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document.  Plan: ONE explode+aggregation produces tf; df derives
     from tf with a plain count (tf already has exactly one row per
     (doc, term), so no second explode/count_distinct pass over the
-    corpus); df is corpus-bounded (vocabulary-sized) so it broadcasts
-    back onto tf; N is a 1-row scalar.  The idf ratio is computed on
+    corpus); the tf->df join strategy is left to AQE — a web-scale
+    vocabulary is heavy-tailed (typos, numbers, URLs make distinct
+    terms corpus-scaling), so forcing a broadcast here would OOM at
+    100x while AQE still broadcasts it when it measures small; N is a
+    1-row scalar.  The idf ratio is computed on
     identical doubles in both engines; ln differs by at most 1 ulp,
     absorbed by the 6-digit rounding."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3558,7 +3561,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -3814,9 +3817,12 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
 def conversion_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel: users whose first view precedes a
     click precedes a purchase.  Each stage is a groupBy + time-bounded
-    semi-style join against the previous stage's (small) first-event
-    table — stage tables broadcast; the event log is scanned per stage
-    with the type filter pushed down, never self-joined row-to-row."""
+    join against the previous stage's first-event table; the event log
+    is scanned per stage with the type filter pushed down, never
+    self-joined row-to-row.  Stage tables are one row per distinct
+    user — corpus-scaling, so no forced broadcast: AQE broadcasts
+    them while they measure small and degrades to a shuffle join at
+    scale instead of OOMing the build."""
     ev = load_table(spark, sf_dir, "events")
     # persist the stage tables: each feeds both its own count and the
     # next stage's broadcast — without caching the event scan + groupBy
@@ -3828,14 +3834,14 @@ def conversion_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> D
     ).persist()
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") >= F.col("mv"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("mc"))
     ).persist()
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") >= F.col("mc"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("mp"))

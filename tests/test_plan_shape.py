@@ -237,6 +237,57 @@ def _subtree(lines: list[str], i: int) -> str:
 # to a shuffle join.
 _SF_SCALING_KEYS = ("c_custkey", "p_partkey", "s_suppkey")
 
+# Grouping keys whose distinct cardinality scales with the corpus even
+# though the frame is an aggregate: one row per user / document /
+# vocabulary term / embedding vector.  A frame grouped by one of these
+# is NOT bounded — forcing a broadcast on it OOMs at 100x the same way
+# a raw customer scan would.
+_CORPUS_SCALING_GROUP_KEYS = ("user_id", "doc_id", "term", "vec_id")
+
+
+def _balanced_list(text: str, start: int) -> str:
+    """Contents of the bracketed list opening at text[start] == '['."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "[":
+            depth += 1
+        elif text[i] == "]":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i]
+    return text[start + 1 :]
+
+
+def _hinted_scaling_aggregates(df) -> list[str]:
+    """Grouping-key hits for every broadcast hint whose broadcast
+    cardinality is corpus-scaling: for each ResolvedHint, take the
+    TOPMOST Aggregate in its subtree (that aggregate's grouping bounds
+    what is materialized on the driver) and flag it if it groups by a
+    corpus-scaling key.  Scalar aggregates (no grouping list) and
+    bounded groupings (lang, nation, _gr_pid, band buckets) pass."""
+    tree = df._jdf.queryExecution().analyzed().treeString()
+    lines = tree.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line and "UnresolvedHint" not in line:
+            continue
+        sub = _subtree(lines, i)
+        agg_lines = [l for l in sub.splitlines() if "Aggregate [" in l]
+        if not agg_lines:
+            continue
+        top = agg_lines[0]
+        start = top.index("Aggregate [") + len("Aggregate ")
+        first = _balanced_list(top, start)
+        rest = top[start + len(first) + 2 :]
+        if not rest.lstrip().startswith(", ["):
+            # single list => scalar aggregate (no grouping): 1 row, fine
+            continue
+        grouping = first
+        hits.extend(
+            k for k in _CORPUS_SCALING_GROUP_KEYS if f"{k}#" in grouping
+        )
+    return hits
+
 
 def test_no_forced_broadcast_of_sf_scaling_tables(spark):
     """No registered TPC-H-family query may carry an explicit broadcast
@@ -268,6 +319,39 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
             if hit:
                 offenders.setdefault(q, []).extend(hit)
     assert not offenders, f"forced broadcast of SF-scaling tables: {offenders}"
+
+
+def test_no_forced_broadcast_of_corpus_scaling_aggregates(spark):
+    """No registered query may force-broadcast a DERIVED frame whose
+    grouping key scales with the corpus (one row per user / doc / term
+    / vector): at 100x the build side OOMs instead of degrading to a
+    shuffle join.  Aggregates bounded by fixed-cardinality groupings
+    (lang, nation, _gr_pid) and scalar aggregates stay hintable; AQE
+    still broadcasts the corpus-scaling ones while they measure small.
+    This closes the hole the raw-table guard left open (r5 verdict:
+    funnel per-user stage tables, tfidf vocabulary)."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in _SKIP_EXECUTING:
+            continue
+        hits = _hinted_scaling_aggregates(fn(spark, SF))
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"forced broadcast of corpus-scaling aggregates: {offenders}"
+
+
+def test_corpus_scaling_broadcast_detector_fires(spark):
+    """Red-case self-test: the detector must flag a hinted per-user
+    aggregate (the exact shape de-forced in round 6), and must NOT
+    flag the same frame without the hint or a scalar hinted agg."""
+    ev = load_table(spark, SF, "events")
+    per_user = ev.groupBy("user_id").agg(F.min("ts").alias("mv"))
+    bad = ev.join(F.broadcast(per_user), "user_id")
+    assert _hinted_scaling_aggregates(bad) == ["user_id"]
+    ok = ev.join(per_user, "user_id")
+    assert _hinted_scaling_aggregates(ok) == []
+    scalar = ev.crossJoin(F.broadcast(ev.agg(F.count("*").alias("n"))))
+    assert _hinted_scaling_aggregates(scalar) == []
 
 
 def test_incremental_dedup_exact_stage_is_anti_join(spark):
