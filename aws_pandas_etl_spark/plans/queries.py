@@ -4504,48 +4504,61 @@ def pipeline_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Which 45+ queries go driver-unchecked should be a decision, not an
 # accident of source ordering: the explicit window below puts >=1
 # representative of every SURVEY §2 / §2b operator family in the first
-# 50 — TPC-H core + extension shapes, anti/semi joins, windows,
-# distributed global ranking, cube/pivot, sessionization (batch +
-# stateful streaming + native session windows), streaming aggregation
-# + dedup (full-state AND bounded within-watermark), JSON, the whole
-# ETL pipeline surface (P1-P8/F1/K1/K2/A1/E1), the dedup family
-# (exact, MinHash-LSH, n-gram Jaccard, embedding cosine, bloom
-# decontamination; SimHash + exact decon are exact-checked locally),
-# ANN (brute-
-# force/LSH/IVF), text + LLM-training-data ops (stats, tf-idf, PII,
-# chunking, corpus curation, splits, packing, stratified sampling),
-# multimodal, as-of/range joins, SCD2, funnel, skew-salted agg,
-# percentiles, upsert, the SQL interface, and outer joins.  Everything
-# outside the window keeps full coverage in the local exact-value
-# oracle sweep (tests/test_queries_oracle.py, all entries).
+# 50 — TPC-H shapes, grouping sets, sessionization (batch native
+# session windows + stateful streaming + native streaming session
+# windows), streaming aggregation + dedup (full-state AND bounded
+# within-watermark), the ETL pipeline surface (P1-P8/F1/K1/K2/A1/E1),
+# the dedup family (MinHash-LSH, incremental, CC clusters, n-gram
+# Jaccard, Levenshtein rescore, embedding cosine, bloom
+# decontamination), ANN (brute-force/LSH/IVF), text +
+# LLM-training-data ops (tf-idf, PII, chunking, corpus curation,
+# packing, stratified sampling), multimodal, as-of/range joins, SCD2,
+# funnel, skew-salted agg, distributed global ranking, percentiles,
+# upsert, the SQL interface, and outer joins.  Everything outside the
+# window keeps full coverage in the local exact-value oracle sweep
+# (tests/test_queries_oracle.py, all entries).
 # ---------------------------------------------------------------------------
 
+# ROTATION POLICY (round 6+): seats swap each round toward queries
+# that have never earned a driver CORRECTNESS row, so that over rounds
+# every registered query gets the independent driver check at least
+# once.  Round-6 rotation: in = the 10 never-verified TPC-H tail
+# queries (q7 q9 q10 q12 q13 q14 q15 q16 q19 q21) + grouping_sets /
+# incremental-dedup / CC-clusters / batch-session-window / Levenshtein
+# rescore; out = 15 seats verified in rounds 1-5 whose operator family
+# stays represented (q1/q5/q18/q22 -> 11 TPC-H reps remain; cube/pivot
+# -> grouping_sets; sessionize_events -> session_window_batch;
+# dedup_exact -> 6 dedup reps; text_stats/split -> 6 text/training
+# reps; JSON/row-hash/anti/semi/window-topk keep exact-value coverage
+# in the local sweep).
 _DRIVER_WINDOW = [
-    "q1_pricing_summary",
-    "q5_region_revenue",
+    "q7_trade_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_line_counts",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q19_disjunctive_filter",
+    "q21_sole_returning_supplier",
     "q8_market_share",
-    "q18_large_volume_orders",
-    "q22_wealthy_inactive",
-    "customers_without_urgent_orders",
-    "order_priority_counts",
-    "window_topk_orders_per_customer",
+    "grouping_sets_revenue",
+    "incremental_dedup_new_batch",
+    "dedup_clusters_minhash",
+    "session_window_batch",
+    "levenshtein_near_dup_rescore",
     "streaming_session_window_native",
     "user_spend_percent_rank",
     "nation_revenue_share",
-    "lineitem_cube",
-    "priority_pivot",
-    "sessionize_events",
     "streaming_sessionize_stateful",
     "streaming_events_hourly",
     "streaming_dedup_events",
-    "events_json_kpi",
     "streaming_dedup_within_watermark",
     "etl_enriched_events",
-    "row_hash_documents",
     "schema_enforce_lineitem",
     "pipeline_roundtrip",
     "pipeline_error_isolation",
-    "dedup_exact_documents",
     "dedup_minhash_lsh",
     "decontaminate_bloom",
     "ngram_jaccard_pairs",
@@ -4553,12 +4566,10 @@ _DRIVER_WINDOW = [
     "topk_similarity_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "text_stats_documents",
     "tfidf_top_terms",
     "pii_redaction",
     "chunk_documents_sliding",
     "curate_training_corpus",
-    "train_val_test_split",
     "pack_sequences_greedy",
     "stratified_sample_by_lang",
     "multimodal_features",

@@ -166,5 +166,11 @@ def test_driver_window_spans_operator_families():
         "scd2_purchase_history",      # SCD2
         "pack_sequences_greedy",      # training-data ops
         "streaming_dedup_events",     # streaming
+        # round-6 rotation: never-driver-verified seats now in window
+        "q15_top_supplier",           # TPC-H tail (view reuse)
+        "grouping_sets_revenue",      # grouping analytics
+        "incremental_dedup_new_batch",  # production ingest dedup
+        "dedup_clusters_minhash",     # iterative connected components
+        "session_window_batch",       # batch-native session windows
     ]:
         assert must in Q._DRIVER_WINDOW, must
