@@ -85,24 +85,38 @@ def main() -> None:
         except Exception as exc:
             print(f"# streaming warmup skipped: {exc}", file=sys.stderr)
 
+    # Min-of-N per query (default 3): single-shot timings on a shared
+    # host are JIT/noise-dominated (r5 recorded 17.08 s for a query
+    # whose steady state is 1.35 s) — the min of consecutive runs is
+    # the reproducible steady-state number, making round-over-round
+    # per-query comparison meaningful.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(Q.QUERIES):
         fn = Q.QUERIES[name]
-        t0 = time.monotonic()
-        try:
-            df = fn(spark, sf_dir)
-            # noop sink fully materializes every output column (count()
-            # would let Catalyst skip expensive projections)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.monotonic() - t0, 3)
-            print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        except Exception as exc:  # one exploding query must not zero the round
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-        # operators persist intermediates (signature tables etc.);
-        # release between queries so storage memory stays bounded
-        spark.catalog.clearCache()
+        samples: list[float] = []
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            try:
+                df = fn(spark, sf_dir)
+                # noop sink fully materializes every output column
+                # (count() would let Catalyst skip expensive projections)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.monotonic() - t0)
+            except Exception as exc:  # one exploding query must not zero the round
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                break
+            finally:
+                # operators persist intermediates (signature tables
+                # etc.); release between runs so storage memory stays
+                # bounded and repeats don't hit each other's caches
+                spark.catalog.clearCache()
+        if samples:
+            timings[name] = round(min(samples), 3)
+            errors.pop(name, None)  # a later repeat succeeded
+            print(f"# {name}: {timings[name]}s (min of {len(samples)})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -111,8 +125,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeats": repeats,
+        "n_ok": len(timings),
+        "n_failed": len(errors),
     }
     if errors:
+        # the headline total covers only the queries that ran — flag it
+        # so round-over-round comparison can't mistake a smaller query
+        # set for a speedup (ADVICE r5)
+        result["partial"] = True
         result["errors"] = errors
     payload = json.dumps(result)
     out_path = os.environ.get(
