@@ -428,6 +428,7 @@ def decontaminate_bloom(
     shingle_n: int = 8,
     num_bits: int = 1 << 17,
     num_hashes: int = 3,
+    distributed_bitmap: bool = True,
 ) -> DataFrame:
     """Bloom-filter decontamination — the variant of ``decontaminate``
     for benchmark suites whose exact n-gram set is too large to
@@ -445,10 +446,14 @@ def decontaminate_bloom(
     arithmetic, so even the FP set is cross-engine verified, not just
     bounded.
 
-    Scale posture: the bitmap derives from the BENCHMARK side only
-    (positions ∝ |bench grams| × k; collected driver-side here — at
-    billion-gram benchmarks build it distributed with bitwise-or
-    partial aggregates instead and broadcast the bytes).  The corpus
+    Scale posture: the bitmap derives from the BENCHMARK side only and
+    is built DISTRIBUTED by default: probe positions fold into 64-bit
+    words via a ``bit_or`` partial aggregate (map-side combine), so at
+    most ``num_bits/64`` aggregated longs ever reach the driver —
+    independent of benchmark size, billion-gram safe.
+    ``distributed_bitmap=False`` keeps the direct driver-side position
+    collect (positions ∝ |bench grams| × k) for A/B testing; both
+    builds produce bit-identical bitmaps.  The corpus
     streams ONCE through pure JVM integer math (multiply/mod/shift
     inside whole-stage codegen) with no join at all on the hot path —
     cheaper than the exact variant's broadcast hash join — then one
@@ -467,21 +472,36 @@ def decontaminate_bloom(
         )
 
     bench = _grams(df.filter(F.col(id_col) < benchmark_max_id))
-    positions = {
-        r["p"]
-        for r in bench.select(
-            F.explode(
-                F.array(*[_bloom_pos(F.col("h"), i, num_bits) for i in range(num_hashes)])
-            ).alias("p")
-        )
-        .distinct()
-        .collect()
-    }
+    pos = bench.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("h"), i, num_bits) for i in range(num_hashes)])
+        ).alias("p")
+    )
     words = [0] * ((num_bits + 63) // 64)
-    for p in positions:
-        words[p >> 6] |= 1 << (p & 63)
-    # wrap to signed int64 for LongType literals
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    if distributed_bitmap:
+        # positions -> (word index, single-bit word) -> bit_or agg: the
+        # partial aggregate ORs bits map-side, the shuffle carries at
+        # most num_bits/64 groups, and the collect is bounded by the
+        # bitmap width, never by |bench grams|.  shiftleft of a bigint
+        # by 63 wraps to Long.MIN_VALUE — exactly the signed two's-
+        # complement word the LongType literal needs, so no re-wrap.
+        word_rows = (
+            pos.groupBy(F.expr("shiftright(p, 6)").cast("int").alias("w"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int)))"
+                ).alias("bits")
+            )
+            .collect()
+        )
+        for r in word_rows:
+            words[r["w"]] = r["bits"]
+    else:
+        positions = {r["p"] for r in pos.distinct().collect()}
+        for p in positions:
+            words[p >> 6] |= 1 << (p & 63)
+        # wrap to signed int64 for LongType literals
+        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
     # ONE array Literal (constant object in codegen) — F.array(*lits)
     # would be a CreateArray re-evaluated per row: num_bits/64 element

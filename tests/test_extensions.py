@@ -258,6 +258,34 @@ def test_bloom_decontaminate_superset_of_exact_no_join(spark):
     assert "Join" not in plan, plan
 
 
+def test_bloom_distributed_bitmap_build_matches_driver_build(spark):
+    """The default distributed bitmap build (positions -> 64-bit words
+    via bit_or partial aggregate; driver receives at most num_bits/64
+    aggregated longs) must be bit-identical to the legacy driver-side
+    position collect — checked at an INFLATED benchmark size (most of
+    the table as 'benchmark', the gram volume that motivates the
+    distributed build) and at the regular size.  Signed-overflow edge
+    (bit 63 -> Long.MIN_VALUE) is exercised by the wide bitmap use."""
+    from aws_pandas_etl_spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    for bench_max in (50, 400):
+        dist = sorted(
+            tuple(r)
+            for r in D.decontaminate_bloom(
+                docs, benchmark_max_id=bench_max, distributed_bitmap=True
+            ).collect()
+        )
+        drv = sorted(
+            tuple(r)
+            for r in D.decontaminate_bloom(
+                docs, benchmark_max_id=bench_max, distributed_bitmap=False
+            ).collect()
+        )
+        assert dist == drv, f"bitmap builds diverge at benchmark_max_id={bench_max}"
+        assert len(dist) > 0
+
+
 def test_exploding_stream_join_lands_in_files_not_driver(spark):
     """Round-4 regression: a stream-stream join whose output explodes
     (tolerance spanning most of the timeline -> near-quadratic
