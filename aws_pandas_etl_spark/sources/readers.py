@@ -134,8 +134,12 @@ def jdbc_scan(
     ``fetchsize`` batching.  At 100 TB the scan parallelism is
     ``num_partitions``, not 1.
 
-    Not exercisable in the harness (no RDBMS in the container); covered
-    by unit tests only at the option-plumbing level.
+    Executed end-to-end in tests against an embedded Derby database
+    (tests/test_readers.py), including proof that filters and column
+    pruning push down into the generated SQL — the Spark JDBC source
+    compiles them into the per-partition SELECT, matching the
+    reference's pushed-down catalog behavior
+    (/root/reference/utils/rdbms_operations.py:56-94).
     """
     reader = (
         spark.read.format("jdbc")

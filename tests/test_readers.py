@@ -156,7 +156,18 @@ def test_jdbc_scan_executes_against_embedded_derby(spark, tmp_path):
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
 
-    writer = orders.write.format("jdbc").option("url", url).option("dbtable", "orders")
+    writer = (
+        orders.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders")
+        # Derby maps StringType to CLOB by default, and CLOB columns
+        # cannot appear in a pushed-down WHERE comparison — declare
+        # VARCHAR so the pushdown proof below executes in-database
+        .option(
+            "createTableColumnTypes",
+            "o_orderstatus VARCHAR(4), o_orderpriority VARCHAR(20)",
+        )
+    )
     for k, v in props.items():
         writer = writer.option(k, v)
     writer.mode("overwrite").save()
@@ -177,6 +188,28 @@ def test_jdbc_scan_executes_against_embedded_derby(spark, tmp_path):
     want = sorted(tuple(r) for r in orders.collect())
     got = sorted(tuple(r) for r in scanned.collect())
     assert got == want
+
+    # Predicate + projection pushdown must reach the JDBC source: the
+    # scan node (not a Spark-side Filter) carries the predicate, and
+    # its ReadSchema/output holds only the selected columns — i.e. the
+    # database evaluates `WHERE o_orderpriority = ...` and ships two
+    # columns, matching the reference's pushed-down catalog queries
+    # (/root/reference/utils/rdbms_operations.py:56-94).
+    pruned = scanned.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ex = pruned._jdf.queryExecution().toString()
+    scan_lines = [l for l in ex.splitlines() if "JDBCRelation" in l]
+    assert scan_lines, ex
+    pushed = [l for l in scan_lines if "PushedFilters" in l]
+    assert any("EqualTo(o_orderpriority,1-URGENT)" in l for l in pushed), ex
+    # projection pruned at the source: the scan's column list must not
+    # include unselected columns like o_comment/o_custkey
+    scan_line = pushed[-1]
+    assert "o_comment" not in scan_line and "o_custkey" not in scan_line, scan_line
+    # and the pushed plan still returns correct rows
+    want_n = orders.filter("o_orderpriority = '1-URGENT'").count()
+    assert pruned.count() == want_n
 
 
 def test_schema_evolution_merge_on_read(spark, tmp_path):
