@@ -114,12 +114,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc shingle set + MinHash signature.
 
-    Shingle/base-hash extraction is the pandas stage above (persisted:
-    it feeds banding AND both sides of the re-score join — the standard
-    materialized "signature table" of a MinHash pipeline); the
-    ``num_hashes`` affine derivations stay JVM-side (cheap integer
-    array math)."""
-    base = shingle_hash_table(df, id_col, text_col, shingle_n).persist()
+    Shingle/base-hash extraction is the pandas stage above,
+    materialized once via lazy ``localCheckpoint``: it feeds banding
+    AND both sides of the re-score join with DIFFERENT downstream
+    shapes, so exchange reuse cannot dedup it — the standard
+    materialized "signature table" of a MinHash pipeline.  Checkpoint
+    blocks are reference-counted (freed by the ContextCleaner when the
+    frame is garbage-collected), so repeated invocation in a long-lived
+    session cannot accumulate storage the way a ``persist()``
+    CacheManager entry would.  The ``num_hashes`` affine derivations
+    stay JVM-side (cheap integer array math)."""
+    base = shingle_hash_table(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False  # lazy: no Spark job at plan-construction time
+    )
     return base.withColumn(
         "sig", minhash_signature(F.col("hashes"), num_hashes=num_hashes)
     )
@@ -208,10 +215,13 @@ def dedup_near_minhash(
     """X2 — near-duplicate pairs with exact-Jaccard >= threshold,
     LSH-blocked.  Returns (a, b, jaccard), a < b."""
     # Signatures feed three consumers (banding + both sides of the
-    # re-score join); persist so the 16-hash projection runs once.
-    # At 100 TB this materialization is the standard "signature table"
+    # re-score join) whose subtrees differ, so exchange reuse cannot
+    # dedup them; minhash_signatures already checkpoints the Arrow
+    # shingle stage (auto-released on GC), and the 16-hash affine
+    # projection above it is cheap to recompute per consumer.  At
+    # 100 TB this materialization is the standard "signature table"
     # stage of a MinHash pipeline (tiny vs the corpus: ids + hashes).
-    sigs = minhash_signatures(df, id_col, text_col, shingle_n).persist()
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n)
     pairs = lsh_candidate_pairs(sigs)
     return exact_jaccard(pairs, sigs).filter(F.col("jaccard") >= threshold)
 

@@ -259,16 +259,18 @@ def similarity_self_join(
             )
         dims = len(first[0])
     planes = [hyperplane(p, dims) for p in range(num_planes)]
-    # Sketch + norm computed once per vector (persisted): the pair
-    # stage then does ONE dot per candidate pair instead of three
-    # (dot(a,b), dot(a,a), dot(b,b)).  Same FP values — norms are the
-    # same sqrt(dot(v,v)) expression, just not recomputed per pair.
+    # Sketch + norm computed once per vector, materialized via lazy
+    # localCheckpoint (blocks auto-freed on GC — no CacheManager entry
+    # leaking across invocations): the pair stage then does ONE dot per
+    # candidate pair instead of three (dot(a,b), dot(a,a), dot(b,b)).
+    # Same FP values — norms are the same sqrt(dot(v,v)) expression,
+    # just not recomputed per pair.
     sk = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_sketch(F.col(vec_col), planes).alias("sketch"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
-    ).persist()
+    ).localCheckpoint(eager=False)  # lazy: no job at plan-construction time
     a = sk.select(F.col("id").alias("a"), F.col("v").alias("va"), "sketch",
                   F.col("norm").alias("norm_a"))
     b = sk.select(F.col("id").alias("b"), F.col("v").alias("vb"), "sketch",

@@ -1597,10 +1597,12 @@ def _ngram_jaccard_pairs_blocked(
     # so jaccard needs no array ops — pure shuffle relational plan
     # (interpreted array_intersect over ~500k pairs was the bottleneck).
     # Pairs sharing zero grams have jaccard 0 < threshold — safe to omit.
-    g = (
-        sh.join(meta, "doc_id")
-        .select("doc_id", "lang", "source", "n_sh", F.explode("shingles").alias("gram"))
-        .persist()
+    # g feeds both sides of the self-join below; the two exchange
+    # subtrees canonicalize identically, so ReusedExchange computes the
+    # join+explode once — no persist (a CacheManager entry would outlive
+    # the call and leak storage in a long-lived session).
+    g = sh.join(meta, "doc_id").select(
+        "doc_id", "lang", "source", "n_sh", F.explode("shingles").alias("gram")
     )
     a = g.select(
         F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "lang", "source", "gram"
@@ -2471,9 +2473,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    # the view feeds BOTH the max and the equality filter — persist so
-    # lineitem is scanned once, not twice (the aggregated frame is one
-    # row per supplier)
+    # the view feeds BOTH the max and the equality filter — no persist
+    # (a CacheManager entry would leak across invocations in a
+    # long-lived session): worst case the quarter-filtered pushed-down
+    # scan + partial aggregate recomputes once more, which is cheaper
+    # at scale than pinning a per-supplier frame in executor storage,
+    # and exchange reuse dedups it when plans canonicalize equal
     rev = (
         li.filter(
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
@@ -2486,7 +2491,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("total_d")
         )
-    ).persist()
+    )
     mx = rev.agg(F.max("total_d").alias("mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_d == mx.mx)
@@ -3555,9 +3560,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbed by the 6-digit rounding."""
     docs = load_table(spark, sf_dir, "documents")
     e = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    # tf feeds df and the join — no persist (a CacheManager entry
+    # would leak across invocations): worst case the explode+partial
+    # aggregation recomputes once more, cheaper at scale than pinning
+    # the corpus-sized tf frame in executor storage, and exchange
+    # reuse dedups it when plans canonicalize equal
     tf = e.groupBy("doc_id", "term").agg(
         F.count("*").cast("bigint").alias("tf")
-    ).persist()
+    )
     df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
     scored = (
@@ -3689,14 +3699,17 @@ def trim_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", F.size(TX.tokens("text")).alias("n_tokens"))
     w = Window.orderBy("n_tokens", "doc_id")
-    # persist: both the bounds aggregate and the final filter consume r,
-    # and its lineage contains the expensive global-rank window
+    # both the bounds aggregate and the final filter consume r — no
+    # persist (a CacheManager entry would leak across invocations);
+    # the global-rank window may recompute once more, which stays
+    # acceptable exactly as long as this query shape itself does (the
+    # docstring's scale note swaps the whole scheme at 10^9 docs)
     r = t.select(
         "lang",
         "n_tokens",
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy()).alias("n"),
-    ).persist()
+    )
     pick = lambda q: F.min(
         F.when(
             F.col("rn") == F.floor(F.lit(q) * (F.col("n") - 1)).cast("bigint") + 1,
@@ -3824,21 +3837,22 @@ def conversion_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> D
     them while they measure small and degrades to a shuffle join at
     scale instead of OOMing the build."""
     ev = load_table(spark, sf_dir, "events")
-    # persist the stage tables: each feeds both its own count and the
-    # next stage's broadcast — without caching the event scan + groupBy
-    # would re-execute per consumer (~6 scans instead of 3)
+    # each stage table feeds both its own count and the next stage's
+    # join; the duplicate subtrees sit above identical aggregate
+    # exchanges and ReusedExchange dedups them (verified in the final
+    # adaptive plan) — no persist (no leaked CacheManager entry)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("mv"))
-    ).persist()
+    )
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") >= F.col("mv"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("mc"))
-    ).persist()
+    )
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -4246,9 +4260,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape — profit by supplier nation x order year across a
     5-table join (part retail price stands in for ps_supplycost: the
     harness schema has no partsupp).  Scale plan: the fact table joins
-    orders by key and BROADCASTS part/supplier/nation; the profit
-    expression is per-row double (deterministic) cast to decimal before
-    the order-independent SUM."""
+    orders/part/supplier by key with the strategy left to AQE (part and
+    supplier scale with SF, so no forced broadcast — AQE broadcasts
+    them while they measure small); only fixed-cardinality nation (25
+    rows) is hinted.  The profit expression is per-row double
+    (deterministic) cast to decimal before the order-independent
+    SUM."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
