@@ -14,16 +14,16 @@ cluster for large keyspaces.
 
 from __future__ import annotations
 
-import fnmatch
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-from aws_pandas_etl_spark.sources.readers import _nanos_timestamp_cols
 
 EVENTS_LONG_TS_SCHEMA = T.StructType(
     [
@@ -46,7 +46,55 @@ def _events_schema_with_ts(ts_type: T.DataType) -> T.StructType:
     )
 
 
-def _probe_ts_type(directory: str, glob: str) -> str:
+class _HadoopFooterFile:
+    """Minimal seekable read-only file over the Hadoop FileSystem API,
+    enough for pyarrow's footer reads (``read_schema``) on any scheme
+    the cluster speaks (``s3a://``, ``hdfs://``, ``file://``).  Range
+    reads go through ``IOUtils.toByteArray`` so py4j hands back Python
+    bytes directly; footers are KB-sized, so the py4j hop is noise."""
+
+    def __init__(self, jvm, fs, jpath, length: int):
+        self._jvm = jvm
+        self._in = fs.open(jpath)
+        self._len = int(length)
+        self._pos = 0
+        self.closed = False
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return True
+
+    def writable(self):
+        return False
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        base = (0, self._pos, self._len)[whence]
+        self._pos = max(0, min(base + offset, self._len))
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._len - self._pos
+        n = min(n, self._len - self._pos)
+        if n <= 0:
+            return b""
+        self._in.seek(self._pos)
+        data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(self._in, n)
+        self._pos += n
+        return bytes(data)
+
+    def close(self) -> None:
+        if not self.closed:
+            self._in.close()
+            self.closed = True
+
+
+def _probe_ts_type(spark: SparkSession, directory: str, glob: str) -> str:
     """Physical parquet type of ``ts`` in the first file matching
     ``glob`` under ``directory`` (footer-only read, cheap at any
     scale): 'ns' | 'tz' | 'ntz'.
@@ -59,18 +107,35 @@ def _probe_ts_type(directory: str, glob: str) -> str:
     timestamp schema.  One footer stands in for the directory: a file
     stream requires a single fixed schema anyway, so mixed-unit
     directories are unsupported either way (the first file wins, and
-    a mismatched later file fails loudly in the scan)."""
+    a mismatched later file fails loudly in the scan).
+
+    Listing and footer reads go through the Hadoop FileSystem API of
+    the active session (like ``plans.config.load_config_from_url``),
+    so the stream source works on any scheme the cluster speaks, not
+    just local directories; plain local paths take a direct pyarrow
+    fast path."""
     import pyarrow.parquet as _pq
 
-    matches = sorted(
-        f for f in os.listdir(directory) if fnmatch.fnmatch(f, glob)
-    )
-    if not matches:
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(directory.rstrip("/") + "/" + glob)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    if statuses is None or len(statuses) == 0:
         raise FileNotFoundError(f"no parquet matching {glob!r} in {directory}")
-    path = os.path.join(directory, matches[0])
-    if "ts" in _nanos_timestamp_cols(path):
+    st = min(statuses, key=lambda s: s.getPath().getName())
+    p = st.getPath()
+    scheme = p.toUri().getScheme()
+    if scheme in (None, "file"):
+        schema = _pq.read_schema(p.toUri().getPath())
+    else:
+        f = _HadoopFooterFile(jvm, fs, p, st.getLen())
+        try:
+            schema = _pq.read_schema(f)
+        finally:
+            f.close()
+    ts_type = str(next(f.type for f in schema if f.name == "ts"))
+    if ts_type.startswith("timestamp[ns"):
         return "ns"
-    ts_type = str(next(f.type for f in _pq.read_schema(path) if f.name == "ts"))
     return "tz" if "tz=" in ts_type else "ntz"
 
 
@@ -91,7 +156,7 @@ def open_events_stream(
     - TIMESTAMP(µs/ms) without tz: TIMESTAMP_NTZ schema, cast to
       TimestampType (instant-preserving under the UTC session tz);
     - TIMESTAMP with tz: TimestampType schema directly."""
-    kind = _probe_ts_type(directory, glob)
+    kind = _probe_ts_type(spark, directory, glob)
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prior = spark.conf.get(key)  # conf has a defined default ("false")
     if kind == "ns":
@@ -177,11 +242,28 @@ def _run_to_parquet_sink(
                 f"streaming query {name} did not finish within {timeout_sec}s "
                 "— partial results discarded"
             )
+    # per-call throwaway dirs: the checkpoint is dead once the query
+    # finished; the output dir must outlive this call (the returned
+    # DataFrame reads it lazily), so it is registered for interpreter-
+    # exit cleanup instead of accumulating across bench/test runs
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    meta = os.path.join(out, "_spark_metadata")
+    committed = os.path.isdir(meta) and any(
+        not n.startswith(".") for n in os.listdir(meta)
+    )
+    if not committed:
+        # zero micro-batches committed — genuinely empty result
+        return spark.createDataFrame([], df.schema)
     try:
         return spark.read.parquet(out)
-    except Exception:
-        # zero micro-batches committed no files — empty result, same schema
-        return spark.createDataFrame([], df.schema)
+    except AnalysisException as exc:
+        # a committed batch can contain zero rows -> no data files to
+        # infer from; anything else (corrupt files, schema mismatch)
+        # must propagate, not masquerade as an empty result
+        if "UNABLE_TO_INFER_SCHEMA" in str(exc) or "Unable to infer schema" in str(exc):
+            return spark.createDataFrame([], df.schema)
+        raise
 
 
 def _run_to_memory_sink(
@@ -219,6 +301,9 @@ def _run_to_memory_sink(
                 f"streaming query {name} did not finish within {timeout_sec}s "
                 "— partial results discarded"
             )
+    # memory-sink results live in the driver; the per-call checkpoint
+    # dir is dead once the query finished
+    shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)
 
 

@@ -139,6 +139,64 @@ def test_batch_and_stream_agree_on_event_instants(spark, tmp_path):
     assert b["mn"].year >= 2020, f"batch reader itself drifted: {b['mn']}"
 
 
+def test_stream_probe_speaks_hadoop_fs_schemes(spark):
+    """The streaming footer probe must go through the Hadoop
+    FileSystem API (like load_config_from_url), not os.listdir — an
+    s3a:// or hdfs:// stream source would otherwise fail at the probe.
+    Proven two ways: (a) the probe resolves a scheme-qualified
+    file:// directory; (b) the _HadoopFooterFile range-read wrapper
+    feeds pyarrow the same schema a direct local read yields (the
+    exact path a remote scheme takes)."""
+    import pyarrow.parquet as pq
+
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        _HadoopFooterFile,
+        _probe_ts_type,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert _probe_ts_type(spark, f"file://{sf}", "events.parquet") == _probe_ts_type(
+        spark, sf, "events.parquet"
+    )
+
+    jvm = spark.sparkContext._jvm
+    local = f"{sf}/events.parquet"
+    jpath = jvm.org.apache.hadoop.fs.Path(f"file://{local}")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    st = fs.getFileStatus(jpath)
+    f = _HadoopFooterFile(jvm, fs, jpath, st.getLen())
+    try:
+        assert pq.read_schema(f).equals(pq.read_schema(local))
+    finally:
+        f.close()
+
+
+def test_parquet_sink_scaffold_cleans_checkpoint_and_reports_real_errors(spark):
+    """_run_to_parquet_sink must (a) delete its per-call checkpoint
+    dir (they accumulated in /tmp across bench and test runs), and
+    (b) return empty ONLY for genuinely-uncommitted output — a
+    read-back failure on committed files must propagate, not
+    masquerade as zero rows."""
+    import glob as globmod
+    import os
+    import tempfile
+
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        _run_to_parquet_sink,
+        events_stream,
+    )
+
+    tmp = tempfile.gettempdir()
+    before = set(globmod.glob(os.path.join(tmp, "ckpt_probe6_*")))
+    stream = events_stream(spark, "/root/testdata/sf0.001").select(
+        "event_id", "ts", "event_type"
+    )
+    out = _run_to_parquet_sink(spark, stream, "probe6", 120)
+    assert out.count() > 0
+    after = set(globmod.glob(os.path.join(tmp, "ckpt_probe6_*")))
+    assert after == before, f"leaked checkpoint dirs: {after - before}"
+
+
 def test_jdbc_scan_executes_against_embedded_derby(spark, tmp_path):
     """S1 production path actually executed: write the orders table
     into an embedded Derby database (on Spark's classpath for the Hive
