@@ -32,14 +32,31 @@ TABLES = (
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Column names stored as parquet TIMESTAMP(NANOS), which Spark 4
-    refuses by default (PARQUET_TYPE_ILLEGAL).  Footer-only read —
-    cheap even for huge datasets."""
+    """Column names stored as parquet INT64 TIMESTAMP(NANOS), which
+    Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL).  Footer-only
+    read — cheap even for huge datasets.
+
+    Physical-type check matters: pyarrow reports legacy INT96
+    timestamps (Spark's own historical default output type) as
+    ``timestamp[ns]`` too, but Spark decodes INT96 natively — routing
+    them through the nanosAsLong path would fail the scan.  Only
+    INT64-backed nanos columns need the long+div-1000 treatment."""
     try:
-        schema = _pq.read_schema(path)
+        pf = _pq.ParquetFile(path)
     except Exception:
         return []
-    return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+    schema = pf.schema_arrow
+    ns_names = {f.name for f in schema if str(f.type).startswith("timestamp[ns")}
+    if not ns_names:
+        return []
+    md = pf.metadata
+    if md.num_row_groups > 0:
+        rg = md.row_group(0)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            if col.path_in_schema in ns_names and col.physical_type == "INT96":
+                ns_names.discard(col.path_in_schema)
+    return sorted(ns_names)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -126,15 +126,31 @@ def _probe_ts_type(spark: SparkSession, directory: str, glob: str) -> str:
     p = st.getPath()
     scheme = p.toUri().getScheme()
     if scheme in (None, "file"):
-        schema = _pq.read_schema(p.toUri().getPath())
-    else:
-        f = _HadoopFooterFile(jvm, fs, p, st.getLen())
-        try:
-            schema = _pq.read_schema(f)
-        finally:
-            f.close()
-    ts_type = str(next(f.type for f in schema if f.name == "ts"))
+        pf = _pq.ParquetFile(p.toUri().getPath())
+        return _ts_kind(pf)
+    f = _HadoopFooterFile(jvm, fs, p, st.getLen())
+    try:
+        return _ts_kind(_pq.ParquetFile(f))
+    finally:
+        f.close()
+
+
+def _ts_kind(pf) -> str:
+    """Classify the ``ts`` column of an open pyarrow ParquetFile:
+    'ns' | 'tz' | 'ntz'.  Legacy INT96 timestamps (Spark's historical
+    default output type) surface as ``timestamp[ns]`` in the arrow
+    schema but Spark decodes them natively — they must take the plain
+    TimestampType path, never nanosAsLong (which only INT64-backed
+    TIMESTAMP(NANOS) needs)."""
+    ts_type = str(next(f.type for f in pf.schema_arrow if f.name == "ts"))
     if ts_type.startswith("timestamp[ns"):
+        md = pf.metadata
+        if md.num_row_groups > 0:
+            rg = md.row_group(0)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                if col.path_in_schema == "ts" and col.physical_type == "INT96":
+                    return "tz"
         return "ns"
     return "tz" if "tz=" in ts_type else "ntz"
 

@@ -139,6 +139,62 @@ def test_batch_and_stream_agree_on_event_instants(spark, tmp_path):
     assert b["mn"].year >= 2020, f"batch reader itself drifted: {b['mn']}"
 
 
+def test_legacy_int96_timestamps_read_natively(spark, tmp_path):
+    """Legacy INT96 timestamps (Spark's own historical default output
+    type, still everywhere in old lakes) surface as timestamp[ns] in
+    pyarrow schemas — but Spark decodes INT96 natively, so both the
+    batch and streaming probes must route them to the plain
+    TimestampType path, never nanosAsLong (found live in round 6: the
+    streaming probe misclassified a Spark-written INT96 file and the
+    micro-batch failed on the long-schema mismatch)."""
+    import os
+    import shutil as _sh
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        _probe_ts_type,
+        open_events_stream,
+    )
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    d = tmp_path / "int96"
+    prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        src.coalesce(1).write.mode("overwrite").parquet(str(d / "w"))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+    [part] = [f for f in os.listdir(d / "w") if f.endswith(".parquet")]
+    _sh.move(str(d / "w" / part), str(d / "events.parquet"))
+
+    assert _probe_ts_type(spark, str(d), "events.parquet") == "tz"
+    [want] = src.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()
+    got = load_table(spark, str(d), "events")
+    [b] = got.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()
+    assert (b["mn"], b["mx"]) == (want["mn"], want["mx"])
+
+    name = f"int96_{_uuid.uuid4().hex[:8]}"
+    q = (
+        open_events_stream(spark, str(d))
+        .select("ts")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    [s] = spark.table(name).agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()
+    assert (s["mn"], s["mx"]) == (want["mn"], want["mx"])
+
+
 def test_stream_probe_speaks_hadoop_fs_schemes(spark):
     """The streaming footer probe must go through the Hadoop
     FileSystem API (like load_config_from_url), not os.listdir — an
