@@ -4514,6 +4514,186 @@ def pipeline_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNIGRAM_LP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_dk_toks('text')} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e),
+scored AS (
+  SELECT e.doc_id,
+         CAST(ROUND(-ln(CAST(c AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS nlp
+  FROM e JOIN freq USING (term), n
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("unigram_logprob_quality", UNIGRAM_LP_ORACLE)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, unigram flavor: per-doc average
+    negative log-probability under the corpus's own unigram
+    distribution — the relational stand-in for KenLM-style perplexity
+    filtering (high avg(-ln p) = rare-token soup: gibberish, OCR
+    noise, exotic boilerplate; the standard curation signal next to
+    the Gopher heuristics).
+
+    Plan: one explode feeds both the corpus term-frequency aggregate
+    and the per-token scoring join (same corpus-scaling join shape as
+    tf-idf — no forced broadcast, AQE decides); the corpus total is a
+    1-row scalar.  Parity: per-token -ln(c/total) is rounded to 6
+    digits (absorbing the <=1-ulp cross-engine ln difference) and cast
+    to DECIMAL before the order-independent SUM — a raw double sum
+    over a doc's tokens would differ by accumulation order."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    freq = e.groupBy("term").agg(F.count("*").cast("bigint").alias("c"))
+    total = e.agg(F.count("*").cast("bigint").alias("total"))
+    nlp = F.round(
+        -F.log(F.col("c").cast("double") / F.col("total")), 6
+    ).cast("decimal(18,6)")
+    return (
+        e.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nlp.alias("nlp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("nlp").cast("double") / F.count("*"), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+CONTAINMENT_T = 0.8
+
+CONTAINMENT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, {_dk_toks('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+  FROM t
+), j AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           / greatest(least(len(a.g), len(b.g)), 1) AS containment
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT a, b, ROUND(containment, 6) AS containment
+FROM j WHERE containment >= {CONTAINMENT_T}
+"""
+
+
+@register("containment_pairs", CONTAINMENT_ORACLE)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: max-containment
+    C = |A∩B| / min(|A|,|B|) over word-3-gram sets — catches a short
+    document fully quoted inside a long one, which symmetric Jaccard
+    misses (a 50-gram doc inside a 5000-gram doc has J≈0.01 but
+    C=1.0).  The quote/boilerplate-absorption signal of training-data
+    curation, next to ngram_jaccard_pairs.
+
+    Plan: same attribute-blocked relational intersection as
+    ngram_jaccard_pairs — explode distinct grams, equi-join on
+    (gram, block), count shared grams per pair; |A∩B| needs no array
+    ops and pairs sharing zero grams drop out.  Blocked cost, never
+    O(n²) across blocks."""
+    from aws_pandas_etl_spark.operators.dedup import shingle_hash_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_table(docs, "doc_id", "text", shingle_n=3).select(
+        "doc_id", "shingles", F.size(F.array_distinct("shingles")).alias("n_sh")
+    )
+    meta = docs.select("doc_id", "lang", "source")
+    g = sh.join(meta, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_sh",
+        F.explode(F.array_distinct("shingles")).alias("gram"),
+    )
+    a = g.select(
+        F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "lang", "source", "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "lang", "source", "gram"
+    )
+    shared = (
+        a.join(b, ["lang", "source", "gram"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+    )
+    containment = F.col("shared").cast("double") / F.greatest(
+        F.least(F.col("na"), F.col("nb")), F.lit(1)
+    )
+    return shared.select(
+        "a", "b", F.round(containment, 6).alias("containment")
+    ).filter(F.col("containment") >= CONTAINMENT_T)
+
+
+ANOMALY_Z = 3.0
+
+ANOMALY_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), s AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS sn,
+         CAST(SUM(n * n) AS BIGINT) AS snn,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM h GROUP BY event_type
+)
+SELECT h.event_type, hour, n,
+       ROUND((n - CAST(sn AS DOUBLE) / k)
+             / sqrt(CAST(snn AS DOUBLE) / k - (CAST(sn AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k)),
+             6) AS zscore
+FROM h JOIN s ON h.event_type = s.event_type
+WHERE abs((n - CAST(sn AS DOUBLE) / k)
+          / sqrt(CAST(snn AS DOUBLE) / k - (CAST(sn AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k)))
+      >= {ANOMALY_Z}
+"""
+
+
+@register("event_rate_anomaly_zscore", ANOMALY_ORACLE)
+def event_rate_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection: hours whose event count sits >= 3
+    population-z from that event type's hourly mean — the monitoring
+    query every ingest pipeline runs against its own throughput.
+
+    Plan: hourly counts (one shuffle, map-side combine), then per-type
+    moments from the hour table (sum, sum-of-squares, k) — a second
+    tiny aggregate over |types|x|hours| rows, joined back; the mean
+    and stddev derive from EXACT BIGINT sums of integer counts, so
+    cross-engine parity needs no decimal tricks and no stddev_pop
+    builtin (whose accumulation order differs between engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    s = h.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("snn"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    mean = F.col("sn").cast("double") / F.col("k")
+    var = F.col("snn").cast("double") / F.col("k") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        h.join(s, "event_type")
+        .filter(F.abs(z) >= ANOMALY_Z)
+        .select("event_type", "hour", "n", F.round(z, 6).alias("zscore"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

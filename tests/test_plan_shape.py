@@ -114,6 +114,7 @@ _SCALAR_CROSS_OK = {
     "value_histogram_fixed_bins",    # 1-row max
     "conversion_funnel_view_click_purchase",  # three 1-row counts
     "tfidf_top_terms",               # 1-row corpus size
+    "unigram_logprob_quality",       # 1-row corpus token total
     "stratified_sample_by_lang",     # n/a but CASE-rate may fold oddly
     "ann_ivf_topk",                  # corpus x 16-row broadcast centroid
                                      # table (IVF cell assignment)
