@@ -3688,37 +3688,37 @@ GROUP BY lang ORDER BY lang
 def trim_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-outlier trimming (drop docs outside the [p5, p95] token-
     length band) — the corpus-cleaning filter against truncation
-    artifacts and run-on concatenations.  Percentiles come from
-    ordered-row selection (the engine's exact, engine-portable
-    percentile pattern); the 1-row bounds broadcast back onto the
-    corpus — two passes total, no interpolating percentile UDAF.
-    Scale note: the global rank is an ordered window (single
-    partition) — at 10^9+ docs swap in the same two-pass range-
-    partition scheme as sequence packing, or approxQuantile when a
-    +-epsilon band is acceptable."""
+    artifacts and run-on concatenations.  Percentiles are EXACT and
+    computed scale-free: the corpus aggregates to a token-length
+    HISTOGRAM (one shuffle; distinct lengths are bounded by max doc
+    length, thousands at most), the rank cumulates over that tiny
+    frame, and the value at global rank r is the smallest length whose
+    cumulative count reaches r — identical to ordered-row selection
+    over all docs (ties share a value), but the corpus itself never
+    crosses a single-partition window.  The 1-row bounds broadcast
+    back onto the per-doc lengths for the band filter."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", F.size(TX.tokens("text")).alias("n_tokens"))
-    w = Window.orderBy("n_tokens", "doc_id")
-    # both the bounds aggregate and the final filter consume r — no
-    # persist (a CacheManager entry would leak across invocations);
-    # the global-rank window may recompute once more, which stays
-    # acceptable exactly as long as this query shape itself does (the
-    # docstring's scale note swaps the whole scheme at 10^9 docs)
-    r = t.select(
-        "lang",
+    hist = t.groupBy("n_tokens").agg(F.count("*").alias("c"))
+    # windows below run over the distinct-length histogram only — the
+    # SinglePartition exchange carries |distinct lengths| rows, never
+    # the corpus (same posture as pack_sequences' offsets frame)
+    wcum = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
         "n_tokens",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
     )
     pick = lambda q: F.min(
         F.when(
-            F.col("rn") == F.floor(F.lit(q) * (F.col("n") - 1)).cast("bigint") + 1,
+            F.col("cum")
+            >= F.floor(F.lit(q) * (F.col("n") - 1)).cast("bigint") + 1,
             F.col("n_tokens"),
         )
     )
-    bounds = r.agg(pick(TRIM_LO_Q).alias("lo"), pick(TRIM_HI_Q).alias("hi"))
+    bounds = cum.agg(pick(TRIM_LO_Q).alias("lo"), pick(TRIM_HI_Q).alias("hi"))
     return (
-        r.crossJoin(F.broadcast(bounds))
+        t.crossJoin(F.broadcast(bounds))
         .filter((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")))
         .groupBy("lang")
         .agg(

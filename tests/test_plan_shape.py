@@ -355,6 +355,28 @@ def test_corpus_scaling_broadcast_detector_fires(spark):
     assert _hinted_scaling_aggregates(scalar) == []
 
 
+def test_trim_outliers_windows_run_on_histogram_not_corpus(spark):
+    """Exact percentile bounds must come from the token-length
+    HISTOGRAM: any SinglePartition window in the plan may only sit
+    above the length-keyed aggregate (|distinct lengths| rows), never
+    above a raw documents scan — the round-5 shape ranked every doc
+    through one partition, which dies at 10^9 docs."""
+    plan = _plan(QUERIES["trim_length_outliers"](spark, SF))
+    lines = plan.splitlines()
+    single_idx = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange SinglePartition" in l and "ENSURE_REQUIREMENTS" in l
+    ]
+    assert single_idx, plan  # the tiny histogram window does exist
+    for i in single_idx:
+        sub = _subtree(lines, i)
+        # the exchange input must already be aggregated by n_tokens —
+        # a documents/text scan below it means the corpus is crossing
+        head = sub.splitlines()[0] if sub else ""
+        assert "HashAggregate" in head and "n_tokens" in head, plan
+
+
 def test_incremental_dedup_exact_stage_is_anti_join(spark):
     """Exact admission = anti-join on content hash (the corpus side
     contributes only hashes; its text is never re-shuffled)."""
