@@ -109,9 +109,9 @@ def main() -> None:
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 break
             finally:
-                # operators persist intermediates (signature tables
-                # etc.); release between runs so storage memory stays
-                # bounded and repeats don't hit each other's caches
+                # the package holds no CacheManager entries (r6), but
+                # clearCache stays as a guard so repeats measure
+                # compute, not a future cache regression's hits
                 spark.catalog.clearCache()
         if samples:
             timings[name] = round(min(samples), 3)
