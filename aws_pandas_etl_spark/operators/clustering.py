@@ -1,0 +1,119 @@
+"""Cross-engine-deterministic distributed k-means (Lloyd's algorithm).
+
+``pyspark.ml.clustering.KMeans`` is the production tool, but its
+random init and double-accumulation order make results engine- and
+partitioning-dependent — useless for an exact-parity oracle check, and
+(more importantly) non-reproducible between runs of the same pipeline.
+This variant pins every source of nondeterminism:
+
+- **Init**: centroids are the ``k`` vectors with the smallest ids
+  (k-means|| would sample; deterministic-by-id is the reproducible
+  stand-in and costs one bounded ``limit(k)`` collect).
+- **Distances**: per-dimension squared differences are rounded to 12
+  digits and cast to DECIMAL before summing, so the distance is an
+  EXACT decimal — order-independent, hence identical no matter how
+  the aggregate is parallelized (a raw double fold would depend on
+  accumulation order).  Ties in the argmin break by centroid id.
+- **Centroid update**: the proven decimal-mean pattern (cast each
+  component to DECIMAL(18,6), exact SUM, cast to DOUBLE, divide by
+  count) — one deterministic double per (cluster, dim).
+
+Scale shape: each Lloyd iteration is one broadcast of k*dim doubles
+(bounded by k, NOT by corpus size — a legitimate broadcast), one
+narrow argmin projection over the vectors, and one shuffle of
+|clusters| x dim partial sums for the update.  The per-iteration
+driver collect moves k*dim values — plan-time metadata, not data.
+Empty clusters drop out of the next round (mirrored by the SQL twin's
+join-based update).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIST_SCALE = 12  # decimal digits kept per squared-difference term
+
+
+def l2sq_exact(a, b) -> F.Column:
+    """Squared L2 distance as an EXACT decimal: round each per-dim
+    squared difference to DIST_SCALE digits, sum exactly.  Order
+    independent, so safe under any parallel accumulation — and
+    mirrored term-for-term by the DuckDB oracle."""
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.round(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+            DIST_SCALE,
+        ).cast(f"decimal(28,{DIST_SCALE})"),
+    )
+    return F.aggregate(
+        terms,
+        F.lit(0).cast(f"decimal(28,{DIST_SCALE})"),
+        lambda acc, x: (acc + x).cast(f"decimal(28,{DIST_SCALE})"),
+    )
+
+
+def _lit_vec(vals: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """argmin_c l2sq_exact(vec, centroid_c), ties -> smallest cid.
+    One narrow projection: k distance expressions inside codegen, min
+    over an array of (distance, cid) structs."""
+    structs = F.array(
+        *[
+            F.struct(
+                l2sq_exact(F.col(vec_col), _lit_vec(c)).alias("d2"),
+                F.lit(cid).cast("int").alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    return df.withColumn("cluster", F.array_min(structs).getField("cid"))
+
+
+def _update(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]]]:
+    """New centroids: exact decimal mean per (cluster, dim) — the
+    embedding_label_centroids pattern.  Collects k*dim doubles."""
+    rows = (
+        assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("comp")
+        )
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cid.setdefault(r["cluster"], {})[r["pos"]] = r["comp"]
+    return [
+        (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+    ]
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's: ``iters`` assignment rounds with a
+    centroid update between consecutive rounds.  Returns one row per
+    vector: (id_col, cluster)."""
+    init = (
+        embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    cents = [(i, [float(v) for v in r[vec_col]]) for i, r in enumerate(init)]
+    assigned = _assign(embeddings, vec_col, cents)
+    for _ in range(iters - 1):
+        cents = _update(assigned, vec_col)
+        assigned = _assign(embeddings, vec_col, cents)
+    return assigned.select(id_col, "cluster")

@@ -594,3 +594,63 @@ def connected_components(
             "raise max_iter"
         )
     return labels.select(F.col("u").alias("doc_id"), F.col("comp").alias("component_id"))
+
+
+def exact_span_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 12,
+    anchor_mod: int = 4,
+) -> DataFrame:
+    """Exact passage-level duplication (the Lee et al., ACL'22
+    "Deduplicating Training Data" signal): fixed-width TOKEN spans
+    whose start positions are CONTENT-DEFINED — a position anchors a
+    span iff md5(token) % anchor_mod == 0 (winnowing/CDC-style
+    selection).  Content-defined anchors are the load-bearing choice:
+    an identical passage produces identical anchor tokens and hence
+    identical spans no matter where it sits in each document, so
+    duplicated passages match without any offset alignment (a
+    fixed-stride sampler only matches duplicates that happen to be
+    stride-aligned — tested and rejected).  Any span occurring in >= 2
+    documents is a shared passage (boilerplate, license header, quoted
+    template) that document-level dedup cannot see.
+
+    Plan: anchor positions are selected INSIDE the token array
+    (filter over sequence — no per-token explode), spans slice
+    JVM-side, then ONE hash shuffle on the span value with map-side
+    partial aggregation.  Expected explode factor is
+    (n_tokens - span)/anchor_mod rows per document.  At 100 TB the
+    same plan groups on md5(span) to shrink shuffle width ~4x
+    (collisions then need a verify pass); the exact-span groupBy here
+    keeps the semantics collision-free.  A passage of
+    >= span_tokens + anchor_mod*k tokens is detected unless none of
+    its first k eligible positions hashes to the anchor class
+    (miss probability ~(1 - 1/anchor_mod)^k, content-deterministic).
+
+    Returns (span, n_occ, n_docs) for spans seen in >= 2 documents.
+    """
+    toks = F.filter(
+        F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+    n = F.size("___toks")
+    anchors = F.filter(
+        F.sequence(F.lit(1), n - span_tokens + 1),
+        lambda i: md5_bigint(F.element_at(F.col("___toks"), i)) % anchor_mod == 0,
+    )
+    span = F.concat_ws(
+        " ", F.slice(F.col("___toks"), F.col("i"), span_tokens)
+    )
+    return (
+        df.select(id_col, toks.alias("___toks"))
+        .filter(n >= span_tokens)
+        .select(id_col, "___toks", F.explode(anchors).alias("i"))
+        .select(id_col, span.alias("span"))
+        .groupBy("span")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occ"),
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -352,3 +352,65 @@ def min_gram_fingerprint(col: Column | str, n: int = 8) -> Column:
     grams = shingles(col, n=n)
     hashed = F.transform(grams, lambda g: md5_bigint(g))
     return F.coalesce(F.array_min(hashed), F.lit(-1).cast("bigint"))
+
+
+def misra_gries_candidates(
+    df: DataFrame, token_col: str = "token", counters: int = 400
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency sketch over a one-token-per-
+    row frame; returns the union of surviving tokens (counts are lower
+    bounds and deliberately discarded — callers rescore exactly).
+
+    Guarantee (the reason this is safe as a candidate generator): MG
+    with m counters undercounts by at most n_p/(m+1) per partition, so
+    any token whose GLOBAL count exceeds N/(m+1) must survive in at
+    least one partition — the candidate set is a superset of every
+    token above that support, under ANY partitioning of the input.
+
+    Scale shape: the corpus streams once through Arrow batches with
+    O(m) state per partition; only |partitions| * m candidate rows
+    shuffle (bounded by design, independent of corpus size).  The
+    batch merge is vectorized: exact value_counts per batch folded
+    into the summary, then one decrement step — subtract the (m+1)-th
+    largest count from all and drop the non-positive — which is the
+    standard mergeable-summaries MG combine (Agarwal et al., PODS'12).
+    """
+    import pandas as pd
+
+    def _sketch(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf[token_col].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > counters:
+                cut = sorted(counts.values(), reverse=True)[counters]
+                counts = {t: c - cut for t, c in counts.items() if c > cut}
+        yield pd.DataFrame({token_col: list(counts.keys())})
+
+    return df.select(token_col).mapInPandas(
+        _sketch, schema=f"{token_col} string"
+    ).distinct()
+
+
+def heavy_hitters_exact(
+    df: DataFrame, token_col: str = "token", phi: float = 0.005, counters: int = 400
+) -> DataFrame:
+    """Tokens with frequency >= ceil(phi * N): MG candidates (superset,
+    needs counters >= 1/phi), then ONE exact filtered recount — the
+    sketch turns a full-vocabulary shuffle into a bounded-candidate
+    semi-join plus a shuffle of only the candidates' partial counts."""
+    if counters + 1 < 1.0 / phi:
+        raise ValueError(
+            f"counters={counters} cannot guarantee support phi={phi}: "
+            "need counters + 1 >= 1/phi for the MG superset property"
+        )
+    cand = misra_gries_candidates(df, token_col, counters)
+    total = df.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        df.join(F.broadcast(cand), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("total")))
+        .select(token_col, "cnt")
+    )

@@ -4694,6 +4694,180 @@ def event_rate_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K, KMEANS_ITERS = 8, 2
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB twin of operators.clustering.kmeans_lloyd: identical
+    init, exact-decimal distances (order-independent sums), the proven
+    decimal-mean centroid update, ties broken by cid."""
+    d2 = (
+        "SUM(CAST(ROUND((CAST(ex.v AS DOUBLE) - c.comp) * "
+        "(CAST(ex.v AS DOUBLE) - c.comp), 12) AS DECIMAL(28,12)))"
+    )
+    parts = [
+        f"""WITH ex AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+), cx0 AS (
+  SELECT cid, unnest(generate_series(1, len(cvec))) AS dim,
+         CAST(unnest(cvec) AS DOUBLE) AS comp
+  FROM c0
+)"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f""", d{it} AS (
+  SELECT ex.vec_id, c.cid, {d2} AS d2
+  FROM ex JOIN cx{it} c USING (dim) GROUP BY ex.vec_id, c.cid
+), a{it} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+)"""
+        )
+        if it < iters - 1:
+            parts.append(
+                f""", cx{it + 1} AS (
+  SELECT a{it}.cluster AS cid, ex.dim,
+         CAST(SUM(CAST(CAST(ex.v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS comp
+  FROM a{it} JOIN ex USING (vec_id) GROUP BY a{it}.cluster, ex.dim
+)"""
+            )
+    parts.append(
+        f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a{iters - 1}"
+    )
+    return "".join(parts)
+
+
+@register("kmeans_embeddings", _kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table,
+    cross-engine deterministic (the real clustering the IVF index's
+    "first-k-by-id placeholder" stands in for — see
+    operators/clustering.py for the determinism contract: id-ordered
+    init, exact-decimal distances, decimal-mean updates, cid
+    tie-breaks).
+
+    Plan per iteration: one bounded broadcast of k*dim doubles as
+    literals (independent of corpus size), argmin inside codegen, one
+    |k * dim|-row shuffle for the update.  The k-means building block
+    behind semantic dedup (SemDeDup), IVF training, and corpus
+    diversity analysis."""
+    from aws_pandas_etl_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+SPAN_W, SPAN_MOD = 12, 4
+
+SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_dk_toks('text')} AS toks FROM documents
+), f AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= {SPAN_W}
+), s AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i, i + {SPAN_W} - 1), ' ') AS span
+  FROM f, unnest(generate_series(1, n - {SPAN_W} + 1)) AS u(i)
+  WHERE {_dk_hex('toks[i]')} % {SPAN_MOD} = 0
+)
+SELECT span, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@register("exact_dup_spans", SPAN_ORACLE)
+def exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact duplication (Lee et al., ACL'22): 12-token
+    spans anchored at content-defined positions (md5(token) % 4 == 0,
+    winnowing-style — identical passages produce identical spans at
+    ANY document offset), shared by >= 2 docs — the boilerplate/
+    quoted-passage signal document-level dedup misses.  Anchors select
+    inside the token array (no per-token explode) and spans group in
+    ONE shuffle with map-side combine; see
+    operators/dedup.py::exact_span_duplicates for the 100 TB notes
+    (hash-grouped spans, anchor-density/recall trade)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_span_duplicates(
+        docs, "doc_id", "text", span_tokens=SPAN_W, anchor_mod=SPAN_MOD
+    )
+
+
+HH_PHI, HH_COUNTERS = 0.005, 400
+
+HH_ORACLE = f"""
+WITH t AS (SELECT unnest({_dk_toks('text')}) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM t GROUP BY token
+HAVING COUNT(*) >= CEIL({HH_PHI} * (SELECT COUNT(*) FROM t))
+"""
+
+
+@register("heavy_hitter_tokens", HH_ORACLE)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token detection via a per-partition Misra-Gries sketch
+    + one exact filtered recount (operators/text.py: the sketch's
+    superset guarantee makes the final answer EXACT and
+    partitioning-independent, while only |partitions| * m candidate
+    rows ever shuffle — vs token_vocabulary_top20's full-vocabulary
+    shuffle; at web scale the vocabulary is billions of distinct
+    tokens but the sketch state stays m per partition).  The oracle is
+    the plain exact GROUP BY the sketch path must reproduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    return TX.heavy_hitters_exact(toks, "token", phi=HH_PHI, counters=HH_COUNTERS)
+
+
+EWMA_ALPHA = 0.5
+
+EWMA_ORACLE = f"""
+WITH RECURSIVE nb AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, CAST(value AS DOUBLE) AS s FROM nb WHERE rn = 1
+  UNION ALL
+  SELECT nb.user_id, nb.rn,
+         {EWMA_ALPHA} * CAST(nb.value AS DOUBLE) + {1.0 - EWMA_ALPHA} * r.s
+  FROM r JOIN nb ON nb.user_id = r.user_id AND nb.rn = r.rn + 1
+)
+SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n_events,
+       ROUND(arg_max(s, rn), 6) AS ewma
+FROM r GROUP BY user_id
+"""
+
+
+@register("ewma_user_value", EWMA_ORACLE)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final exponentially-weighted moving average of ``value`` per
+    user — a linear recurrence no SQL window frame expresses exactly
+    (see operators/timeseries.py).  One shuffle by user, Arrow-batched
+    sequential replay per key; alpha = 0.5 makes every weight a power
+    of two so the float64 recurrence is bit-reproducible, and the
+    oracle replays the identical recurrence via a recursive CTE."""
+    from aws_pandas_etl_spark.operators.timeseries import ewma_last_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma_last_per_key(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=EWMA_ALPHA
+    )
+    return out.select(
+        "user_id", "n_events", F.round("ewma", 6).alias("ewma")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

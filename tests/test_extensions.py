@@ -637,3 +637,94 @@ def test_zorder_interleave_bijective(spark):
         ).collect()
     }
     assert len(zs) == 27
+
+
+def test_heavy_hitters_partitioning_independent(spark):
+    """The MG sketch's superset guarantee makes the final exact answer
+    independent of how the corpus is partitioned."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    a = TX.heavy_hitters_exact(toks.repartition(13), "token", phi=0.01, counters=200)
+    b = TX.heavy_hitters_exact(toks.repartition(2), "token", phi=0.01, counters=200)
+    ra = {(r["token"], r["cnt"]) for r in a.collect()}
+    rb = {(r["token"], r["cnt"]) for r in b.collect()}
+    assert ra == rb and len(ra) > 0
+
+
+def test_heavy_hitters_rejects_insufficient_counters(spark):
+    import pytest
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    with pytest.raises(ValueError, match="superset"):
+        TX.heavy_hitters_exact(toks, "token", phi=0.001, counters=100)
+
+
+def test_misra_gries_candidates_cover_exact_heavy_hitters(spark):
+    """Direct check of the superset property: every token above the
+    support threshold appears in the sketch's candidate set."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    cand = {
+        r["token"]
+        for r in TX.misra_gries_candidates(
+            toks.repartition(7), "token", counters=200
+        ).collect()
+    }
+    exact = toks.groupBy("token").count()
+    n = toks.count()
+    heavy = {r["token"] for r in exact.filter(F.col("count") > n / 201).collect()}
+    assert heavy <= cand
+
+
+def test_kmeans_partitioning_independent_and_nontrivial(spark):
+    from aws_pandas_etl_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = kmeans_lloyd(emb.repartition(11), k=4, iters=2)
+    b = kmeans_lloyd(emb.repartition(3), k=4, iters=2)
+    ra = {(r["vec_id"], r["cluster"]) for r in a.collect()}
+    rb = {(r["vec_id"], r["cluster"]) for r in b.collect()}
+    assert ra == rb
+    n_clusters = len({c for _, c in ra})
+    assert 2 <= n_clusters <= 4
+
+
+def test_exact_span_duplicates_finds_unaligned_passage(spark):
+    """Content-defined anchors must catch the same passage at
+    DIFFERENT offsets in each document (a fixed-stride sampler
+    would miss this unless offsets align mod stride)."""
+    passage = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        Row(doc_id=1, text="unique preamble one. " + passage),
+        Row(doc_id=2, text="a totally different much longer lead-in text here! " + passage),
+        Row(doc_id=3, text="no shared content here at all, just filler words."),
+    ]
+    df = spark.createDataFrame(rows)
+    out = D.exact_span_duplicates(df, "doc_id", "text", span_tokens=8, anchor_mod=4)
+    hits = out.collect()
+    assert any(r["n_docs"] == 2 for r in hits)
+    # doc 3 shares nothing: no span may claim 3 docs
+    assert all(r["n_docs"] <= 2 for r in hits)
+
+
+def test_ewma_recurrence_values(spark):
+    from aws_pandas_etl_spark.operators.timeseries import ewma_last_per_key
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, event_id=i, ts=base + dt.timedelta(minutes=i), value=v)
+        for i, v in enumerate([4.0, 2.0, 8.0])
+    ] + [Row(user_id=2, event_id=10, ts=base, value=7.0)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_last_per_key(
+            df, "user_id", ["ts", "event_id"], "value", alpha=0.5
+        ).collect()
+    }
+    # user 1: s=4 -> 0.5*2+0.5*4=3 -> 0.5*8+0.5*3=5.5 ; user 2: single event
+    assert out[1] == (3, 5.5)
+    assert out[2] == (1, 7.0)
