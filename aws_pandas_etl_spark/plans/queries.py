@@ -4697,10 +4697,16 @@ def event_rate_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K, KMEANS_ITERS = 8, 2
 
 
-def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """DuckDB twin of operators.clustering.kmeans_lloyd: identical
-    init, exact-decimal distances (order-independent sums), the proven
-    decimal-mean centroid update, ties broken by cid."""
+def _kmeans_ctes(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[str, str, str]:
+    """DuckDB twin of operators.clustering.kmeans_lloyd as a reusable
+    CTE prefix: identical init, exact-decimal distances
+    (order-independent sums), the proven decimal-mean centroid update,
+    ties broken by cid.  Returns (WITH-prefix, final-assignment CTE
+    name, final-distance CTE name) so composed oracles
+    (kmeans_embeddings, semantic_dedup top-p blocking) can extend the
+    same clustering."""
     d2 = (
         "SUM(CAST(ROUND((CAST(ex.v AS DOUBLE) - c.comp) * "
         "(CAST(ex.v AS DOUBLE) - c.comp), 12) AS DECIMAL(28,12)))"
@@ -4742,10 +4748,15 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
   FROM a{it} JOIN ex USING (vec_id) GROUP BY a{it}.cluster, ex.dim
 )"""
             )
-    parts.append(
-        f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a{iters - 1}"
+    return "".join(parts), f"a{iters - 1}", f"d{iters - 1}"
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    prefix, final, _ = _kmeans_ctes(k, iters)
+    return (
+        prefix
+        + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM {final}"
     )
-    return "".join(parts)
 
 
 @register("kmeans_embeddings", _kmeans_oracle())
@@ -4827,6 +4838,53 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TX.tokens("text")).alias("token"))
     return TX.heavy_hitters_exact(toks, "token", phi=HH_PHI, counters=HH_COUNTERS)
+
+
+SEMDEDUP_T, SEMDEDUP_PROBES = 0.4, 2
+
+
+def _semdedup_oracle() -> str:
+    prefix, _, dist = _kmeans_ctes()
+    cos = _dk_cos("x.embedding", "y.embedding")
+    return f"""{prefix}, am AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM {dist}
+  ) WHERE rn <= {SEMDEDUP_PROBES}
+), v AS (
+  SELECT am.vec_id, am.cluster, e.embedding
+  FROM am JOIN embeddings e USING (vec_id)
+)
+SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+       ROUND({cos}, 6) AS cosine_sim
+FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE ROUND({cos}, 6) >= {SEMDEDUP_T}
+"""
+
+
+@register("semantic_dedup_pairs", _semdedup_oracle())
+def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): k-means clusters as the blocking
+    key for embedding near-dup pairs — exact cosine only WITHIN shared
+    clusters, so candidate volume is sum-of-cluster-sizes-squared, not
+    n^2 (the semantic sibling of the LSH-sketch-blocked
+    embedding_near_dup_pairs; at 100 TB k grows with the corpus so
+    per-cluster work stays bounded).  Each vector blocks into its
+    top-2 nearest clusters (the recall dial, like LSH hamming_probe /
+    IVF nprobe — measured recall in BASELINE.md).  The oracle replays
+    the identical deterministic clustering via the shared k-means
+    CTEs, then the same top-p blocking and pair join."""
+    from aws_pandas_etl_spark.operators.clustering import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_T,
+        assign_probes=SEMDEDUP_PROBES,
+    )
 
 
 EWMA_ALPHA = 0.5

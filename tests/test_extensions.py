@@ -728,3 +728,42 @@ def test_ewma_recurrence_values(spark):
     # user 1: s=4 -> 0.5*2+0.5*4=3 -> 0.5*8+0.5*3=5.5 ; user 2: single event
     assert out[1] == (3, 5.5)
     assert out[2] == (1, 7.0)
+
+
+def test_semantic_dedup_subset_and_probe_recall_vs_bruteforce(spark):
+    """Cluster-blocked pairs must be a SUBSET of the all-pairs
+    threshold scan (exactness), and multi-probe assignment must be
+    the recall dial (monotone, with a measured floor at p=2 — the
+    synthetic embeddings are near-uniform, the adversarial case for
+    cluster blocking; floors pinned like the ANN recall floors)."""
+    import numpy as np
+
+    from aws_pandas_etl_spark.operators.clustering import semantic_dedup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {}
+    for p in (1, 2):
+        got[p] = {
+            (r["a"], r["b"])
+            for r in semantic_dedup_pairs(
+                emb, k=8, iters=2, threshold=0.4, assign_probes=p
+            ).collect()
+        }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = np.round(sims[iu], 6) >= 0.4
+    truth = {
+        (int(min(x, y)), int(max(x, y)))
+        for x, y in zip(ids[iu[0][mask]], ids[iu[1][mask]])
+    }
+    assert truth, "fixture must contain pairs above the threshold"
+    assert got[1] <= got[2] <= truth
+    r1, r2 = len(got[1]) / len(truth), len(got[2]) / len(truth)
+    # measured on this fixture: p=1 ~0.30, p=2 ~0.61 — deterministic,
+    # so drift means a code regression
+    assert r2 > r1
+    assert r2 >= 0.5, (r1, r2)
