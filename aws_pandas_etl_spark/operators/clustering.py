@@ -9,14 +9,20 @@ This variant pins every source of nondeterminism:
 - **Init**: centroids are the ``k`` vectors with the smallest ids
   (k-means|| would sample; deterministic-by-id is the reproducible
   stand-in and costs one bounded ``limit(k)`` collect).
-- **Distances**: per-dimension squared differences are rounded to 12
-  digits and cast to DECIMAL before summing, so the distance is an
-  EXACT decimal — order-independent, hence identical no matter how
-  the aggregate is parallelized (a raw double fold would depend on
-  accumulation order).  Ties in the argmin break by centroid id.
+- **Distances**: per-row double left-folds over the vector array
+  (``similarity.l2sq``) — a PROJECTION, so deterministic under any
+  partitioning; the DuckDB oracle mirrors the in-order fold with
+  ``list_sum(list_transform(list_zip(...)))``, the pattern the IVF /
+  LSH / cosine oracles already prove bit-identical.  (An earlier
+  draft summed decimal-rounded terms instead; the BigDecimal
+  allocation per element made the 50x probe 10x slower for a
+  determinism guarantee the projection already has.)  Ties in the
+  argmin break by centroid id.
 - **Centroid update**: the proven decimal-mean pattern (cast each
-  component to DECIMAL(18,6), exact SUM, cast to DOUBLE, divide by
-  count) — one deterministic double per (cluster, dim).
+  component to DECIMAL(18,6), exact order-independent SUM, cast to
+  DOUBLE, divide by count) — the ONLY aggregation in the loop whose
+  accumulation order could vary, hence the only place decimals are
+  needed.
 
 Scale shape: each Lloyd iteration is one broadcast of k*dim doubles
 (bounded by k, NOT by corpus size — a legitimate broadcast), one
@@ -32,48 +38,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DIST_SCALE = 12  # decimal digits kept per squared-difference term
-
-
-def l2sq_exact(a, b) -> F.Column:
-    """Squared L2 distance as an EXACT decimal: round each per-dim
-    squared difference to DIST_SCALE digits, sum exactly.  Order
-    independent, so safe under any parallel accumulation — and
-    mirrored term-for-term by the DuckDB oracle."""
-    terms = F.zip_with(
-        a,
-        b,
-        lambda x, y: F.round(
-            (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-            DIST_SCALE,
-        ).cast(f"decimal(28,{DIST_SCALE})"),
-    )
-    return F.aggregate(
-        terms,
-        F.lit(0).cast(f"decimal(28,{DIST_SCALE})"),
-        lambda acc, x: (acc + x).cast(f"decimal(28,{DIST_SCALE})"),
-    )
+from aws_pandas_etl_spark.operators.similarity import dot, l2sq
 
 
 def _lit_vec(vals: list[float]) -> F.Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
 
-def _assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """argmin_c l2sq_exact(vec, centroid_c), ties -> smallest cid.
-    One narrow projection: k distance expressions inside codegen, min
-    over an array of (distance, cid) structs."""
-    structs = F.array(
+def _dist_structs(vec_col: str, cents: list[tuple[int, list[float]]]) -> F.Column:
+    """Array of (d2, cid) structs, one per centroid — struct ordering
+    gives argmin-with-cid-tie-break via array_min, top-p via
+    array_sort + slice."""
+    return F.array(
         *[
             F.struct(
-                l2sq_exact(F.col(vec_col), _lit_vec(c)).alias("d2"),
+                l2sq(F.col(vec_col), _lit_vec(c)).alias("d2"),
                 F.lit(cid).cast("int").alias("cid"),
             )
             for cid, c in cents
         ]
     )
-    return df.withColumn("cluster", F.array_min(structs).getField("cid"))
+
+
+def _assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """argmin_c l2sq(vec, centroid_c), ties -> smallest cid."""
+    return df.withColumn(
+        "cluster", F.array_min(_dist_structs(vec_col, cents)).getField("cid")
+    )
 
 
 def _update(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]]]:
@@ -152,50 +143,67 @@ def semantic_dedup_pairs(
     top-p nearest clusters, so a pair straddling one boundary still
     meets in the runner-up cluster.  Candidate volume grows ~p^2 per
     cluster; measured on the near-uniform synthetic embeddings
-    (BASELINE.md) p=2 roughly doubles recall over p=1.  Pairs found in
-    two shared clusters collapse via DISTINCT (the rounded cosine is
-    deterministic, so duplicates are exact).
+    (BASELINE.md) p=2 roughly doubles recall over p=1.
+
+    Plan is candidates-then-rescore (the minhash-LSH shape): the
+    blocking join carries ONLY (id, cluster) pairs — no vectors — and
+    pairs found in two shared clusters collapse to one BEFORE any
+    cosine math; vectors join back by id with a per-vector norm
+    precomputed ONCE, so each unique candidate pair costs exactly one
+    dot-product fold (vs. the naive join-with-vectors plan: ~2x the
+    shuffle bytes and 3 folds per candidate — measured 4-5x slower at
+    the 10x probe).
 
     Scale shape: at 100 TB, k grows with the corpus (SemDeDup uses
     ~10^5 clusters) so per-cluster populations stay bounded and the
     within-cluster self-join is an equi-join on the cluster id —
-    shuffle-partitioned by cluster, never a cross join.  Here k is
-    small so the deterministic Lloyd's assignment doubles as the
-    parity oracle's clustering.
+    shuffle-partitioned by cluster, never a cross join.
 
     Returns distinct (a, b, cosine_sim) for shared-cluster pairs with
     rounded cosine >= threshold, a < b.
     """
-    from aws_pandas_etl_spark.operators.similarity import cosine
-
     cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    structs = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    l2sq_exact(F.col(vec_col), _lit_vec(c)).alias("d2"),
-                    F.lit(cid).cast("int").alias("cid"),
-                )
-                for cid, c in cents
-            ]
+    assigned = embeddings.select(
+        id_col,
+        F.explode(
+            F.slice(F.array_sort(_dist_structs(vec_col, cents)), 1, assign_probes)
+        ).alias("___s"),
+    ).select(id_col, F.col("___s.cid").alias("cluster"))
+    cand = (
+        assigned.alias("x")
+        .join(assigned.alias("y"), "cluster")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
         )
+        .distinct()
     )
     v = embeddings.select(
-        id_col,
-        vec_col,
-        F.explode(F.slice(structs, 1, assign_probes)).alias("___s"),
-    ).select(id_col, vec_col, F.col("___s.cid").alias("cluster"))
-    a = v.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("___va"), "cluster"
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("___nrm"),
     )
-    b = v.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("___vb"), "cluster"
+    sim = F.round(
+        dot(F.col("___va"), F.col("___vb")) / (F.col("___na") * F.col("___nb")),
+        round_digits,
     )
-    sim = F.round(cosine(F.col("___va"), F.col("___vb")), round_digits)
     return (
-        a.join(b, "cluster")
-        .filter(F.col("a") < F.col("b"))
+        cand.join(
+            v.select(
+                F.col(id_col).alias("a"),
+                F.col(vec_col).alias("___va"),
+                F.col("___nrm").alias("___na"),
+            ),
+            "a",
+        )
+        .join(
+            v.select(
+                F.col(id_col).alias("b"),
+                F.col(vec_col).alias("___vb"),
+                F.col("___nrm").alias("___nb"),
+            ),
+            "b",
+        )
         .select("a", "b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
-        .distinct()
     )

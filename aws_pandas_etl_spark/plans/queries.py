@@ -4701,36 +4701,31 @@ def _kmeans_ctes(
     k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> tuple[str, str, str]:
     """DuckDB twin of operators.clustering.kmeans_lloyd as a reusable
-    CTE prefix: identical init, exact-decimal distances
-    (order-independent sums), the proven decimal-mean centroid update,
-    ties broken by cid.  Returns (WITH-prefix, final-assignment CTE
-    name, final-distance CTE name) so composed oracles
+    CTE prefix: identical init, distances as in-order list_sum folds
+    over the vector arrays (the proven IVF/LSH/cosine oracle pattern —
+    bit-identical to Spark's aggregate left-fold), the decimal-mean
+    centroid update re-assembled into arrays with array_agg ORDER BY
+    dim, ties broken by cid.  Returns (WITH-prefix, final-assignment
+    CTE name, final-distance CTE name) so composed oracles
     (kmeans_embeddings, semantic_dedup top-p blocking) can extend the
     same clustering."""
     d2 = (
-        "SUM(CAST(ROUND((CAST(ex.v AS DOUBLE) - c.comp) * "
-        "(CAST(ex.v AS DOUBLE) - c.comp), 12) AS DECIMAL(28,12)))"
+        "list_sum(list_transform(list_zip(e.embedding, c.cvec), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
     )
     parts = [
-        f"""WITH ex AS (
-  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
-         unnest(embedding) AS v
-  FROM embeddings
-), c0 AS (
+        f"""WITH c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-         embedding AS cvec
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
-), cx0 AS (
-  SELECT cid, unnest(generate_series(1, len(cvec))) AS dim,
-         CAST(unnest(cvec) AS DOUBLE) AS comp
-  FROM c0
 )"""
     ]
     for it in range(iters):
         parts.append(
             f""", d{it} AS (
-  SELECT ex.vec_id, c.cid, {d2} AS d2
-  FROM ex JOIN cx{it} c USING (dim) GROUP BY ex.vec_id, c.cid
+  SELECT e.vec_id, c.cid, {d2} AS d2
+  FROM embeddings e CROSS JOIN c{it} c
 ), a{it} AS (
   SELECT vec_id, cid AS cluster FROM (
     SELECT vec_id, cid,
@@ -4741,11 +4736,18 @@ def _kmeans_ctes(
         )
         if it < iters - 1:
             parts.append(
-                f""", cx{it + 1} AS (
-  SELECT a{it}.cluster AS cid, ex.dim,
+                f""", u{it} AS (
+  SELECT a.cluster AS cid, ex.dim,
          CAST(SUM(CAST(CAST(ex.v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
            / COUNT(*) AS comp
-  FROM a{it} JOIN ex USING (vec_id) GROUP BY a{it}.cluster, ex.dim
+  FROM a{it} a JOIN (
+    SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+           unnest(embedding) AS v
+    FROM embeddings
+  ) ex USING (vec_id)
+  GROUP BY a.cluster, ex.dim
+), c{it + 1} AS (
+  SELECT cid, array_agg(comp ORDER BY dim) AS cvec FROM u{it} GROUP BY cid
 )"""
             )
     return "".join(parts), f"a{iters - 1}", f"d{iters - 1}"
@@ -4887,6 +4889,99 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 4.4478  # 3 * 1.4826 (normal-consistency constant), one literal
+
+MAD_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN value END) AS med
+  FROM r GROUP BY event_type
+), d AS (
+  SELECT e.event_type, e.event_id, abs(e.value - med.med) AS dev
+  FROM events e JOIN med USING (event_type)
+), r2 AS (
+  SELECT event_type, dev, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), mad AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN dev END) AS mad
+  FROM r2 GROUP BY event_type
+), o AS (
+  SELECT d.event_type, COUNT(*) AS n_outliers
+  FROM d JOIN mad USING (event_type)
+  WHERE dev > {MAD_K} * mad GROUP BY d.event_type
+)
+SELECT event_type, med, mad,
+       CAST(COALESCE(n_outliers, 0) AS BIGINT) AS n_outliers
+FROM med JOIN mad USING (event_type) LEFT JOIN o USING (event_type)
+"""
+
+
+@register("mad_outliers_per_event_type", MAD_ORACLE)
+def mad_outliers_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation per event
+    type, flagging |x - median| > 3 * 1.4826 * MAD — the
+    heavy-tail-safe alternative to the z-score monitor
+    (event_rate_anomaly_zscore), where one extreme value cannot drag
+    the threshold.  Both medians use exact ordered-row selection
+    (percentile_disc semantics with an event_id tie-break —
+    engine-portable, unlike interpolating percentile builtins), so the
+    whole chain is deterministic with no decimal tricks.  Plan: two
+    window+selection rounds over the type partitioning plus one
+    filtered recount — three shuffles on the same low-cardinality key,
+    each with map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def _exact_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wn = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            col,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        sel = F.max(
+            F.when(
+                F.col("rn")
+                == F.floor(F.lit(0.5) * (F.col("n") - 1)).cast("bigint") + 1,
+                F.col(col),
+            )
+        )
+        return r.groupBy("event_type").agg(sel.alias(f"med_{col}"))
+
+    med = _exact_median(ev.select("event_type", "event_id", "value"), "value")
+    d = ev.join(med, "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med_value")).alias("dev"),
+    )
+    mad = _exact_median(d, "dev")
+    o = (
+        d.join(mad, "event_type")
+        .filter(F.col("dev") > F.lit(MAD_K) * F.col("med_dev"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(o, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("med_value").alias("med"),
+            F.col("med_dev").alias("mad"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
 EWMA_ALPHA = 0.5
 
 EWMA_ORACLE = f"""
@@ -4924,6 +5019,20 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("ewma", 6).alias("ewma")
     )
+
+
+@register("streaming_ewma_per_user", EWMA_ORACLE)
+def streaming_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ewma_user_value: applyInPandasWithState
+    carries (running ewma, n) per user across micro-batches, emits a
+    running row per batch, and the bounded availableNow run compacts
+    to the final row per key — which must equal the batch recurrence
+    exactly (alpha=1/2, bit-reproducible), so both share one oracle.
+    State is two numbers per key; on an unbounded stream a watermark
+    timeout evicts idle keys."""
+    from aws_pandas_etl_spark.streaming.ewma_stream import run_ewma_stream
+
+    return run_ewma_stream(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -413,3 +413,55 @@ def test_streaming_resume_from_checkpoint_exactly_once(spark, split_events_dir, 
         for r in spark.read.option("pathGlobFilter", "batch_*.parquet").parquet(d).collect()
     )
     assert got == want  # every event exactly once across the restart
+
+
+def test_ewma_state_carries_across_batches(spark, split_events_dir):
+    """The stateful EWMA must fold micro-batches into the SAME
+    recurrence the batch operator computes in one pass: 4 time-ordered
+    files at maxFilesPerTrigger=1, final fragment per user must equal
+    the batch EWMA bit-for-bit (alpha=1/2).  If state were lost, later
+    batches would restart the recurrence and values would diverge."""
+    from aws_pandas_etl_spark.operators.timeseries import ewma_last_per_key
+    from aws_pandas_etl_spark.streaming.ewma_stream import (
+        OUTPUT_SCHEMA as EWMA_OUT,
+        STATE_SCHEMA as EWMA_STATE,
+        _ewma_group,
+    )
+
+    stream = open_events_stream(
+        spark, split_events_dir, "batch_*.parquet", max_files_per_trigger=1
+    ).select("user_id", "ts", "event_id", "value")
+    ew = stream.groupBy("user_id").applyInPandasWithState(
+        _ewma_group, EWMA_OUT, EWMA_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"ewma_{uuid.uuid4().hex[:6]}"
+    q = (
+        ew.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    frags = spark.sql(f"SELECT * FROM {name}")
+    # at least one user must have fragments from >1 batch, else the
+    # test exercises nothing
+    multi = frags.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0
+    latest = frags.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "ewma")).alias("m")
+    )
+    got = {
+        (r["user_id"], r["m"]["n_events"]): r["m"]["ewma"]
+        for r in latest.collect()
+    }
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    want = {
+        (r["user_id"], r["n_events"]): r["ewma"]
+        for r in ewma_last_per_key(
+            batch, "user_id", ["ts", "event_id"], "value", alpha=0.5
+        ).collect()
+    }
+    assert got == want
