@@ -4695,11 +4695,17 @@ def event_rate_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMEANS_K, KMEANS_ITERS = 8, 2
+KMEANS_DIV = 125  # k = max(KMEANS_K, n // KMEANS_DIV): k grows with corpus
 
 
-def _kmeans_ctes(
-    k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> tuple[str, str, str]:
+def _kmeans_k(emb: DataFrame) -> int:
+    """k ∝ corpus (the probe-proven requirement — BASELINE.md: fixed k
+    is quadratic).  The oracle computes the SAME k from the table it
+    runs on, so parity holds at every scale."""
+    return max(KMEANS_K, emb.count() // KMEANS_DIV)
+
+
+def _kmeans_ctes(iters: int = KMEANS_ITERS) -> tuple[str, str, str]:
     """DuckDB twin of operators.clustering.kmeans_lloyd as a reusable
     CTE prefix: identical init, distances as in-order list_sum folds
     over the vector arrays (the proven IVF/LSH/cosine oracle pattern —
@@ -4715,10 +4721,14 @@ def _kmeans_ctes(
         "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
     )
     parts = [
-        f"""WITH c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+        f"""WITH kk AS (
+  SELECT GREATEST({KMEANS_K}, COUNT(*) // {KMEANS_DIV}) AS k FROM embeddings
+), c0 AS (
+  SELECT CAST(rn - 1 AS INTEGER) AS cid, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+    FROM embeddings
+  ), kk WHERE rn <= kk.k
 )"""
     ]
     for it in range(iters):
@@ -4753,8 +4763,8 @@ def _kmeans_ctes(
     return "".join(parts), f"a{iters - 1}", f"d{iters - 1}"
 
 
-def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    prefix, final, _ = _kmeans_ctes(k, iters)
+def _kmeans_oracle(iters: int = KMEANS_ITERS) -> str:
+    prefix, final, _ = _kmeans_ctes(iters)
     return (
         prefix
         + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM {final}"
@@ -4778,7 +4788,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_pandas_etl_spark.operators.clustering import kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return kmeans_lloyd(emb, k=_kmeans_k(emb), iters=KMEANS_ITERS)
 
 
 SPAN_W, SPAN_MOD = 12, 4
@@ -4876,13 +4886,19 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-2 nearest clusters (the recall dial, like LSH hamming_probe /
     IVF nprobe — measured recall in BASELINE.md).  The oracle replays
     the identical deterministic clustering via the shared k-means
-    CTEs, then the same top-p blocking and pair join."""
+    CTEs, then the same top-p blocking and pair join.
+
+    k grows with the corpus (k = max(8, n/125)) — the 10x probe in
+    BASELINE.md shows fixed k is quadratic (146 s) while k ∝ n is
+    ~linear (46 s).  The oracle derives the SAME k from a COUNT(*)
+    scalar, so parity holds at every scale the sweep runs."""
     from aws_pandas_etl_spark.operators.clustering import semantic_dedup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
+    k = _kmeans_k(emb)
     return semantic_dedup_pairs(
         emb,
-        k=KMEANS_K,
+        k=k,
         iters=KMEANS_ITERS,
         threshold=SEMDEDUP_T,
         assign_probes=SEMDEDUP_PROBES,
