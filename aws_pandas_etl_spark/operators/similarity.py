@@ -285,3 +285,39 @@ def similarity_self_join(
         .select("a", "b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def jl_project(
+    embeddings: DataFrame,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: out_dims deterministic
+    md5-derived hyperplanes (the LSH plane family, offset so the two
+    operators use independent planes), one dot product each — a pure
+    projection (zero shuffles, scan-speed at any scale), the standard
+    preprocessing step that shrinks ANN/dedup distance math by
+    dims/out_dims while approximately preserving relative distances
+    (JL lemma; preservation measured in tests).
+
+    Output is long-form (id, dim, value): engine-portable exact
+    comparison needs scalar cells, and downstream re-assembly is a
+    collect_list away.  Values are unscaled dot products — relative
+    distances are what ANN ranking consumes; apply 1/sqrt(out_dims)
+    for calibrated absolute distances."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    ndims = dims or len(embeddings.select(vec_col).first()[0])
+    planes = [hyperplane(1000 + p, ndims) for p in range(out_dims)]
+    projected = F.array(
+        *[
+            F.round(dot(F.col(vec_col), _lit_array(pl)), round_digits)
+            for pl in planes
+        ]
+    )
+    return embeddings.select(
+        id_col, F.posexplode(projected).alias("dim", "value")
+    ).select(id_col, F.col("dim").cast("int").alias("dim"), "value")

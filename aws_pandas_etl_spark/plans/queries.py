@@ -4905,6 +4905,37 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JL_DIMS = 16
+
+
+def _jl_oracle(out_dims: int = JL_DIMS) -> str:
+    import aws_pandas_etl_spark.operators.similarity as _sim
+
+    planes = [_sim.hyperplane(1000 + p, 64) for p in range(out_dims)]
+    cells = ", ".join(
+        f"ROUND({_dk_dot('embedding', _dk_plane(pl))}, 6)" for pl in planes
+    )
+    return f"""
+WITH p AS (
+  SELECT vec_id, [{cells}] AS proj FROM embeddings
+)
+SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, proj[i] AS value
+FROM p, unnest(generate_series(1, {out_dims})) AS u(i)
+"""
+
+
+@register("jl_projection_embeddings", _jl_oracle())
+def jl_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection 64 -> 16 dims with
+    deterministic md5-derived planes — the preprocessing that shrinks
+    every downstream distance computation 4x (see
+    operators/similarity.py::jl_project).  A pure projection: zero
+    shuffles, scan-speed at 100 TB; long-form output for exact
+    cross-engine comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.jl_project(emb, out_dims=JL_DIMS, dims=64)
+
+
 MAD_K = 4.4478  # 3 * 1.4826 (normal-consistency constant), one literal
 
 MAD_ORACLE = f"""

@@ -94,3 +94,39 @@ def test_ann_recall_vs_bruteforce(spark):
     assert means["lsh_probe2"] >= 0.60, means
     assert means["ivf2"] >= 0.55, means
     assert means["ivf4"] >= 0.65, means
+
+
+def test_jl_projection_fidelity_grows_with_dims(spark):
+    """JL sanity on the adversarial fixture (near-uniform embeddings
+    have almost no distance spread, so projection noise dominates):
+    pairwise-distance correlation with the original 64-dim space must
+    GROW with output dims and clear a floor at the measured values —
+    everything is deterministic (md5 planes + fixed data), so drift
+    means a code regression.  Measured: 0.26 @ 8, 0.34 @ 16,
+    0.46 @ 32."""
+    import numpy as np
+
+    from aws_pandas_etl_spark.operators import similarity as SIM
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.select("vec_id", "embedding").limit(200).collect()
+    ids = [r["vec_id"] for r in rows]
+    orig = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    iu = np.triu_indices(len(ids), k=1)
+    d_orig = ((orig[iu[0]] - orig[iu[1]]) ** 2).sum(axis=1)
+
+    def corr_at(p):
+        proj_rows = SIM.jl_project(
+            emb.filter(F.col("vec_id").isin(ids)), out_dims=p, dims=64
+        ).collect()
+        pm = {}
+        for r in proj_rows:
+            pm.setdefault(r["vec_id"], {})[r["dim"]] = r["value"]
+        proj = np.array([[pm[i][d] for d in range(p)] for i in ids])
+        d_proj = ((proj[iu[0]] - proj[iu[1]]) ** 2).sum(axis=1)
+        return float(np.corrcoef(d_orig, d_proj)[0, 1])
+
+    c8, c16, c32 = corr_at(8), corr_at(16), corr_at(32)
+    assert c8 < c16 < c32, (c8, c16, c32)
+    assert c16 >= 0.25 and c32 >= 0.35, (c16, c32)
