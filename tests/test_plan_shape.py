@@ -120,6 +120,7 @@ _SCALAR_CROSS_OK = {
                                      # table (IVF cell assignment)
     "nation_revenue_share",          # 1-row exact-decimal denominator
     "mixture_sample_by_lang",        # 1-row min(count/share) scale factor
+    "heavy_hitter_tokens",           # 1-row corpus token total (threshold)
 }
 
 # Streaming queries execute a real job on invocation — planning them
