@@ -162,6 +162,67 @@ def semantic_dedup_pairs(
     Returns distinct (a, b, cosine_sim) for shared-cluster pairs with
     rounded cosine >= threshold, a < b.
     """
+    pairs = cluster_blocked_cosine_pairs(
+        embeddings, k, iters, assign_probes, id_col, vec_col, round_digits
+    )
+    return pairs.filter(F.col("cosine_sim") >= threshold)
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k_neighbors: int = 5,
+    k: int = 8,
+    iters: int = 2,
+    assign_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate all-kNN join: for EVERY vector, its k_neighbors
+    nearest neighbors by cosine among cluster-blocked candidates — the
+    kNN-graph construction behind graph-based dedup, SemDeDup
+    refinement, and ANN index build, as one DataFrame plan.
+
+    Cost is the same undirected candidate rescore as
+    semantic_dedup_pairs (each unique pair's cosine computes ONCE);
+    the directed view is a union of the two orientations, then a
+    per-source top-k window partitioned by the source id — fully
+    distributed, no global sort.  Recall vs the exact all-pairs kNN is
+    the same dial as SemDeDup: cluster count vs probes.
+
+    Returns (a, b, cosine_sim): b ranks among a's k_neighbors nearest
+    candidates (ties by neighbor id).
+    """
+    from pyspark.sql import Window
+
+    pairs = cluster_blocked_cosine_pairs(
+        embeddings, k, iters, assign_probes, id_col, vec_col, round_digits
+    )
+    directed = pairs.unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "cosine_sim"
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cosine_sim").desc(), F.col("b"))
+    return (
+        directed.withColumn("___rn", F.row_number().over(w))
+        .filter(F.col("___rn") <= k_neighbors)
+        .select("a", "b", "cosine_sim")
+    )
+
+
+def cluster_blocked_cosine_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    assign_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Shared candidates-then-rescore core: k-means top-p blocking,
+    unique (a < b) pair ids, one cosine fold per pair with precomputed
+    norms.  Returns (a, b, cosine_sim) unthresholded."""
     cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = embeddings.select(
         id_col,
@@ -205,5 +266,4 @@ def semantic_dedup_pairs(
             "b",
         )
         .select("a", "b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
     )

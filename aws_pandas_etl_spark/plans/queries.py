@@ -5029,6 +5029,58 @@ def mad_outliers_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_GRAPH_K = 5
+
+
+def _knn_graph_oracle() -> str:
+    prefix, _, dist = _kmeans_ctes()
+    cos = _dk_cos("x.embedding", "y.embedding")
+    return f"""{prefix}, am AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM {dist}
+  ) WHERE rn <= {SEMDEDUP_PROBES}
+), v AS (
+  SELECT am.vec_id, am.cluster, e.embedding
+  FROM am JOIN embeddings e USING (vec_id)
+), pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, ROUND({cos}, 6) AS cosine_sim
+  FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+), directed AS (
+  SELECT a, b, cosine_sim FROM pairs
+  UNION ALL
+  SELECT b AS a, a AS b, cosine_sim FROM pairs
+)
+SELECT a, b, cosine_sim FROM (
+  SELECT a, b, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine_sim DESC, b) AS rn
+  FROM directed
+) WHERE rn <= {KNN_GRAPH_K}
+"""
+
+
+@register("knn_graph_cosine", _knn_graph_oracle())
+def knn_graph_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-kNN join: every vector's 5 nearest neighbors by
+    cosine among its cluster-blocked candidates — the kNN-graph build
+    behind graph-based dedup and ANN indexes, sharing SemDeDup's
+    candidates-then-rescore core (each unique pair's cosine computes
+    once; the directed view is a two-orientation union + per-source
+    top-k window — no global sort).  Adaptive k like SemDeDup; the
+    oracle replays the identical clustering, blocking, and ranking."""
+    from aws_pandas_etl_spark.operators.clustering import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(
+        emb,
+        k_neighbors=KNN_GRAPH_K,
+        k=_kmeans_k(emb),
+        iters=KMEANS_ITERS,
+        assign_probes=SEMDEDUP_PROBES,
+    )
+
+
 EWMA_ALPHA = 0.5
 
 EWMA_ORACLE = f"""
