@@ -5168,6 +5168,16 @@ def streaming_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_exact -> 6 dedup reps; text_stats/split -> 6 text/training
 # reps; JSON/row-hash/anti/semi/window-topk keep exact-value coverage
 # in the local sweep).
+# Mid-round-6 swap (new operators deserve the independent check most):
+# in = kmeans_embeddings / semantic_dedup_pairs / heavy_hitter_tokens /
+# exact_dup_spans / ewma_user_value (all never driver-verified); out =
+# topk_similarity_bruteforce (ANN family keeps ann_lsh + ann_ivf),
+# pii_redaction + chunk_documents_sliding (text family keeps tfidf /
+# curate / pack / stratified), etl_enriched_events (pipeline family
+# keeps schema_enforce / roundtrip / error_isolation),
+# asof_last_view_before_purchase (temporal-join family keeps
+# range_join + scd2) — every out-seat is r5-driver-green and keeps
+# exact-value coverage in the local sweep.
 _DRIVER_WINDOW = [
     "q7_trade_volume",
     "q9_product_profit",
@@ -5192,7 +5202,7 @@ _DRIVER_WINDOW = [
     "streaming_events_hourly",
     "streaming_dedup_events",
     "streaming_dedup_within_watermark",
-    "etl_enriched_events",
+    "exact_dup_spans",
     "schema_enforce_lineitem",
     "pipeline_roundtrip",
     "pipeline_error_isolation",
@@ -5200,17 +5210,17 @@ _DRIVER_WINDOW = [
     "decontaminate_bloom",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
-    "topk_similarity_bruteforce",
+    "kmeans_embeddings",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "tfidf_top_terms",
-    "pii_redaction",
-    "chunk_documents_sliding",
+    "semantic_dedup_pairs",
+    "heavy_hitter_tokens",
     "curate_training_corpus",
     "pack_sequences_greedy",
     "stratified_sample_by_lang",
     "multimodal_features",
-    "asof_last_view_before_purchase",
+    "ewma_user_value",
     "range_join_clicks_near_errors",
     "scd2_purchase_history",
     "conversion_funnel_view_click_purchase",
