@@ -3265,6 +3265,124 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _survivors_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+), e AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT component_id, doc_id AS survivor_id,
+       CAST(n_members AS BIGINT) AS n_members
+FROM (
+  SELECT component_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY component_id) AS n_members
+  FROM lab
+) WHERE rn = 1
+"""
+
+
+@register("dedup_survivors_minhash", _survivors_oracle())
+def dedup_survivors_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster survivorship — the decision step that
+    turns near-dup clusters into an actual deduplicated corpus: every
+    document lands in a component (its transitive MinHash cluster, or
+    itself if unpaired), and the canonical survivor is the LONGEST
+    member (ties: smallest doc_id) — the standard richest-copy rule.
+    Composes the LSH pair generation and iterative connected
+    components with one left join and one per-component window;
+    singleton components ride the same path with no special case."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_near_minhash(docs, threshold=0.5).select("a", "b")
+    comp = D.connected_components(pairs)
+    lab = docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wn = Window.partitionBy("component_id")
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wn).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("survivor_id"), "n_members")
+    )
+
+
+TOKEN_BUDGET_PER_LANG = 3000
+
+BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT lang, doc_id, len({_dk_toks('text')}) AS n_tok,
+         {_dk_hex("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM c WHERE cum <= {TOKEN_BUDGET_PER_LANG}
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("sample_to_token_budget", BUDGET_ORACLE)
+def sample_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-bounded corpus sampling: fill a fixed per-language token
+    budget with a deterministic random-ordered prefix of documents —
+    "give me ~3000 tokens per language, same docs every run", the
+    mixture-construction primitive next to rate-based
+    stratified/mixture sampling (which control PROPORTIONS, not
+    absolute token counts).  Order comes from the md5 of the doc id
+    (shuffle-free, engine-portable randomness); the running token sum
+    is an exact BIGINT window.  At 100 TB the per-lang cumsum becomes
+    the two-pass global_prefix_sum (ranking.py) exactly as
+    pack_sequences_greedy does; the per-partition window here is the
+    small-stratum form."""
+    docs = load_table(spark, sf_dir, "documents")
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    t = docs.select(
+        "lang",
+        "doc_id",
+        F.size(TX.tokens("text")).cast("bigint").alias("n_tok"),
+        md5_bigint(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tok").over(w))
+        .filter(F.col("cum") <= TOKEN_BUDGET_PER_LANG)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Per-stratum sampling rates (pct of 100): oversample scarce langs.
 STRATA_RATES = {"en": 20, "es": 40, "fr": 40, "de": 60, "zh": 60}
 
