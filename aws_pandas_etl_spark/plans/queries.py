@@ -1077,6 +1077,84 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lang_id_table(docs)
 
 
+def _lang_confusion_oracle() -> str:
+    return f"""
+SELECT lang AS actual, pred_lang AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ({_langid_oracle()}) preds
+GROUP BY lang, pred_lang
+ORDER BY actual, predicted
+"""
+
+
+@register("lang_id_confusion_matrix", _lang_confusion_oracle())
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the (actual, predicted) confusion
+    matrix of the stopword classifier against the corpus labels — the
+    quality report every lang-ID stage ships with.  Uses the pure
+    Column twin (codegen, zero Python) of the Arrow lang_id_table
+    path; one shuffle over |langs|^2 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual"),
+            TX.predict_lang("text").alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), e AS (
+  SELECT ev.user_id, f.cohort_week,
+         CAST(floor((CAST(date_trunc('week', ev.ts) AS DATE)
+                     - f.cohort_week) / 7) AS INTEGER)
+           AS week_offset
+  FROM events ev JOIN f USING (user_id)
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("cohort_weekly_retention", RETENTION_ORACLE)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen ISO week, then
+    distinct actives per (cohort, week-offset) — the canonical
+    product-analytics triangle.  Plan: per-user MIN (one shuffle with
+    map-side combine), fact join back on user (AQE picks the
+    strategy; the cohort table scales with users so no forced
+    broadcast), then a distinct-count shuffle on the
+    |cohorts| x |offsets| grid.  Week arithmetic is ISO-Monday
+    date_trunc on both engines; the offset is exact integer day
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    offset = F.floor(
+        F.datediff(
+            F.date_trunc("week", F.col("ts")).cast("date"),
+            F.col("cohort_week"),
+        )
+        / 7
+    ).cast("int")
+    return (
+        ev.join(f, "user_id")
+        .select("user_id", "cohort_week", offset.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def _quality_oracle() -> str:
     toks = _dk_toks("text")
     return f"""
