@@ -5330,6 +5330,269 @@ def streaming_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ewma_stream(spark, sf_dir)
 
 
+# ===========================================================================
+# Sketch counting, weighted sampling, and feature engineering — the
+# approximate/streaming-friendly siblings of the exact aggregates above.
+# ===========================================================================
+
+LC_BUCKETS = 4096
+
+LINEAR_COUNT_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x'||substr(md5('lc:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+           % {LC_BUCKETS} AS bucket
+  FROM events
+), occ AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS occupied FROM b GROUP BY event_type
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT event_type, occupied,
+       ROUND(-{LC_BUCKETS} * ln(1.0 - CAST(occupied AS DOUBLE) / {LC_BUCKETS}), 4)
+         AS est_distinct,
+       exact_distinct
+FROM occ JOIN ex USING (event_type)
+"""
+
+
+@register("approx_distinct_users_linear", LINEAR_COUNT_ORACLE)
+def approx_distinct_users_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting via a linear-counting sketch —
+    the mergeable-sketch alternative to exact COUNT(DISTINCT) when the
+    key space no longer fits a hash table per group.  Each user hashes
+    to one of m=4096 buckets; the estimate is -m*ln(1 - occupied/m).
+    Unlike ``approx_count_distinct`` (whose HLL internals aren't
+    engine-portable) the sketch here is a pure relational construction
+    both engines replay bit-identically, so the oracle is exact.
+
+    Scale shape: the DISTINCT (type, bucket) shuffle carries at most
+    |types| x m rows after map-side partial dedup — constant in corpus
+    size, vs the exact path whose shuffle grows with distinct users.
+    The exact count rides along as the accuracy reference."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        md5_bigint(F.concat(F.lit("lc:"), F.col("user_id").cast("string")))
+        % LC_BUCKETS
+    )
+    b = ev.select("event_type", bucket.alias("bucket")).distinct()
+    occ = b.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("occupied")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    m = float(LC_BUCKETS)
+    est = F.round(
+        -F.lit(m) * F.log(F.lit(1.0) - F.col("occupied").cast("double") / F.lit(m)),
+        4,
+    )
+    return occ.join(ex, "event_type").select(
+        "event_type", "occupied", est.alias("est_distinct"), "exact_distinct"
+    )
+
+
+WS_K = 5
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH k AS (
+  SELECT event_type, event_id, value,
+         ROUND(
+           ln(GREATEST(
+             CAST(('0x'||substr(md5('ws:'||CAST(event_id AS VARCHAR)),1,15)) AS BIGINT)
+               / 1152921504606846976.0, 1e-300))
+           / (GREATEST(value, 0.0) + 1.0), 6) + 0.0 AS sample_key
+  FROM events
+)
+SELECT event_type, event_id, value, sample_key FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY sample_key DESC, event_id) AS rn
+  FROM k
+) WHERE rn <= {WS_K}
+"""
+
+
+@register("weighted_sample_by_value", WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): per event type, the 5 rows with the largest u^(1/w) —
+    equivalently ln(u)/w, one libm call like the unigram scorer —
+    where u is the deterministic md5 fraction of the row id and
+    w = value+1.  High-value rows are proportionally likelier, yet
+    membership is a pure function of the row id: task retries and
+    re-runs select identical samples, and the oracle replays the
+    choice exactly (key rounded to 6 digits, event_id tie-break).
+
+    Scale shape: the key is a scan-side projection; top-k per group
+    goes through TakeOrderedAndProject-style partial top-k per
+    partition, never a global sort."""
+    from aws_pandas_etl_spark.operators.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.greatest(hash_fraction(F.col("event_id"), "ws"), F.lit(1e-300))
+    # + 0.0 canonicalizes IEEE -0.0 (a near-zero key rounds to -0.0 in
+    # DuckDB but 0.0 in Spark) — same selection, hash-identical value
+    key = (
+        F.round(
+            F.log(u) / (F.greatest(F.col("value"), F.lit(0.0)) + F.lit(1.0)), 6
+        )
+        + F.lit(0.0)
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("sample_key").desc(), "event_id"
+    )
+    return (
+        ev.select("event_type", "event_id", "value", key.alias("sample_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WS_K)
+        .drop("rn")
+    )
+
+
+LAG_FEATURES_ORACLE = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1,
+         lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag2,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS s3,
+         CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n3
+  FROM events
+)
+SELECT user_id, event_id, value, lag1, lag2, ROUND(s3 / n3, 6) AS roll3_mean
+FROM w
+"""
+
+
+@register("lag_features_per_user", LAG_FEATURES_ORACLE)
+def lag_features_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature extraction: per-user lag-1/lag-2 values and a 3-row
+    rolling mean over the event timeline — the standard
+    autoregressive feature block a training pipeline materializes
+    before model fitting.  The rolling sum goes through DECIMAL so the
+    3-term accumulation is order-exact cross-engine.
+
+    Scale shape: one shuffle by user_id; all three features share a
+    single window sort (same partitioning AND ordering), so Spark
+    evaluates them in one pass over each partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    s3 = F.sum(F.col("value").cast("decimal(18,6)")).over(wf).cast("double")
+    n3 = F.count("*").over(wf).cast("bigint")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        F.round(s3 / n3, 6).alias("roll3_mean"),
+    )
+
+
+DECILE_ORACLE = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST((rn - 1) * 10 // n AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM r GROUP BY event_type, decile
+"""
+
+
+@register("value_decile_bins", DECILE_ORACLE)
+def value_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization: value deciles per event type
+    with per-bin extents — the feature-binning step before histogram
+    equalization or monotonic binning.  Bin assignment is pure integer
+    arithmetic over row_number ((rn-1)*10 div n) — no percent_rank
+    float boundary, so cross-engine parity is exact by construction,
+    and ntile's nondeterministic tie placement is avoided via the
+    (value, event_id) total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        r.select(
+            "event_type",
+            "value",
+            F.expr("CAST((rn - 1) * 10 div n AS INT)").alias("decile"),
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT event_type, props, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, props
+), t AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS total FROM c GROUP BY event_type
+), term AS (
+  SELECT c.event_type,
+         CAST(ROUND(-(CAST(c.c AS DOUBLE)/t.total)
+                    * ln(CAST(c.c AS DOUBLE)/t.total) / ln(2.0), 6)
+              AS DECIMAL(18,6)) AS h
+  FROM c JOIN t USING (event_type)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct_props,
+       ROUND(CAST(SUM(h) AS DOUBLE), 6) AS entropy_bits
+FROM term GROUP BY event_type
+"""
+
+
+@register("props_entropy_per_event_type", ENTROPY_ORACLE)
+def props_entropy_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the props-payload distribution per event
+    type — the diversity monitor that catches payload collapse (a
+    producer suddenly emitting one constant props blob drops entropy
+    to ~0 long before row counts move).  Per-(type, props) terms
+    -p*log2(p) are rounded then DECIMAL-summed so the reduction is
+    order-independent; both engines share the same ln calls on
+    identical rationals (the proven unigram-scorer pattern).
+
+    Scale shape: two groupBys on (type, props) then type — both with
+    map-side combine; no joins against corpus-scaling frames beyond
+    the per-type totals (|types| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "props").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    t = c.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("total"))
+    p = F.col("c").cast("double") / F.col("total")
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 6).cast("decimal(18,6)")
+    return (
+        c.join(t, "event_type")
+        .select("event_type", term.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_props"),
+            F.round(F.sum("h").cast("double"), 6).alias("entropy_bits"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
