@@ -5228,7 +5228,10 @@ def mad_outliers_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_GRAPH_K = 5
 
 
-def _knn_graph_oracle() -> str:
+def _knn_ctes() -> str:
+    """WITH-prefix ending in CTE ``knn(a, b, cosine_sim)`` — the
+    approximate kNN graph — so composed oracles (the graph itself,
+    PageRank over it) extend one construction."""
     prefix, _, dist = _kmeans_ctes()
     cos = _dk_cos("x.embedding", "y.embedding")
     return f"""{prefix}, am AS (
@@ -5247,13 +5250,17 @@ def _knn_graph_oracle() -> str:
   SELECT a, b, cosine_sim FROM pairs
   UNION ALL
   SELECT b AS a, a AS b, cosine_sim FROM pairs
-)
-SELECT a, b, cosine_sim FROM (
-  SELECT a, b, cosine_sim,
-         ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine_sim DESC, b) AS rn
-  FROM directed
-) WHERE rn <= {KNN_GRAPH_K}
-"""
+), knn AS (
+  SELECT a, b, cosine_sim FROM (
+    SELECT a, b, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine_sim DESC, b) AS rn
+    FROM directed
+  ) WHERE rn <= {KNN_GRAPH_K}
+)"""
+
+
+def _knn_graph_oracle() -> str:
+    return _knn_ctes() + "\nSELECT a, b, cosine_sim FROM knn"
 
 
 @register("knn_graph_cosine", _knn_graph_oracle())
@@ -5591,6 +5598,208 @@ def props_entropy_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("h").cast("double"), 6).alias("entropy_bits"),
         )
     )
+
+
+PMI_MIN_COUNT, PMI_TOP = 3, 20
+
+PMI_ORACLE = f"""
+WITH t AS (
+  SELECT {_dk_toks('text')} AS toks FROM documents
+), uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term
+), nu AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni
+), bi AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM (
+    SELECT unnest(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t
+  ) GROUP BY bigram HAVING COUNT(*) >= {PMI_MIN_COUNT}
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bi
+  FROM (
+    SELECT unnest(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t
+  )
+)
+SELECT bigram, c_ab,
+       ROUND(ln((CAST(c_ab AS DOUBLE) / n_bi)
+                / ((CAST(a.c AS DOUBLE) / n_uni) * (CAST(b.c AS DOUBLE) / n_uni))), 6)
+         AS pmi
+FROM bi JOIN uni a ON a.term = string_split(bigram, ' ')[1]
+        JOIN uni b ON b.term = string_split(bigram, ' ')[2], nu, nb
+ORDER BY pmi DESC, bigram
+LIMIT {PMI_TOP}
+"""
+
+
+@register("pmi_bigrams_top20", PMI_ORACLE)
+def pmi_bigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the 20 bigrams with the highest pointwise
+    mutual information ln(p(ab)/(p(a)p(b))) among those seen >= 3
+    times — the phrase-detection pass (word2vec-style) that decides
+    which token pairs merge before vocabulary training.  One ln per
+    surviving bigram, rounded to 6 (the unigram-scorer parity
+    pattern); corpus totals are 1-row scalars.
+
+    Scale shape: bigram construction is a scan-side array transform
+    (no self-join of adjacent tokens); the two unigram joins hit a
+    vocabulary-scaling frame, so neither is broadcast-forced — AQE
+    decides.  Top-20 goes through TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(TX.tokens("text").alias("toks"))
+    uni = (
+        t.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    k = F.size("toks") - F.lit(1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    all_bi = t.select(F.explode(grams).alias("bigram")).groupBy("bigram").agg(
+        F.count("*").cast("bigint").alias("c_ab")
+    )
+    n_bi = all_bi.agg(F.sum("c_ab").cast("bigint").alias("n_bi"))
+    bi = all_bi.filter(F.col("c_ab") >= PMI_MIN_COUNT).select(
+        "bigram",
+        "c_ab",
+        F.split("bigram", " ").getItem(0).alias("term_a"),
+        F.split("bigram", " ").getItem(1).alias("term_b"),
+    )
+    ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    p_ab = F.col("c_ab").cast("double") / F.col("n_bi")
+    p_a = F.col("c_a").cast("double") / F.col("n_uni")
+    p_b = F.col("c_b").cast("double") / F.col("n_uni")
+    return (
+        bi.join(ua, "term_a")
+        .join(ub, "term_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "bigram",
+            "c_ab",
+            F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(PMI_TOP)
+    )
+
+
+INVIDX_DF_MIN, INVIDX_DF_MAX = 3, 40
+
+INVIDX_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_dk_toks('text')}) AS term FROM documents)
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       list_sort(list(doc_id)) AS postings
+FROM e GROUP BY term
+HAVING COUNT(*) BETWEEN {INVIDX_DF_MIN} AND {INVIDX_DF_MAX}
+"""
+
+
+@register("inverted_index_terms", INVIDX_ORACLE)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: sorted posting list (doc ids) per
+    mid-frequency term (3 <= df <= 40) — the retrieval-index build
+    step, band-filtered the way search engines drop stopword-frequency
+    and hapax terms.  Postings sort inside each group
+    (sort_array(collect_list)), so no global ordering is required.
+
+    Scale shape: one explode + distinct (map-side partial dedup), one
+    groupBy term.  Posting lists are bounded by the df ceiling, so no
+    group out-sizes an executor; at web scale the df band IS the
+    skew guard (the 'the'-posting-list never materializes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens("text"))).alias("term")
+    )
+    return (
+        e.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df").between(INVIDX_DF_MIN, INVIDX_DF_MAX))
+    )
+
+
+PAGERANK_ITERS, PAGERANK_DAMPING = 3, 0.85
+
+
+def _pagerank_oracle() -> str:
+    from aws_pandas_etl_spark.operators.graph import PR_SUM_DIGITS
+
+    d, t = PAGERANK_DAMPING, 1.0 - PAGERANK_DAMPING
+    body = f"""{_knn_ctes()}, nodes AS (
+  SELECT vec_id AS node FROM embeddings
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes
+), outd AS (
+  SELECT a AS src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM knn GROUP BY a
+), p0 AS (
+  SELECT node, 1.0 / CAST(n_nodes AS DOUBLE) AS pr FROM nodes, nn
+)"""
+    for i in range(PAGERANK_ITERS):
+        body += f""", s{i} AS (
+  SELECT e.b AS node,
+         CAST(SUM(CAST(ROUND(p.pr / CAST(o.outdeg AS DOUBLE), {PR_SUM_DIGITS})
+                       AS DECIMAL(28,{PR_SUM_DIGITS}))) AS DOUBLE) AS s
+  FROM knn e JOIN p{i} p ON p.node = e.a JOIN outd o ON o.src = e.a
+  GROUP BY e.b
+), p{i + 1} AS (
+  SELECT nodes.node,
+         {t!r} / CAST(nn.n_nodes AS DOUBLE)
+           + {d!r} * COALESCE(s{i}.s, 0.0) AS pr
+  FROM nodes LEFT JOIN s{i} USING (node), nn
+)"""
+    return body + f"""
+SELECT node, ROUND(pr, 8) AS pagerank FROM p{PAGERANK_ITERS}"""
+
+
+@register("pagerank_knn_graph", _pagerank_oracle())
+def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the approximate kNN similarity graph — the
+    graph-centrality signal used to pick representative documents
+    (high-rank = similar to many things) or prune redundant ones, and
+    the canonical iterative-fixpoint workload: 3 synchronous rounds of
+    join-aggregate-join, lineage cut per round (see operators/graph).
+    Every arithmetic step is engine-deterministic (DECIMAL-summed
+    contributions, double teleport terms), so the unrolled-CTE oracle
+    reproduces the ranks bit-exactly — isolated vectors keep the
+    teleport-only rank, dangling mass is dropped by shared
+    convention."""
+    from aws_pandas_etl_spark.operators.clustering import knn_graph
+    from aws_pandas_etl_spark.operators.graph import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(
+        emb,
+        k_neighbors=KNN_GRAPH_K,
+        k=_kmeans_k(emb),
+        iters=KMEANS_ITERS,
+        assign_probes=SEMDEDUP_PROBES,
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    pr = pagerank(
+        edges, nodes, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+    return pr.select("node", F.round("pr", 8).alias("pagerank"))
 
 
 # ---------------------------------------------------------------------------

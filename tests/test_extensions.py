@@ -767,3 +767,32 @@ def test_semantic_dedup_subset_and_probe_recall_vs_bruteforce(spark):
     # so drift means a code regression
     assert r2 > r1
     assert r2 >= 0.5, (r1, r2)
+
+
+def test_pagerank_star_graph_concentrates_rank_on_hub(spark):
+    """5-node star (all leaves point at the hub, hub points at leaf 1):
+    after any number of rounds the hub outranks every leaf, ranks are
+    positive, and total mass stays <= 1 (dangling mass is dropped by
+    convention).  Also pins determinism: two runs bit-match."""
+    from aws_pandas_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "node bigint")
+    out = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, nodes, iters=3, damping=0.85).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert all(v > 0 for v in out.values())
+    hub = out[1]
+    assert all(hub > out[n] for n in (2, 3, 4, 5, 6))
+    # node 6 is isolated: teleport-only rank = 0.15/6 after any round
+    assert abs(out[6] - 0.15 / 6) < 1e-12
+    assert sum(out.values()) <= 1.0 + 1e-9
+    again = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, nodes, iters=3, damping=0.85).collect()
+    }
+    assert again == out

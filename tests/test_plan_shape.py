@@ -121,6 +121,7 @@ _SCALAR_CROSS_OK = {
     "nation_revenue_share",          # 1-row exact-decimal denominator
     "mixture_sample_by_lang",        # 1-row min(count/share) scale factor
     "heavy_hitter_tokens",           # 1-row corpus token total (threshold)
+    "pmi_bigrams_top20",             # two 1-row corpus totals (n_uni, n_bi)
 }
 
 # Streaming queries execute a real job on invocation — planning them
