@@ -5739,6 +5739,253 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERP_ORACLE = """
+WITH hb AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM hb
+), hv AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT s.user_id, s.h, hv.v,
+         row_number() OVER (PARTITION BY s.user_id ORDER BY s.h) AS rn
+  FROM s LEFT JOIN hv ON s.user_id = hv.user_id AND s.h = hv.h
+), x AS (
+  SELECT user_id, v, rn,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS prn,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS nrn
+  FROM r WINDOW
+    wp AS (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING),
+    wn AS (PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), f AS (
+  SELECT user_id, v,
+         CASE WHEN v IS NOT NULL THEN v
+              ELSE COALESCE(pv + (nv - pv) * ((rn - prn) / (nrn - prn)), pv, nv)
+         END AS filled
+  FROM x
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_hours,
+       CAST(SUM(CAST(floor(filled * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS filled_sum_micro
+FROM f GROUP BY user_id
+"""
+
+
+@register("interpolate_hourly_values", INTERP_ORACLE)
+def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation: per user,
+    build the complete hourly spine, average observed values per hour,
+    and fill silent hours by interpolating between the nearest
+    observed hours (edges carry the boundary value) — the resampling
+    step before any regular-interval model.  The checksum output
+    (hours, gaps, summed filled values per user) value-checks every
+    interpolated point without shipping the full spine.  The checksum
+    sums integer micro-units (floor(filled*1e6) as BIGINT): linear
+    interpolation CONSTRUCTS exact .5e-6 decimal ties (gap lengths
+    2^a*5^b), where the engines' ROUND/decimal-cast tie handling
+    provably diverges — floor after one shared IEEE multiply has no
+    tie rule to disagree on.
+
+    Scale shape: the spine explodes from a per-user bounds aggregate
+    (calendar-bounded); interpolation is two IGNORE-NULLS window
+    passes over the same (user, hour) sort — one shuffle by user
+    serves the spine join, both windows, and the final rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = hb.select(
+        "user_id", F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h")
+    )
+    hv = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("h")
+    r = spine.join(hv, ["user_id", "h"], "left").select(
+        "user_id", "v", F.row_number().over(w).alias("rn")
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    wp = wr.rowsBetween(Window.unboundedPreceding, 0)
+    wn = wr.rowsBetween(0, Window.unboundedFollowing)
+    vrn = F.when(F.col("v").isNotNull(), F.col("rn"))
+    x = r.select(
+        "user_id",
+        "v",
+        "rn",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(vrn, ignorenulls=True).over(wp).alias("prn"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(vrn, ignorenulls=True).over(wn).alias("nrn"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("rn") - F.col("prn")) / (F.col("nrn") - F.col("prn"))
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.coalesce(interp, F.col("pv"), F.col("nv"))
+    )
+    return (
+        x.select("user_id", "v", filled.alias("filled"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum(F.col("v").isNull().cast("bigint")).cast("bigint").alias(
+                "n_gap_hours"
+            ),
+            F.sum(
+                F.floor(F.col("filled") * F.lit(1000000.0)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("filled_sum_micro"),
+        )
+    )
+
+
+STREAM_LC_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x'||substr(md5('lc:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+           % {LC_BUCKETS} AS bucket
+  FROM events
+), occ AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS occupied FROM b GROUP BY event_type
+)
+SELECT event_type, occupied,
+       ROUND(-{LC_BUCKETS} * ln(1.0 - CAST(occupied AS DOUBLE) / {LC_BUCKETS}), 4)
+         AS est_distinct
+FROM occ
+"""
+
+
+@register("streaming_approx_distinct_linear", STREAM_LC_ORACLE)
+def streaming_approx_distinct_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of approx_distinct_users_linear: users hash into
+    m=4096 buckets at the scan and the stream dedups on (type,
+    bucket), so the state store is bounded at |types| x m entries for
+    the LIFETIME of the stream — no watermark required, unlike
+    raw-key streaming distinct whose state grows with the user
+    population.  The final occupied-bucket counts (and hence the
+    estimate) must equal the batch sketch exactly, so both share the
+    estimator and the oracle replays it."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_streaming_linear_count,
+    )
+
+    return run_streaming_linear_count(spark, sf_dir, buckets=LC_BUCKETS)
+
+
+BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 10
+BM25_QUERY = ["spark", "join", "window", "vector"]
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+BM25_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_dk_toks('text')} AS toks FROM documents
+), e AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM t
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM e WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM e WHERE term IN ({_BM25_IN}) GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ROUND(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+           * ((CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+              / (CAST(tf.tf AS DOUBLE)
+                 + {BM25_K1} * (1.0 - {BM25_B}
+                                + {BM25_B} * (CAST(dl.dl AS DOUBLE) / st.avgdl)))),
+           6) AS DECIMAL(18,6)) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+)
+SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP}
+"""
+
+
+@register("bm25_topk_docs", BM25_ORACLE)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query-term set: the top 10
+    documents by Okapi BM25 (k1=1.2, b=0.75, +1 idf smoothing) — the
+    scoring half of the retrieval stack next to inverted_index_terms
+    (the index half) and tfidf_top_terms.  Per-term partial scores are
+    rounded and DECIMAL-summed per doc (order-independent); the single
+    ln per query term is rounded to 6 before use.
+
+    Scale shape: the query-term filter prunes the exploded postings at
+    the scan, so tf/df aggregate only matching tokens; corpus stats
+    are a 1-row scalar; final top-k is TakeOrderedAndProject.  The df
+    frame is |query| rows — broadcast is legitimate and forced."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    e = t.select("doc_id", F.explode("toks").alias("term"))
+    dl = t.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    st = t.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.size("toks")).cast("double") / F.count("*")
+        ).alias("avgdl"),
+    )
+    eq = e.filter(F.col("term").isin(BM25_QUERY))
+    tf = eq.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = eq.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    tfd = F.col("tf").cast("double")
+    tfnorm = (tfd * F.lit(BM25_K1 + 1.0)) / (
+        tfd
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    s = F.round(idf * tfnorm, 6).cast("decimal(18,6)")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
 PAGERANK_ITERS, PAGERANK_DAMPING = 3, 0.85
 
 
@@ -5846,6 +6093,18 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asof_last_view_before_purchase (temporal-join family keeps
 # range_join + scd2) — every out-seat is r5-driver-green and keeps
 # exact-value coverage in the local sweep.
+# Late-round-6 swap (same rule): in = pagerank_knn_graph (iterative
+# graph, new family), bm25_topk_docs (retrieval scoring, new family),
+# streaming_approx_distinct_linear (bounded-state streaming sketch),
+# interpolate_hourly_values (time-series gap fill), pmi_bigrams_top20
+# (collocations), approx_distinct_users_linear (sketch counting); out
+# (all r5-driver-green, families still seated) = ann_lsh_topk (ANN
+# keeps ann_ivf), tfidf_top_terms (text keeps curate/pack/stratified),
+# embedding_near_dup_pairs (similarity keeps semantic_dedup + kmeans),
+# dedup_minhash_lsh (dedup keeps ngram_jaccard/incremental/clusters/
+# bloom/exact-spans/levenshtein), streaming_events_hourly (streaming
+# keeps 4 seats + the new sketch), nation_revenue_share (window family
+# keeps percent_rank + percentiles).
 _DRIVER_WINDOW = [
     "q7_trade_volume",
     "q9_product_profit",
@@ -5865,23 +6124,23 @@ _DRIVER_WINDOW = [
     "levenshtein_near_dup_rescore",
     "streaming_session_window_native",
     "user_spend_percent_rank",
-    "nation_revenue_share",
+    "approx_distinct_users_linear",
     "streaming_sessionize_stateful",
-    "streaming_events_hourly",
+    "pmi_bigrams_top20",
     "streaming_dedup_events",
     "streaming_dedup_within_watermark",
     "exact_dup_spans",
     "schema_enforce_lineitem",
     "pipeline_roundtrip",
     "pipeline_error_isolation",
-    "dedup_minhash_lsh",
+    "interpolate_hourly_values",
     "decontaminate_bloom",
     "ngram_jaccard_pairs",
-    "embedding_near_dup_pairs",
+    "streaming_approx_distinct_linear",
     "kmeans_embeddings",
-    "ann_lsh_topk",
+    "pagerank_knn_graph",
     "ann_ivf_topk",
-    "tfidf_top_terms",
+    "bm25_topk_docs",
     "semantic_dedup_pairs",
     "heavy_hitter_tokens",
     "curate_training_corpus",

@@ -372,6 +372,48 @@ def run_streaming_dedup(
     return _run_to_parquet_sink(spark, stream.dropDuplicates(keys), "dedup", timeout_sec)
 
 
+def run_streaming_linear_count(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = 4096,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Streaming approximate distinct-user counting with BOUNDED state
+    by construction: hash each user into one of ``buckets`` md5
+    buckets at the scan, then stream-dedup on (event_type, bucket) —
+    the state store holds at most |types| x m entries FOREVER, no
+    watermark needed, unlike keyed dropDuplicates whose state grows
+    with distinct users.  This is the streaming twin of the batch
+    linear-counting sketch (plans/queries.py::
+    approx_distinct_users_linear) and shares its estimator
+    -m*ln(1 - occupied/m); the occupied-bucket compaction and the
+    estimate happen batch-side over the sink output."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    bucket = (
+        md5_bigint(F.concat(F.lit("lc:"), F.col("user_id").cast("string")))
+        % buckets
+    )
+    stream = events_stream(spark, sf_dir, with_watermark=None).select(
+        "event_type", bucket.alias("bucket")
+    )
+    back = _run_to_parquet_sink(
+        spark,
+        stream.dropDuplicates(["event_type", "bucket"]),
+        "lincount",
+        timeout_sec,
+    )
+    occ = back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("occupied")
+    )
+    m = float(buckets)
+    est = F.round(
+        -F.lit(m) * F.log(F.lit(1.0) - F.col("occupied").cast("double") / F.lit(m)),
+        4,
+    )
+    return occ.select("event_type", "occupied", est.alias("est_distinct"))
+
+
 def run_session_window_agg(
     spark: SparkSession,
     sf_dir: str,

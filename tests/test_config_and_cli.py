@@ -172,5 +172,10 @@ def test_driver_window_spans_operator_families():
         "incremental_dedup_new_batch",  # production ingest dedup
         "dedup_clusters_minhash",     # iterative connected components
         "session_window_batch",       # batch-native session windows
+        # late-round-6 rotation: brand-new operator families
+        "pagerank_knn_graph",         # iterative graph fixpoint
+        "bm25_topk_docs",             # ranked retrieval scoring
+        "streaming_approx_distinct_linear",  # bounded-state stream sketch
+        "interpolate_hourly_values",  # time-series gap fill
     ]:
         assert must in Q._DRIVER_WINDOW, must

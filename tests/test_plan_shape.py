@@ -122,6 +122,7 @@ _SCALAR_CROSS_OK = {
     "mixture_sample_by_lang",        # 1-row min(count/share) scale factor
     "heavy_hitter_tokens",           # 1-row corpus token total (threshold)
     "pmi_bigrams_top20",             # two 1-row corpus totals (n_uni, n_bi)
+    "bm25_topk_docs",                # 1-row corpus stats (n_docs, avgdl)
 }
 
 # Streaming queries execute a real job on invocation — planning them
@@ -134,6 +135,7 @@ _SKIP_EXECUTING = {
     "streaming_session_window_native",
     "streaming_static_join_enrich",
     "streaming_range_join_errors_clicks",
+    "streaming_approx_distinct_linear",
 }
 
 
