@@ -5739,6 +5739,97 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL7_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(('0x'||substr(md5('lc:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+           % {LC_BUCKETS} AS bucket
+  FROM events
+), mx AS (
+  SELECT CAST(max(date_trunc('day', ts)) AS DATE) AS mxd FROM events
+), tb AS (
+  SELECT DISTINCT
+         CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+              AS DATE) AS day,
+         bucket
+  FROM b
+), occ AS (
+  SELECT tb.day, CAST(COUNT(*) AS BIGINT) AS occupied
+  FROM tb, mx WHERE tb.day <= mx.mxd GROUP BY tb.day
+), eu AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+), te AS (
+  SELECT DISTINCT
+         CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+              AS DATE) AS day,
+         user_id
+  FROM eu
+), ex AS (
+  SELECT te.day, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM te, mx WHERE te.day <= mx.mxd GROUP BY te.day
+)
+SELECT day, occupied,
+       ROUND(-{LC_BUCKETS} * ln(1.0 - CAST(occupied AS DOUBLE) / {LC_BUCKETS}), 4)
+         AS est_distinct,
+       exact_distinct
+FROM occ JOIN ex USING (day)
+"""
+
+
+@register("rolling_7d_distinct_users", ROLL7_ORACLE)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the classic rolling-MAU
+    shape that is brutal exactly (distinct does not decompose over
+    sliding windows) and trivial with a MERGEABLE sketch: per-day
+    linear-counting bucket sets union across the window, which is
+    just DISTINCT over the window's buckets.  The window itself is an
+    equi-shape: each day's sketch EXPLODES to the <=7 trailing target
+    days it serves (a 7x fan-out of <=4096-row-per-day sketches), so
+    no range join and no nested loop; the exact count rides along as
+    the accuracy reference (its fan-out carries the full user
+    population — the cost the sketch eliminates at scale).
+
+    Scale shape: sketch-side shuffle <= days x m x 7 rows — calendar-
+    bounded, constant in corpus size.  Mergeability is the point:
+    the same per-day sketches serve 7-day, 28-day, or any trailing
+    window without rescanning events."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    bucket = (
+        md5_bigint(F.concat(F.lit("lc:"), F.col("user_id").cast("string")))
+        % LC_BUCKETS
+    )
+    mx = ev.agg(F.max(day).alias("mxd"))
+    fan = F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day")
+
+    b = ev.select(day.alias("day"), bucket.alias("bucket")).distinct()
+    tb = b.select(fan, "bucket").distinct()
+    occ = (
+        tb.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("mxd"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("occupied"))
+    )
+    eu = ev.select(day.alias("day"), "user_id").distinct()
+    te = eu.select(fan, "user_id").distinct()
+    ex = (
+        te.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("mxd"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    )
+    m = float(LC_BUCKETS)
+    est = F.round(
+        -F.lit(m) * F.log(F.lit(1.0) - F.col("occupied").cast("double") / F.lit(m)),
+        4,
+    )
+    return occ.join(ex, "day").select(
+        "day", "occupied", est.alias("est_distinct"), "exact_distinct"
+    )
+
+
 INTERP_ORACLE = """
 WITH hb AS (
   SELECT user_id, date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
@@ -5794,9 +5885,12 @@ def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie rule to disagree on.
 
     Scale shape: the spine explodes from a per-user bounds aggregate
-    (calendar-bounded); interpolation is two IGNORE-NULLS window
-    passes over the same (user, hour) sort — one shuffle by user
-    serves the spine join, both windows, and the final rollup."""
+    (calendar-bounded); the hourly aggregate shuffles once by (user,
+    hour) and joins the spine unforced (AQE broadcasts it at small SF,
+    degrades to a shuffle join at scale); both IGNORE-NULLS windows,
+    the row numbering, and the rollup share one user-partitioned
+    exchange (verified: a single user_id Exchange in the executed
+    plan)."""
     ev = load_table(spark, sf_dir, "events")
     hb = ev.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("mn"),

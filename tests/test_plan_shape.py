@@ -123,6 +123,7 @@ _SCALAR_CROSS_OK = {
     "heavy_hitter_tokens",           # 1-row corpus token total (threshold)
     "pmi_bigrams_top20",             # two 1-row corpus totals (n_uni, n_bi)
     "bm25_topk_docs",                # 1-row corpus stats (n_docs, avgdl)
+    "rolling_7d_distinct_users",     # 1-row max-day bound
 }
 
 # Streaming queries execute a real job on invocation — planning them
