@@ -95,14 +95,25 @@ def _as_of_join(
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
     )
     u = tagged_left.unionByName(tagged_right)
+    # Both directions run as RUNNING frames (UNBOUNDED PRECEDING ..
+    # CURRENT ROW): Spark evaluates a CURRENT ROW .. UNBOUNDED
+    # FOLLOWING frame by recomputing the aggregate per row — O(rows^2)
+    # per key partition, a cliff on hot keys at scale — so "forward"
+    # is expressed as the backward scan of the REVERSED total order
+    # (ts/_is_right/tiebreak all DESC), which keeps the identical
+    # match semantics: at equal ts the right row still sorts into the
+    # left row's visible history, and ties still resolve to the
+    # smallest tiebreak.
     if forward:
-        order = [F.col(ts_col), F.col("_is_right"), F.col(tiebreak_col)]
-        frame = (Window.currentRow, Window.unboundedFollowing)
-        carry = lambda c: F.first(c, ignorenulls=True)
+        order = [
+            F.col(ts_col).desc(),
+            F.col("_is_right").desc(),
+            F.col(tiebreak_col).desc(),
+        ]
     else:
         order = [F.col(ts_col), F.col("_is_right").desc(), F.col(tiebreak_col)]
-        frame = (Window.unboundedPreceding, Window.currentRow)
-        carry = lambda c: F.last(c, ignorenulls=True)
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    carry = lambda c: F.last(c, ignorenulls=True)
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
     carried = u.select(
         *l_cols,

