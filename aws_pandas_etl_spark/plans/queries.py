@@ -1091,15 +1091,16 @@ ORDER BY actual, predicted
 def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation: the (actual, predicted) confusion
     matrix of the stopword classifier against the corpus labels — the
-    quality report every lang-ID stage ships with.  Uses the pure
-    Column twin (codegen, zero Python) of the Arrow lang_id_table
-    path; one shuffle over |langs|^2 groups."""
+    quality report every lang-ID stage ships with.  Uses the staged
+    Column twin (zero Python) of the Arrow lang_id_table path —
+    tokenization and each stopword filter evaluate once per row (see
+    predict_lang_staged); one shuffle over |langs|^2 groups."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
-            F.col("lang").alias("actual"),
-            TX.predict_lang("text").alias("predicted"),
+        TX.predict_lang_staged(
+            docs.select(F.col("lang").alias("actual"), "text"), "text", "predicted"
         )
+        .select("actual", "predicted")
         .groupBy("actual", "predicted")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("actual", "predicted")
