@@ -92,7 +92,19 @@ def test_results_invariant_under_partitioning(spark):
     from aws_pandas_etl_spark.plans.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    names = ["q1_pricing_summary", "salted_sum_by_event_type", "grouping_sets_revenue"]
+    names = [
+        "q1_pricing_summary",
+        "salted_sum_by_event_type",
+        "grouping_sets_revenue",
+        # late-round-6 operators whose reductions must also be
+        # order-independent: DECIMAL-summed PageRank contributions,
+        # per-term BM25 scores, micro-unit interpolation checksums,
+        # merged sketch buckets
+        "pagerank_knn_graph",
+        "bm25_topk_docs",
+        "interpolate_hourly_values",
+        "rolling_7d_distinct_users",
+    ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
