@@ -5740,6 +5740,83 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIFF_MOD = 50
+
+TABLE_DIFF_ORACLE = f"""
+WITH a AS (
+  SELECT event_id,
+         md5('(' || COALESCE(CAST(event_id AS VARCHAR), '') || ',' ||
+             COALESCE(CAST(user_id AS VARCHAR), '') || ',' ||
+             COALESCE(CAST(value AS VARCHAR), '') || ')') AS h
+  FROM events
+  WHERE event_id % {DIFF_MOD} != 1
+), b AS (
+  SELECT event_id,
+         md5('(' || COALESCE(CAST(event_id AS VARCHAR), '') || ',' ||
+             COALESCE(CAST(user_id AS VARCHAR), '') || ',' ||
+             COALESCE(CAST(CASE WHEN event_id % {DIFF_MOD} = 0
+                                THEN value * 2.0 ELSE value END AS VARCHAR), '')
+             || ')') AS h
+  FROM events
+  WHERE event_id % {DIFF_MOD} != 2
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
+  SELECT CASE WHEN a.event_id IS NULL THEN 'added'
+              WHEN b.event_id IS NULL THEN 'deleted'
+              WHEN a.h != b.h THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM a FULL OUTER JOIN b USING (event_id)
+) GROUP BY change_type ORDER BY change_type
+"""
+
+
+@register("table_diff_snapshots", TABLE_DIFF_ORACLE)
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of a table into
+    added / deleted / changed / unchanged row counts — the audit that
+    runs after every CDC merge or backfill (the reference reconciles
+    by COUNT alone, utils/redshift_operations.py:188-214; a count
+    cannot see changed rows).  Change detection compares md5 row
+    fingerprints (the add_row_hash format) so only (key, hash) pairs
+    shuffle — never full payloads.  The two snapshots here derive
+    deterministically from `events` (B doubles value on id%50==0 and
+    drops id%50==2, A drops id%50==1 — every change class nonzero),
+    so the oracle replays the exact diff.
+
+    Scale shape: one full outer join on the key — both sides shuffle
+    once on event_id; the CASE classification and count are map-side
+    after the join.  No broadcast hints: both sides are corpus-sized."""
+    from aws_pandas_etl_spark.functions.hashing import row_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    mod = F.col("event_id") % DIFF_MOD
+    a = ev.filter(mod != 1).select(
+        "event_id", row_hash(["event_id", "user_id", "value"], "h")
+    )
+    b = (
+        ev.filter(mod != 2)
+        .withColumn(
+            "value",
+            F.when(mod == 0, F.col("value") * 2.0).otherwise(F.col("value")),
+        )
+        .select("event_id", row_hash(["event_id", "user_id", "value"], "h"))
+    )
+    aj = a.select(F.col("event_id").alias("k"), F.col("h").alias("ha"))
+    bj = b.select(F.col("event_id").alias("k"), F.col("h").alias("hb"))
+    d = aj.join(bj, "k", "full_outer").select(
+        F.when(F.col("ha").isNull(), F.lit("added"))
+        .when(F.col("hb").isNull(), F.lit("deleted"))
+        .when(F.col("ha") != F.col("hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type")
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .orderBy("change_type")
+    )
+
+
 ROLL7_ORACLE = f"""
 WITH b AS (
   SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -6047,7 +6124,9 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the query-term filter prunes the exploded postings at
     the scan, so tf/df aggregate only matching tokens; corpus stats
     are a 1-row scalar; final top-k is TakeOrderedAndProject.  The df
-    frame is |query| rows — broadcast is legitimate and forced."""
+    frame is |query| rows; AQE broadcasts it (unforced — it is keyed
+    by term, which the corpus-scaling broadcast guard bans from
+    hints)."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", TX.tokens("text").alias("toks"))
     e = t.select("doc_id", F.explode("toks").alias("term"))
@@ -6083,8 +6162,11 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = F.round(idf * tfnorm, 6).cast("decimal(18,6)")
+    # df is |query| rows (the term filter precedes the groupBy) but it
+    # is keyed by `term`, so the corpus-scaling broadcast guard treats
+    # it as unhintable — unforced, AQE broadcasts it anyway
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(st))
         .select("doc_id", s.alias("s"))
