@@ -1564,6 +1564,23 @@ def upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_foreach_batch_merge", UPSERT_ORACLE)
+def streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of upsert_latest_events: the events table
+    arrives as 4 time-ordered micro-batches and each one MERGES into a
+    parquet target through foreachBatch (streaming/events_stream.py::
+    run_foreach_batch_merge) — the continuous-CDC-apply deployment
+    shape.  The final target state must equal the one-shot batch
+    upsert exactly, so both share UPSERT_ORACLE."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_foreach_batch_merge,
+    )
+
+    return run_foreach_batch_merge(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts", "props"
+    )
+
+
 DISTINCT_ORACLE = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
 FROM events GROUP BY event_type ORDER BY event_type
@@ -5738,6 +5755,101 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df").between(INVIDX_DF_MIN, INVIDX_DF_MAX))
     )
+
+
+MALFORMED_MOD = 40
+
+MALFORMED_ORACLE = f"""
+WITH j AS (
+  SELECT event_type,
+         CASE WHEN event_id % {MALFORMED_MOD} = 3
+              THEN 'x' || props ELSE props END AS raw
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN json_valid(raw)
+                      AND json_extract(raw, '$.k') IS NOT NULL
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_malformed,
+       CAST(SUM(CASE WHEN json_valid(raw)
+                      AND json_extract(raw, '$.k') IS NOT NULL
+                     THEN CAST(json_extract(raw, '$.k') AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS k_total
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("malformed_json_audit", MALFORMED_ORACLE)
+def malformed_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate for semi-structured payloads: count rows whose
+    JSON props fail to parse (or lack the contract field) per event
+    type, and aggregate the valid payloads — the quarantine-vs-load
+    split every JSON ingest needs (PERMISSIVE parsing surfaces bad
+    records as nulls; counting them is the monitoring signal).  A
+    deterministic corruption (id%40==3 gets a leading junk byte — Spark's
+    Jackson tolerates trailing garbage, so the corruption must break
+    the prefix to fail in both engines)
+    exercises the malformed path so the audit is nonzero and
+    oracle-replayed.
+
+    Scale shape: from_json is a scan-side codegen projection; one
+    groupBy on the (bounded) event_type key with map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % MALFORMED_MOD == 3, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    k = F.from_json(raw, "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("k").isNull().cast("bigint")).cast("bigint").alias(
+                "n_malformed"
+            ),
+            F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("bigint").alias("k_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROFILE_COLS = ["event_id", "user_id", "event_type", "props"]
+
+PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events"""
+    for c in PROFILE_COLS
+)
+
+
+@register("profile_events_columns", PROFILE_ORACLE)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE/stats-collection step): per-column
+    row, null, and exact distinct counts — what a catalog records to
+    drive join reordering and what a data-quality dashboard trends.
+    One pass per profiled column expressed as a union of aggregates;
+    Catalyst collapses each branch to a partial-agg + exchange on a
+    scan that reads ONLY that column (column pruning per branch).
+
+    At 100 TB the exact distinct per column becomes the sketch path
+    (approx_distinct_users_linear's construction per column); exact is
+    the right default at audit scale."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        ev.agg(
+            F.lit(c).alias("column_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).cast("bigint").alias("n_nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias("n_distinct"),
+        )
+        for c in PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 DIFF_MOD = 50

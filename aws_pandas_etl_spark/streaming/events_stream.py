@@ -372,6 +372,87 @@ def run_streaming_dedup(
     return _run_to_parquet_sink(spark, stream.dropDuplicates(keys), "dedup", timeout_sec)
 
 
+def run_foreach_batch_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    n_splits: int = 4,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Continuous CDC apply: stream the events table in time-ordered
+    micro-batches and MERGE each batch into a parquet target via
+    ``foreachBatch`` + ``sinks.merge_load`` — the deployment shape of
+    an incremental upsert pipeline (checkpointed source offsets give
+    at-least-once batch delivery; the merge itself is idempotent per
+    batch, so replays converge).  After the bounded availableNow run,
+    the target holds the latest row per (user_id, event_type) — which
+    must equal the one-shot batch upsert over the whole table, the
+    exact oracle (no (key, ts) ties exist in the fixtures, so the
+    batch sequence cannot affect the winner).
+
+    Scale shape: each micro-batch merge is one shuffle on the merge
+    keys against the current target (compaction cost ∝ target size —
+    production uses Delta/Iceberg MERGE INTO keyed the same way); the
+    time-ordered split is harness scaffolding standing in for an
+    arriving CDC feed."""
+    from pyspark.sql import Window
+
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.sources.sinks import merge_load, read_back
+
+    name = f"fbmerge_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), name)
+    src_dir = os.path.join(base, "src")
+    target = os.path.join(base, "target")
+    checkpoint = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "props"
+    )
+    # time-ordered split into n files = the arriving batch sequence
+    # (test scaffolding, not the operator: ntile's single-partition
+    # window only ever runs over the harness fixture here)
+    q = ev.withColumn("_q", F.ntile(n_splits).over(Window.orderBy("ts", "event_id")))
+    for i in range(1, n_splits + 1):
+        part = os.path.join(base, f"part{i}")
+        q.filter(F.col("_q") == i).drop("_q").coalesce(1).write.parquet(part)
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(os.path.join(part, src), os.path.join(src_dir, f"batch_{i}.parquet"))
+        shutil.rmtree(part, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_load(
+            batch_df, target, keys=["user_id", "event_type"], order_col="ts"
+        )
+
+    with _scoped_shuffle_partitions(spark, 8):
+        sq = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = sq.awaitTermination(timeout_sec)
+        finally:
+            sq.stop()
+    if not finished:
+        raise TimeoutError(f"foreachBatch merge did not finish within {timeout_sec}s")
+    out = read_back(spark, target)
+    # src/ckpt are dead once the run finished; the target must outlive
+    # this call (the returned DataFrame reads it lazily)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return out
+
+
 def run_streaming_linear_count(
     spark: SparkSession,
     sf_dir: str,

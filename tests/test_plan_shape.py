@@ -137,6 +137,7 @@ _SKIP_EXECUTING = {
     "streaming_static_join_enrich",
     "streaming_range_join_errors_clicks",
     "streaming_approx_distinct_linear",
+    "streaming_foreach_batch_merge",
 }
 
 
