@@ -6407,7 +6407,11 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_minhash_lsh (dedup keeps ngram_jaccard/incremental/clusters/
 # bloom/exact-spans/levenshtein), streaming_events_hourly (streaming
 # keeps 4 seats + the new sketch), nation_revenue_share (window family
-# keeps percent_rank + percentiles).
+# keeps percent_rank + percentiles).  Final swap: in =
+# streaming_foreach_batch_merge (replaces upsert_latest_events — same
+# oracle, adds the CDC-apply machinery to the check) and
+# table_diff_snapshots (replaces purchases_errors_full_outer — still a
+# full outer join, now carrying the reconciliation audit).
 _DRIVER_WINDOW = [
     "q7_trade_volume",
     "q9_product_profit",
@@ -6456,9 +6460,9 @@ _DRIVER_WINDOW = [
     "conversion_funnel_view_click_purchase",
     "salted_sum_by_event_type",
     "value_percentiles_per_event_type",
-    "upsert_latest_events",
+    "streaming_foreach_batch_merge",
     "sql_interface_revenue",
-    "purchases_errors_full_outer",
+    "table_diff_snapshots",
 ]
 
 
