@@ -450,3 +450,106 @@ def heavy_hitters_exact(
         .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("total")))
         .select(token_col, "cnt")
     )
+
+
+def bpe_top_merges(
+    df: DataFrame, text_col: str = "text", iters: int = 3
+) -> DataFrame:
+    """Tokenizer training, the BPE merge loop itself: ``iters`` rounds
+    of (count adjacent symbol pairs weighted by word frequency ->
+    merge the most frequent pair everywhere, greedy left-to-right).
+    Returns one row per round: (iteration, pair, cnt).
+
+    The merge step is fully relational: posexplode the symbol arrays,
+    mark matches with lead(), split them into islands of CONSECUTIVE
+    matches (gaps-and-islands: i - row_number), and merge the
+    odd-ranked match in each island — exactly greedy non-overlapping
+    left-to-right application ("aaaa" with pair (a,a) -> [aa, aa]).
+    Rows consumed by a merge drop via lag(); arrays reassemble with an
+    order-pinned collect_list.  Ties on pair count break to the
+    lexicographically smallest pair.
+
+    Scale shape: state is the (word, freq, symbols) table — VOCABULARY
+    sized, not corpus sized (the corpus is read once for word
+    frequencies); each round is one explode + two window passes over
+    word partitions + one group-back, lineage cut per round.  The
+    per-round driver action moves ONE row (the argmax pair) — the
+    k-means centroid precedent."""
+    from pyspark.sql import Window
+
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    cur = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("sym"),
+    ).localCheckpoint()
+
+    results: list[tuple[int, str, int]] = []
+    for it in range(1, iters + 1):
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    # sequence(1, 0) infers a DESCENDING range — guard
+                    # single-symbol words to an empty pair list
+                    "transform(if(size(sym) >= 2, sequence(1, size(sym) - 1), "
+                    "array()), "
+                    "i -> concat(element_at(sym, i), ' ', element_at(sym, i + 1)))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pa, pb = top["pair"].split(" ")
+        results.append((it, top["pair"], top["cnt"]))
+
+        w_ord = Window.partitionBy("word").orderBy("i")
+        r = (
+            cur.select("word", "freq", F.posexplode("sym").alias("i", "s"))
+            .withColumn("nxt", F.lead("s").over(w_ord))
+            .withColumn(
+                "m",
+                (F.col("s") == F.lit(pa))
+                & (F.col("nxt") == F.lit(pb))
+                & F.col("nxt").isNotNull(),
+            )
+        )
+        w_m = Window.partitionBy("word", "m").orderBy("i")
+        r = r.withColumn(
+            "grp", F.when(F.col("m"), F.col("i") - F.row_number().over(w_m))
+        )
+        w_g = Window.partitionBy("word", "grp").orderBy("i")
+        r = r.withColumn(
+            "do_merge",
+            F.col("m") & (F.row_number().over(w_g) % 2 == 1),
+        ).withColumn("dropped", F.lag("do_merge", 1, False).over(w_ord))
+        out = r.filter(~F.col("dropped")).withColumn(
+            "o",
+            F.when(F.col("do_merge"), F.lit(pa + pb)).otherwise(F.col("s")),
+        )
+        cur = (
+            out.groupBy("word", "freq")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "o"))),
+                    lambda x: x["o"],
+                ).alias("sym")
+            )
+            .localCheckpoint()
+        )
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        results, "iteration int, pair string, cnt bigint"
+    )

@@ -5757,6 +5757,88 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ITERS = 3
+
+
+def _bpe_oracle(iters: int = BPE_ITERS) -> str:
+    """DuckDB twin of operators.text.bpe_top_merges as unrolled CTEs:
+    identical pair counting, argmax tie order, gaps-and-islands greedy
+    merge (odd-ranked match per island merges, following row drops),
+    and order-pinned array reassembly per iteration."""
+    parts = [
+        f"""WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_dk_toks('text')}) AS word FROM documents)
+  GROUP BY word
+), s0 AS (
+  SELECT word, freq,
+         list_transform(generate_series(1, length(word)), i -> word[i]) AS sym
+  FROM w
+)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f""", p{t} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(
+      CASE WHEN len(sym) >= 2 THEN generate_series(1, len(sym) - 1)
+           ELSE CAST([] AS BIGINT[]) END,
+      i -> sym[i] || ' ' || sym[i + 1])) AS pair
+    FROM s{p}
+  ) GROUP BY pair
+), t{t} AS (
+  SELECT pair, cnt,
+         string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+  FROM p{t} ORDER BY cnt DESC, pair LIMIT 1
+), r{t} AS (
+  SELECT s.word, s.freq, u.i, s.sym[u.i] AS sy, t.pa, t.pb,
+         lead(s.sym[u.i]) OVER (PARTITION BY s.word ORDER BY u.i) AS nxt
+  FROM s{p} s, unnest(generate_series(1, len(s.sym))) AS u(i), t{t} t
+), m{t} AS (
+  SELECT word, freq, i, sy, pa, pb,
+         (sy = pa AND nxt = pb AND nxt IS NOT NULL) AS m
+  FROM r{t}
+), g{t} AS (
+  SELECT *, CASE WHEN m THEN i - row_number()
+                      OVER (PARTITION BY word, m ORDER BY i) END AS grp
+  FROM m{t}
+), k{t} AS (
+  SELECT *, CASE WHEN m THEN row_number()
+                      OVER (PARTITION BY word, grp ORDER BY i) END AS k
+  FROM g{t}
+), d{t} AS (
+  SELECT *, (m AND k % 2 = 1) AS do_merge,
+         COALESCE(lag(m AND k % 2 = 1)
+                  OVER (PARTITION BY word ORDER BY i), FALSE) AS dropped
+  FROM k{t}
+), s{t} AS (
+  SELECT word, freq,
+         array_agg(CASE WHEN do_merge THEN pa || pb ELSE sy END ORDER BY i) AS sym
+  FROM d{t} WHERE NOT dropped GROUP BY word, freq
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INTEGER) AS iteration, pair, cnt FROM t{t}"
+        for t in range(1, iters + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@register("bpe_top_merges", _bpe_oracle())
+def bpe_top_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 3 BPE merge rounds over the
+    corpus vocabulary (operators/text.py::bpe_top_merges) — count
+    adjacent symbol pairs weighted by word frequency, merge the argmax
+    pair everywhere with greedy left-to-right semantics, repeat.  The
+    merge is pure relational machinery (lead-marked matches,
+    gaps-and-islands parity, order-pinned reassembly), and the oracle
+    unrolls the identical rounds, so the chosen merges AND their
+    counts are exact cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bpe_top_merges(docs, iters=BPE_ITERS)
+
+
 MALFORMED_MOD = 40
 
 MALFORMED_ORACLE = f"""

@@ -796,3 +796,22 @@ def test_pagerank_star_graph_concentrates_rank_on_hub(spark):
         for r in pagerank(edges, nodes, iters=3, damping=0.85).collect()
     }
     assert again == out
+
+
+def test_bpe_greedy_merge_semantics(spark):
+    """Greedy left-to-right non-overlap is the semantic core: 'aaaa'
+    with top pair (a,a) must become [aa, aa] (positions 1 and 3 never
+    merge), and the chosen pair/count must match a hand computation."""
+    from aws_pandas_etl_spark.operators.text import bpe_top_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "aaaa ab ab")], "doc_id bigint, text string"
+    )
+    out = {r["iteration"]: (r["pair"], r["cnt"]) for r in
+           bpe_top_merges(docs, iters=2).collect()}
+    # 'aaaa' x3 contributes 3 (a,a)-matches each BUT pair counting is
+    # positional: 3 adjacent pairs per word occurrence = 9; (a,b) = 3
+    assert out[1] == ("a a", 9)
+    # after merging: 'aaaa' -> [aa, aa]; pairs now (aa,aa) x3 vs (a,b) x3
+    # tie 3 vs 3 -> lexicographically smallest pair wins: 'a b'
+    assert out[2] == ("a b", 3)
