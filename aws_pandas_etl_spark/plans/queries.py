@@ -6493,7 +6493,10 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming_foreach_batch_merge (replaces upsert_latest_events — same
 # oracle, adds the CDC-apply machinery to the check) and
 # table_diff_snapshots (replaces purchases_errors_full_outer — still a
-# full outer join, now carrying the reconciliation audit).
+# full outer join, now carrying the reconciliation audit), and
+# bpe_top_merges (replaces streaming_dedup_within_watermark — the
+# streaming family holds six seats; the tokenizer-training loop is a
+# brand-new family).
 _DRIVER_WINDOW = [
     "q7_trade_volume",
     "q9_product_profit",
@@ -6517,7 +6520,7 @@ _DRIVER_WINDOW = [
     "streaming_sessionize_stateful",
     "pmi_bigrams_top20",
     "streaming_dedup_events",
-    "streaming_dedup_within_watermark",
+    "bpe_top_merges",
     "exact_dup_spans",
     "schema_enforce_lineitem",
     "pipeline_roundtrip",
