@@ -5757,6 +5757,136 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FMT_AGG = """
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+"""
+
+FORMAT_ROUNDTRIP_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{fmt}' AS fmt,{FMT_AGG}FROM events"
+    for fmt in ("csv", "json", "orc")
+)
+
+
+@register("format_roundtrip_events", FORMAT_ROUNDTRIP_ORACLE)
+def format_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format coverage, value-checked end to end: write the
+    events measures to CSV, JSON, and ORC, read each back through the
+    package readers (sources/readers.py::read_csv/read_json/read_orc),
+    and aggregate — every format must reproduce the parquet numbers
+    exactly (shortest-repr doubles round-trip text formats losslessly;
+    the DECIMAL sum makes the comparison order-proof).  This is the
+    multi-format landing-zone reality of an ETL service: the engine
+    must ingest whatever the producer emits, not just parquet.
+
+    Scale shape: per format one write + one scan + one partial-agg'd
+    aggregate; text formats cost ~3-5x parquet at scan time, which is
+    the measured argument for converting landing data to parquet
+    once."""
+    import tempfile as _tf
+    import shutil as _sh
+    import atexit as _ax
+    import os as _os
+    import uuid as _uu
+
+    from aws_pandas_etl_spark.sources.readers import (
+        read_csv,
+        read_json,
+        read_orc,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    base = _os.path.join(_tf.gettempdir(), f"fmt_{_uu.uuid4().hex[:8]}")
+    _ax.register(_sh.rmtree, base, ignore_errors=True)
+    schema = "event_id bigint, user_id bigint, value double"
+    parts = []
+    for fmt, writer, reader in (
+        ("csv", lambda d, p: d.write.option("header", True).csv(p),
+         lambda p: read_csv(spark, p, schema=schema)),
+        ("json", lambda d, p: d.write.json(p),
+         lambda p: read_json(spark, p, schema=schema)),
+        ("orc", lambda d, p: d.write.orc(p), lambda p: read_orc(spark, p)),
+    ):
+        path = _os.path.join(base, fmt)
+        writer(ev, path)
+        back = reader(path)
+        parts.append(
+            back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.count_distinct("user_id").cast("bigint").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+FK_MOD = 7
+
+FK_ORPHAN_ORACLE = f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {FK_MOD} != 3
+)
+SELECT 'orders->customer' AS fk,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM dim d
+                               WHERE d.c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders' AS fk,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans
+"""
+
+
+@register("fk_orphan_audit", FK_ORPHAN_ORACLE)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned foreign keys per
+    relationship — the check that runs after a partial dimension load
+    (here a deterministic 1/7 of customers is "missing", so the
+    orders->customer row is nonzero while lineitem->orders proves the
+    clean case).  Orphan detection is a LEFT ANTI join — the EXISTS
+    shape that never materializes wide rows; at scale the child side
+    streams once and the dimension side broadcasts or shuffles by the
+    key, AQE's call.
+
+    Scale shape: two anti joins + scalar counts; no corpus-scaling
+    broadcast hints."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % FK_MOD != 3
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _audit(name: str, child: DataFrame, ck: str, dim: DataFrame, dk: str):
+        orphans = child.join(
+            dim, child[ck] == dim[dk], "left_anti"
+        ).agg(F.count("*").cast("bigint").alias("n_orphans"))
+        total = child.agg(F.count("*").cast("bigint").alias("n_child"))
+        return (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("fk"), "n_child", "n_orphans"
+            )
+        )
+
+    return _audit("orders->customer", orders, "o_custkey", cust, "c_custkey").unionByName(
+        _audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+    )
+
+
 BPE_ITERS = 3
 
 

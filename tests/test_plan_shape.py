@@ -124,6 +124,7 @@ _SCALAR_CROSS_OK = {
     "pmi_bigrams_top20",             # two 1-row corpus totals (n_uni, n_bi)
     "bm25_topk_docs",                # 1-row corpus stats (n_docs, avgdl)
     "rolling_7d_distinct_users",     # 1-row max-day bound
+    "fk_orphan_audit",               # 1-row total x 1-row orphan count
 }
 
 # Streaming queries execute a real job on invocation — planning them
