@@ -5757,6 +5757,51 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRANSITION_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+FROM t WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+@register("event_transition_matrix", TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path analysis: the first-order Markov transition
+    matrix of event types along each user's timeline — counts and
+    row-normalized probabilities per (from, to) pair, the input to
+    next-action prediction and funnel-drop diagnosis.  One shuffle by
+    user for the lead(), one by the (bounded) type pair for the count;
+    the normalizing row-sum window runs over |types|^2 rows.  The
+    probability divides two exact counts (deterministic double
+    division, rounded) — no accumulation-order hazard."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = t.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wf).cast("double"), 6
+        ).alias("p"),
+    )
+
+
 FMT_AGG = """
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
