@@ -5757,6 +5757,94 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RARE_DF_CAP = 16
+
+RARE_BLOCK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len({_dk_toks('text')}) - 2, 0)),
+    i -> array_to_string(list_slice({_dk_toks('text')}, i, i + 2), ' '))) AS g
+  FROM documents
+), e AS (
+  SELECT doc_id, unnest(g) AS gram FROM t
+), df AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY gram
+), blk AS (
+  SELECT doc_id, gram AS rare_gram FROM (
+    SELECT e.doc_id, e.gram, df.df,
+           ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                              ORDER BY df.df, e.gram) AS rn
+    FROM e JOIN df USING (gram)
+  ) WHERE rn = 1 AND df <= {RARE_DF_CAP}
+), cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM blk x JOIN blk y
+    ON x.rare_gram = y.rare_gram AND x.doc_id < y.doc_id
+)
+SELECT cand.a, cand.b,
+       ROUND(CAST(len(list_intersect(ta.g, tb.g)) AS DOUBLE)
+             / (len(ta.g) + len(tb.g)
+                - len(list_intersect(ta.g, tb.g))), 6) AS jaccard
+FROM cand JOIN t ta ON ta.doc_id = cand.a
+          JOIN t tb ON tb.doc_id = cand.b
+"""
+
+
+@register("rare_token_blocked_pairs", RARE_BLOCK_ORACLE)
+def rare_token_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidates via rarest-shingle blocking (the
+    prefix-filtering family, AllPairs/PPJoin's core idea): two docs
+    can only pair if they share the globally rarest 3-gram of at
+    least one of them — each doc blocks on its single rarest shingle
+    (ties to the lexicographically smallest), candidates equi-join on
+    that key, and every candidate's exact shingle-set Jaccard is
+    reported.  The deliberate contrast to MinHash-LSH: no signatures,
+    no bands — selectivity comes from the heavy tail of the shingle
+    distribution instead of hash-collision probability.
+
+    Scale shape: bucket sizes equal each rare shingle's document
+    frequency — small by selection, AND capped (df <= 16, the
+    LSH oversized-bucket-guard precedent) so boilerplate-only docs
+    whose "rarest" shingle is still common fall through to the LSH
+    path instead of forming a quadratic bucket; the df frame scales
+    with the shingle vocabulary, so its join stays unforced for
+    AQE."""
+    docs = load_table(spark, sf_dir, "documents")
+    from aws_pandas_etl_spark.functions.hashing import shingles
+
+    t = docs.select("doc_id", shingles("text", n=3).alias("g"))
+    e = t.select("doc_id", F.explode("g").alias("gram"))
+    dfreq = e.groupBy("gram").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    blk = (
+        e.join(dfreq, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("df") <= RARE_DF_CAP))
+        .select("doc_id", F.col("gram").alias("rare_gram"))
+    )
+    cand = (
+        blk.alias("x")
+        .join(blk.alias("y"), "rare_gram")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    ta = t.select(F.col("doc_id").alias("a"), F.col("g").alias("ta"))
+    tb = t.select(F.col("doc_id").alias("b"), F.col("g").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 TRANSITION_ORACLE = """
 WITH t AS (
   SELECT user_id, event_type,
