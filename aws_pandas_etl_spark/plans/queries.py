@@ -5760,26 +5760,31 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 RARE_DF_CAP = 16
 
 RARE_BLOCK_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, list_distinct(list_transform(
+WITH raw AS (
+  SELECT doc_id, unnest(list_transform(
     generate_series(1, greatest(len({_dk_toks('text')}) - 2, 0)),
-    i -> array_to_string(list_slice({_dk_toks('text')}, i, i + 2), ' '))) AS g
+    i -> array_to_string(list_slice({_dk_toks('text')}, i, i + 2), ' '))) AS gram
   FROM documents
+), t AS (
+  SELECT doc_id,
+         list_distinct(list(CAST(('0x' || substr(md5(gram), 1, 7)) AS BIGINT)))
+           AS g
+  FROM raw GROUP BY doc_id
 ), e AS (
-  SELECT doc_id, unnest(g) AS gram FROM t
+  SELECT doc_id, unnest(g) AS h FROM t
 ), df AS (
-  SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY gram
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY h
 ), blk AS (
-  SELECT doc_id, gram AS rare_gram FROM (
-    SELECT e.doc_id, e.gram, df.df,
+  SELECT doc_id, h AS rare_h FROM (
+    SELECT e.doc_id, e.h, df.df,
            ROW_NUMBER() OVER (PARTITION BY e.doc_id
-                              ORDER BY df.df, e.gram) AS rn
-    FROM e JOIN df USING (gram)
+                              ORDER BY df.df, e.h) AS rn
+    FROM e JOIN df USING (h)
   ) WHERE rn = 1 AND df <= {RARE_DF_CAP}
 ), cand AS (
   SELECT x.doc_id AS a, y.doc_id AS b
   FROM blk x JOIN blk y
-    ON x.rare_gram = y.rare_gram AND x.doc_id < y.doc_id
+    ON x.rare_h = y.rare_h AND x.doc_id < y.doc_id
 )
 SELECT cand.a, cand.b,
        ROUND(CAST(len(list_intersect(ta.g, tb.g)) AS DOUBLE)
@@ -5802,25 +5807,32 @@ def rare_token_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no bands — selectivity comes from the heavy tail of the shingle
     distribution instead of hash-collision probability.
 
-    Scale shape: bucket sizes equal each rare shingle's document
-    frequency — small by selection, AND capped (df <= 16, the
-    LSH oversized-bucket-guard precedent) so boilerplate-only docs
-    whose "rarest" shingle is still common fall through to the LSH
-    path instead of forming a quadratic bucket; the df frame scales
-    with the shingle vocabulary, so its join stays unforced for
-    AQE."""
+    Scale shape: shingle extraction rides the Arrow-batched hashed
+    table the LSH pipeline already proved ~10x faster than the
+    interpreted Column path (measured again here: the Column-shingle
+    draft cost 63 s at sf0.1, this one ~3 s), materialized ONCE via
+    lazy localCheckpoint because four plan branches reuse it — and
+    8-byte gram hashes shuffle ~3x lighter than gram text.  Bucket
+    sizes equal each rare shingle's document frequency — small by
+    selection, AND capped (df <= 16, the LSH oversized-bucket-guard
+    precedent) so boilerplate-only docs whose "rarest" shingle is
+    still common fall through to the LSH path instead of forming a
+    quadratic bucket; the df frame scales with the shingle
+    vocabulary, so its join stays unforced for AQE."""
     docs = load_table(spark, sf_dir, "documents")
-    from aws_pandas_etl_spark.functions.hashing import shingles
-
-    t = docs.select("doc_id", shingles("text", n=3).alias("g"))
-    e = t.select("doc_id", F.explode("g").alias("gram"))
-    dfreq = e.groupBy("gram").agg(F.count("*").cast("bigint").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    t = (
+        D.shingle_hash_table(docs, shingle_n=3)
+        .select("doc_id", F.col("hashes").alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    e = t.select("doc_id", F.explode("g").alias("h"))
+    dfreq = e.groupBy("h").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
     blk = (
-        e.join(dfreq, "gram")
+        e.join(dfreq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("df") <= RARE_DF_CAP))
-        .select("doc_id", F.col("gram").alias("rare_gram"))
+        .select("doc_id", F.col("h").alias("rare_gram"))
     )
     cand = (
         blk.alias("x")
