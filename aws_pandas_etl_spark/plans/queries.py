@@ -6125,14 +6125,14 @@ WITH j AS (
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN json_valid(raw)
-                      AND json_extract(raw, '$.k') IS NOT NULL
-                     THEN 0 ELSE 1 END) AS BIGINT) AS n_malformed,
-       CAST(SUM(CASE WHEN json_valid(raw)
-                      AND json_extract(raw, '$.k') IS NOT NULL
-                     THEN CAST(json_extract(raw, '$.k') AS BIGINT)
-                     ELSE 0 END) AS BIGINT) AS k_total
-FROM j GROUP BY event_type ORDER BY event_type
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+       CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS k_total
+FROM (
+  SELECT event_type,
+         CAST(json_extract(CASE WHEN json_valid(raw) THEN raw END, '$.k')
+              AS BIGINT) AS k
+  FROM j
+) GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -6147,7 +6147,10 @@ def malformed_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jackson tolerates trailing garbage, so the corruption must break
     the prefix to fail in both engines)
     exercises the malformed path so the audit is nonzero and
-    oracle-replayed.
+    oracle-replayed.  (Oracle gotcha: DuckDB's vectorized executor
+    can evaluate json_extract on rows a preceding AND guard would
+    skip, so the oracle sanitizes the input inside the extraction —
+    NULL for invalid JSON — instead of guarding with a conjunct.)
 
     Scale shape: from_json is a scan-side codegen projection; one
     groupBy on the (bounded) event_type key with map-side combine."""
@@ -6676,7 +6679,8 @@ def _pagerank_oracle() -> str:
   FROM nodes LEFT JOIN s{i} USING (node), nn
 )"""
     return body + f"""
-SELECT node, ROUND(pr, 8) AS pagerank FROM p{PAGERANK_ITERS}"""
+SELECT node, CAST(floor(pr * 100000000.0) AS BIGINT) AS pagerank_e8
+FROM p{PAGERANK_ITERS}"""
 
 
 @register("pagerank_knn_graph", _pagerank_oracle())
@@ -6688,9 +6692,10 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-aggregate-join, lineage cut per round (see operators/graph).
     Every arithmetic step is engine-deterministic (DECIMAL-summed
     contributions, double teleport terms), so the unrolled-CTE oracle
-    reproduces the ranks bit-exactly — isolated vectors keep the
-    teleport-only rank, dangling mass is dropped by shared
-    convention."""
+    reproduces the ranks bit-exactly (reported in floor-scaled 1e-8
+    integer units — rounded doubles hit constructed decimal ties at
+    bench scale) — isolated vectors keep the teleport-only rank,
+    dangling mass is dropped by shared convention."""
     from aws_pandas_etl_spark.operators.clustering import knn_graph
     from aws_pandas_etl_spark.operators.graph import pagerank
 
@@ -6706,7 +6711,16 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(
         edges, nodes, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
     )
-    return pr.select("node", F.round("pr", 8).alias("pagerank"))
+    # floor-scaled integer output (1e-8 units): the DECIMAL-summed
+    # ranks CONSTRUCT exact .5e-8 decimal ties where cross-engine
+    # ROUND rules diverge (9/2000 rows at sf0.1) — floor after one
+    # shared IEEE multiply has no tie rule (the gap-fill precedent)
+    return pr.select(
+        "node",
+        F.floor(F.col("pr") * F.lit(100000000.0))
+        .cast("bigint")
+        .alias("pagerank_e8"),
+    )
 
 
 # ---------------------------------------------------------------------------
