@@ -72,6 +72,23 @@ def predict_lang(col: Column | str) -> Column:
     return F.when(best == 0, F.lit("unk")).otherwise(expr)
 
 
+def lang_score_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize tokenization and the per-language stopword-hit
+    scores as named columns ``_toks`` / ``_s_<lang>`` — the staged
+    evaluation both the argmax predictor and the mixed-language
+    detector build on (each interpreted higher-order filter runs once
+    per row; CollapseProject keeps multiply-referenced aliases)."""
+    staged = df.withColumn("_toks", tokens(text_col))
+
+    def _hits(lang: str) -> Column:
+        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        return F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(sw, t)))
+
+    for lang in sorted(LANG_STOPWORDS):
+        staged = staged.withColumn(f"_s_{lang}", _hits(lang))
+    return staged
+
+
 def predict_lang_staged(
     df: DataFrame, text_col: str = "text", out_col: str = "predicted"
 ) -> DataFrame:
@@ -86,14 +103,7 @@ def predict_lang_staged(
     CollapseProject keeps the staging (multiply-referenced aliases are
     not inlined).  Same argmax/tie/unk semantics, same oracle."""
     langs = sorted(LANG_STOPWORDS)
-    staged = df.withColumn("_toks", tokens(text_col))
-
-    def _hits(lang: str) -> Column:
-        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-        return F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(sw, t)))
-
-    for lang in langs:
-        staged = staged.withColumn(f"_s_{lang}", _hits(lang))
+    staged = lang_score_columns(df, text_col)
     staged = staged.withColumn(
         "_best", F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
     )

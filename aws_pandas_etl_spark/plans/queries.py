@@ -1107,6 +1107,69 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mixed_lang_oracle() -> str:
+    langs = sorted(TX.LANG_STOPWORDS)
+    score_cols = ",\n         ".join(
+        "len(list_filter(toks, t -> list_contains([{words}], t))) AS s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    arr = "[" + ", ".join(f"s_{lang}" for lang in langs) + "]"
+    return f"""
+WITH t AS (
+  SELECT lang, {_dk_toks('text')} AS toks FROM documents
+), s AS (
+  SELECT lang,
+         {score_cols}
+  FROM t
+), m AS (
+  SELECT lang,
+         list_reverse_sort({arr})[1] AS top,
+         list_reverse_sort({arr})[2] AS second
+  FROM s
+)
+SELECT lang, (top > 0 AND second * 2 >= top) AS is_mixed,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM m GROUP BY lang, is_mixed ORDER BY lang, is_mixed
+"""
+
+
+@register("mixed_language_docs", _mixed_lang_oracle())
+def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection: per corpus language, how many docs
+    score nearly as high on a SECOND language (second*2 >= top, pure
+    integer arithmetic — no float ratio) — the curation signal for
+    code-switched or boilerplate-contaminated documents that a
+    single-argmax lang-ID silently misfiles.  Shares the staged
+    score-column evaluation with the predictor (each stopword filter
+    runs once per row); top/second come from one descending sort of
+    the |langs| score array."""
+    langs = sorted(TX.LANG_STOPWORDS)
+    sc = TX.lang_score_columns(
+        load_table(spark, sf_dir, "documents").select("lang", "text"), "text"
+    )
+    arr = F.sort_array(
+        F.array(*[F.col(f"_s_{lang}") for lang in langs]), asc=False
+    )
+    m = sc.select(
+        "lang",
+        F.element_at(arr, 1).alias("top"),
+        F.element_at(arr, 2).alias("second"),
+    )
+    return (
+        m.select(
+            "lang",
+            ((F.col("top") > 0) & (F.col("second") * 2 >= F.col("top"))).alias(
+                "is_mixed"
+            ),
+        )
+        .groupBy("lang", "is_mixed")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("lang", "is_mixed")
+    )
+
+
 RETENTION_ORACLE = """
 WITH f AS (
   SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
