@@ -3237,6 +3237,73 @@ ORDER BY label, dim
 """
 
 
+DRIFT_ORACLE = """
+WITH ex AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding) AS v
+  FROM embeddings
+), lc AS (
+  SELECT label, i,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS comp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY label, i
+), gc AS (
+  SELECT i,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS comp
+  FROM ex GROUP BY i
+), d AS (
+  SELECT lc.label, lc.n,
+         CAST(ROUND((lc.comp - gc.comp) * (lc.comp - gc.comp), 12)
+              AS DECIMAL(28,12)) AS term
+  FROM lc JOIN gc USING (i)
+)
+SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS drift_dist2
+FROM d GROUP BY label ORDER BY label
+"""
+
+
+@register("embedding_drift_by_label", DRIFT_ORACLE)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: squared L2 distance between each
+    label's centroid and the global centroid — the signal that one
+    class's representation is collapsing toward (or diverging from)
+    the population, watched across model or pipeline versions.  Both
+    centroids use the exact decimal-mean pattern; per-dimension
+    squared differences round then DECIMAL-sum (order-independent),
+    and no sqrt is taken so no extra libm call enters the parity
+    surface.
+
+    Scale shape: one posexplode feeds both centroid aggregates
+    (|labels|x dim and dim rows after map-side combine); the join is
+    dim-keyed — bounded by vector width, never by corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("p", "v"))
+    dmean = (
+        F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast("double")
+        / F.count("*")
+    )
+    lc = ex.groupBy("label", "p").agg(
+        dmean.alias("comp"), F.count("*").cast("bigint").alias("n")
+    )
+    gc = ex.groupBy("p").agg(dmean.alias("gcomp"))
+    term = F.round(
+        (F.col("comp") - F.col("gcomp")) * (F.col("comp") - F.col("gcomp")), 12
+    ).cast("decimal(28,12)")
+    return (
+        lc.join(gc, "p")
+        .select("label", "n", term.alias("term"))
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vectors"),
+            F.round(F.sum("term").cast("double"), 6).alias("drift_dist2"),
+        )
+        .orderBy("label")
+    )
+
+
 @register("embedding_label_centroids", CENTROID_ORACLE)
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, element-wise: posexplode the vector column
