@@ -3237,6 +3237,72 @@ ORDER BY label, dim
 """
 
 
+SEPARATION_ORACLE = """
+WITH ex AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding) AS v
+  FROM embeddings
+), st AS (
+  SELECT label, i,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS mean,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                       AS DECIMAL(28,12))) AS DOUBLE)
+           / COUNT(*) AS meansq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY label, i
+), d AS (
+  SELECT label, n,
+         CAST(ROUND(meansq - mean * mean, 12) AS DECIMAL(28,12)) AS vterm
+  FROM st
+)
+SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(vterm) AS DOUBLE), 6) AS within_var
+FROM d GROUP BY label ORDER BY label
+"""
+
+
+@register("embedding_class_separation", SEPARATION_ORACLE)
+def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class scatter per label: the per-dimension variance
+    (E[v^2] - E[v]^2, both moments as exact order-independent DECIMAL
+    sums) summed over dimensions — the within-cluster half of a
+    Fisher separation score, computed from ONE pass of sufficient
+    statistics instead of a quadratic pairwise scan.  Read together
+    with embedding_drift_by_label (the between-class half): tight
+    classes far from the global centroid separate; diffuse classes on
+    top of it do not.
+
+    Scale shape: a single posexplode + one groupBy (label, dim) with
+    map-side combine — the exchange carries |labels| x dim rows
+    regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("p", "v"))
+    vd = F.col("v").cast("double")
+    st = ex.groupBy("label", "p").agg(
+        (
+            F.sum(vd.cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("mean"),
+        (
+            F.sum((vd * vd).cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("meansq"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    vterm = F.round(
+        F.col("meansq") - F.col("mean") * F.col("mean"), 12
+    ).cast("decimal(28,12)")
+    return (
+        st.select("label", "n", vterm.alias("vterm"))
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vectors"),
+            F.round(F.sum("vterm").cast("double"), 6).alias("within_var"),
+        )
+        .orderBy("label")
+    )
+
+
 DRIFT_ORACLE = """
 WITH ex AS (
   SELECT label, unnest(generate_series(1, len(embedding))) AS i,
