@@ -5673,6 +5673,66 @@ def weighted_sample_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TWAP_ORACLE = """
+WITH w AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events
+), seg AS (
+  SELECT user_id, v * (nxt - t) AS wterm, nxt - t AS dt
+  FROM w WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       ROUND(CAST(SUM(wterm) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+         AS twap
+FROM seg GROUP BY user_id
+"""
+
+
+@register("twap_user_value", TWAP_ORACLE)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation holds
+    until the next one, weighted by its duration in microseconds —
+    the TWAP/metering aggregate that a plain AVG gets wrong whenever
+    sampling is irregular.  The weighted terms are EXACT:
+    DECIMAL(18,6) value x integer microseconds, summed as decimals
+    (order-independent), with one deterministic double division at
+    the end.  Users with a single event have no holding segment and
+    drop out, by definition.
+
+    Scale shape: one shuffle by user for the lead() window, then a
+    map-side-combined groupBy on the same key — Spark reuses the
+    window's partitioning for the aggregate, so the plan has a single
+    exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    seg = (
+        ev.select(
+            "user_id",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+            t.alias("t"),
+            F.lead(t).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "user_id",
+            (F.col("v") * (F.col("nxt") - F.col("t"))).alias("wterm"),
+            (F.col("nxt") - F.col("t")).alias("dt"),
+        )
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.round(
+            F.sum("wterm").cast("double") / F.sum("dt").cast("double"), 6
+        ).alias("twap"),
+    )
+
+
 LAG_FEATURES_ORACLE = """
 WITH w AS (
   SELECT user_id, event_id, value,
