@@ -5673,6 +5673,76 @@ def weighted_sample_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOMENTS_ORACLE = f"""
+WITH t AS (
+  SELECT lang, CAST(len({_dk_toks('text')}) AS BIGINT) AS n_tok FROM documents
+), m AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_tok) AS BIGINT) AS s1,
+         CAST(SUM(n_tok * n_tok) AS BIGINT) AS s2,
+         CAST(SUM(n_tok * n_tok * n_tok) AS BIGINT) AS s3
+  FROM t GROUP BY lang
+)
+SELECT lang, n,
+       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+       ROUND(CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6)
+         AS variance,
+       ROUND(
+         (CAST(s3 AS DOUBLE) / n
+          - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+          + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+            * (CAST(s1 AS DOUBLE) / n))
+         / pow(CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5),
+         6) AS skewness
+FROM m ORDER BY lang
+"""
+
+
+@register("token_length_moments", MOMENTS_ORACLE)
+def token_length_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shape of document lengths per language: mean,
+    variance, and skewness from raw INTEGER power sums (the first
+    three — exact, order-independent, no decimal machinery needed),
+    with the moment formulas evaluated once per group in
+    deterministic double arithmetic (one pow per group, rounded) —
+    the length-distribution fingerprint that detects truncation bugs
+    and boilerplate floods (skewness flips) before eyeballing
+    histograms would.
+
+    Scale shape: a single map-side-combined groupBy carrying four
+    integers per group; everything after the aggregate is |langs|
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(TX.tokens("text")).cast("bigint")
+    t = docs.select("lang", nt.alias("n_tok"))
+    m = t.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_tok").cast("bigint").alias("s1"),
+        F.sum(F.col("n_tok") * F.col("n_tok")).cast("bigint").alias("s2"),
+        F.sum(F.col("n_tok") * F.col("n_tok") * F.col("n_tok"))
+        .cast("bigint")
+        .alias("s3"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd
+    m3 = F.col("s3").cast("double") / nd
+    var = m2 - m1 * m1
+    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / F.pow(
+        var, F.lit(1.5)
+    )
+    return m.select(
+        "lang",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(skew, 6).alias("skewness"),
+    ).orderBy("lang")
+
+
 TWAP_ORACLE = """
 WITH w AS (
   SELECT user_id,
