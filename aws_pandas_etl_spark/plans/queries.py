@@ -5673,6 +5673,136 @@ def weighted_sample_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEASONAL_DEV_RATIO = 2.0
+
+SEASONAL_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY week, dow, hour
+), b AS (
+  SELECT dow, hour,
+         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS expected,
+         CAST(COUNT(*) AS BIGINT) AS n_weeks
+  FROM c GROUP BY dow, hour
+)
+SELECT c.week, c.dow, c.hour, c.n,
+       ROUND(b.expected, 6) AS expected,
+       ROUND(CAST(c.n AS DOUBLE) / b.expected, 6) AS ratio
+FROM c JOIN b USING (dow, hour)
+WHERE b.n_weeks >= 2
+  AND (CAST(c.n AS DOUBLE) / b.expected >= {SEASONAL_DEV_RATIO}
+       OR CAST(c.n AS DOUBLE) / b.expected <= {1.0 / SEASONAL_DEV_RATIO})
+"""
+
+
+@register("seasonal_hour_anomalies", SEASONAL_ORACLE)
+def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomalies: each (week, weekday, hour)
+    cell compares against the average for that SAME weekday-hour slot
+    across weeks — so Monday-9am traffic is judged against Monday
+    9ams, not a global mean that weekly rhythm would swamp (the
+    blind spot of the plain z-score monitor).  Cells at >= 2x or
+    <= 0.5x their slot baseline flag; slots seen in fewer than 2
+    weeks have no baseline and stay silent.  All counts are integers;
+    the baseline and ratio are single deterministic divisions.
+
+    Scale shape: two map-side-combined groupBys (cells, then slots)
+    plus a join on the slot key whose build side is at most 7x24
+    rows — calendar-bounded, never corpus-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    b = c.groupBy("dow", "hour").agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("expected"),
+        F.count("*").cast("bigint").alias("n_weeks"),
+    )
+    ratio = F.col("n").cast("double") / F.col("expected")
+    return (
+        c.join(b, ["dow", "hour"])
+        .filter(
+            (F.col("n_weeks") >= 2)
+            & (
+                (ratio >= SEASONAL_DEV_RATIO)
+                | (ratio <= 1.0 / SEASONAL_DEV_RATIO)
+            )
+        )
+        .select(
+            "week",
+            "dow",
+            "hour",
+            "n",
+            F.round("expected", 6).alias("expected"),
+            F.round(ratio, 6).alias("ratio"),
+        )
+    )
+
+
+CHI2_ORACLE = """
+WITH o AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM documents GROUP BY lang, source
+), rt AS (
+  SELECT lang, CAST(SUM(observed) AS BIGINT) AS row_tot FROM o GROUP BY lang
+), ct AS (
+  SELECT source, CAST(SUM(observed) AS BIGINT) AS col_tot FROM o GROUP BY source
+), tt AS (
+  SELECT CAST(SUM(observed) AS BIGINT) AS total FROM o
+)
+SELECT o.lang, o.source, o.observed,
+       ROUND(CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tt.total, 6) AS expected,
+       ROUND((o.observed - CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tt.total)
+             * (o.observed - CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tt.total)
+             / (CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tt.total), 6)
+         AS chi2_contrib
+FROM o JOIN rt USING (lang) JOIN ct USING (source), tt
+"""
+
+
+@register("lang_source_chi2", CHI2_ORACLE)
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for the lang x source
+    contingency table: observed counts, expected under independence
+    (row_total x col_total / total), and each cell's (O-E)^2/E
+    contribution — the statistical test behind "is this source's
+    language mix drifting".  All inputs are exact integer counts; the
+    expected value and contribution are fixed-order double arithmetic
+    rounded once, and the caller sums contributions for the statistic
+    (dof = (|langs|-1)(|sources|-1)).
+
+    Scale shape: one groupBy on the (bounded) pair, two marginal
+    rollups of the CELL table (|cells| rows, not corpus rows), and a
+    1-row total."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    rt = o.groupBy("lang").agg(F.sum("observed").cast("bigint").alias("row_tot"))
+    ct = o.groupBy("source").agg(
+        F.sum("observed").cast("bigint").alias("col_tot")
+    )
+    tt = o.agg(F.sum("observed").cast("bigint").alias("total"))
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+    contrib = (F.col("observed") - e) * (F.col("observed") - e) / e
+    return (
+        o.join(rt, "lang")
+        .join(ct, "source")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            F.round(e, 6).alias("expected"),
+            F.round(contrib, 6).alias("chi2_contrib"),
+        )
+    )
+
+
 MOMENTS_ORACLE = f"""
 WITH t AS (
   SELECT lang, CAST(len({_dk_toks('text')}) AS BIGINT) AS n_tok FROM documents

@@ -125,6 +125,7 @@ _SCALAR_CROSS_OK = {
     "bm25_topk_docs",                # 1-row corpus stats (n_docs, avgdl)
     "rolling_7d_distinct_users",     # 1-row max-day bound
     "fk_orphan_audit",               # 1-row total x 1-row orphan count
+    "lang_source_chi2",              # 1-row grand total
 }
 
 # Streaming queries execute a real job on invocation — planning them
