@@ -6328,6 +6328,69 @@ FROM t WHERE next_type IS NOT NULL
 GROUP BY from_type, to_type
 """
 
+TRANSITION_ENTROPY_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE next_type IS NOT NULL GROUP BY from_type, to_type
+), tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY from_type
+), term AS (
+  SELECT c.from_type,
+         CAST(ROUND(-(CAST(c.n AS DOUBLE) / tot.total)
+                    * ln(CAST(c.n AS DOUBLE) / tot.total) / ln(2.0), 6)
+              AS DECIMAL(18,6)) AS h
+  FROM c JOIN tot USING (from_type)
+)
+SELECT from_type, CAST(COUNT(*) AS BIGINT) AS n_successors,
+       ROUND(CAST(SUM(h) AS DOUBLE), 6) AS entropy_bits
+FROM term GROUP BY from_type ORDER BY from_type
+"""
+
+
+@register("transition_entropy_per_type", TRANSITION_ENTROPY_ORACLE)
+def transition_entropy_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability: Shannon entropy of each event type's
+    next-action distribution — low entropy means the next step after
+    this action is nearly deterministic (a funnel edge), high entropy
+    means a branching point.  Reads the same transition counts as
+    event_transition_matrix through the proven rounded-term
+    DECIMAL-sum entropy reduction (props_entropy precedent).
+
+    Scale shape: one user-keyed window shuffle, then everything
+    operates on the |types|^2 transition-count frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = c.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 6).cast("decimal(18,6)")
+    return (
+        c.join(tot, "from_type")
+        .select("from_type", term.alias("h"))
+        .groupBy("from_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_successors"),
+            F.round(F.sum("h").cast("double"), 6).alias("entropy_bits"),
+        )
+        .orderBy("from_type")
+    )
+
 
 @register("event_transition_matrix", TRANSITION_ORACLE)
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
