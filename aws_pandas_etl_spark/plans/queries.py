@@ -5673,6 +5673,140 @@ def weighted_sample_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PEAK_WINDOW_US = 300_000_000  # 5 minutes
+
+PEAK_RATE_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, ts, event_id,
+         CAST(COUNT(*) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts)
+           RANGE BETWEEN {PEAK_WINDOW_US} PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_5min
+  FROM events
+)
+SELECT event_type, n_5min AS peak_5min, peak_end_ts FROM (
+  SELECT event_type, n_5min, ts AS peak_end_ts,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n_5min DESC, ts, event_id) AS rn
+  FROM r
+) WHERE rn = 1
+"""
+
+
+@register("peak_5min_event_rate", PEAK_RATE_ORACLE)
+def peak_5min_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: the maximum number of events in any trailing
+    5-minute window per event type, with the window-end timestamp
+    that achieved it — the capacity-planning / rate-limit question
+    ("what's the worst burst we've absorbed").  The sliding count is
+    an integer RANGE frame over epoch microseconds (engine-portable,
+    the sliding_1h precedent); the argmax breaks ties to the earliest
+    (ts, event_id).
+
+    Scale shape: one shuffle by event type for the range frame, the
+    argmax rides the same partitioning — a second pass over the same
+    sort, no extra exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-PEAK_WINDOW_US, Window.currentRow)
+    )
+    r = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.count("*").over(wr).cast("bigint").alias("n_5min"),
+    )
+    wa = Window.partitionBy("event_type").orderBy(
+        F.col("n_5min").desc(), "ts", "event_id"
+    )
+    return (
+        r.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_5min").alias("peak_5min"),
+            F.col("ts").alias("peak_end_ts"),
+        )
+    )
+
+
+CORR_PAIR_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, hour
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.v AS va, b.v AS vb
+  FROM h a JOIN h b ON a.hour = b.hour AND a.event_type < b.event_type
+), s AS (
+  SELECT type_a, type_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(va AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(vb AS DECIMAL(18,6))) AS DOUBLE) AS sb,
+         CAST(SUM(CAST(va * vb AS DECIMAL(28,10))) AS DOUBLE) AS sab,
+         CAST(SUM(CAST(va * va AS DECIMAL(28,10))) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(vb * vb AS DECIMAL(28,10))) AS DOUBLE) AS sbb
+  FROM p GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n,
+       ROUND((sab - sa * sb / n)
+             / (sqrt(saa - sa * sa / n) * sqrt(sbb - sb * sb / n)), 6)
+         AS corr
+FROM s ORDER BY type_a, type_b
+"""
+
+
+@register("type_hourly_correlation", CORR_PAIR_ORACLE)
+def type_hourly_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal co-movement: Pearson correlation between every
+    pair of event types' hourly value series — the "do errors spike
+    with purchases" diagnostic.  Hours where both types are active
+    align via a self-join of the hourly aggregate on the hour key
+    (|types| x hours rows, not events); the correlation comes from
+    DECIMAL-exact sufficient statistics with two sqrt calls per PAIR
+    (|types|^2 rows), rounded once.
+
+    Scale shape: one events-sized groupBy, then everything operates
+    on the hourly frame; the self-join key (hour) has |types|-sized
+    buckets — bounded fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    a = h.select(
+        F.col("event_type").alias("type_a"), "hour", F.col("v").alias("va")
+    )
+    b = h.select(
+        F.col("event_type").alias("type_b"), "hour", F.col("v").alias("vb")
+    )
+    p = a.join(b, "hour").filter(F.col("type_a") < F.col("type_b"))
+    s = p.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("va").cast("decimal(18,6)")).cast("double").alias("sa"),
+        F.sum(F.col("vb").cast("decimal(18,6)")).cast("double").alias("sb"),
+        F.sum((F.col("va") * F.col("vb")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sab"),
+        F.sum((F.col("va") * F.col("va")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("saa"),
+        F.sum((F.col("vb") * F.col("vb")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (F.col("sab") - F.col("sa") * F.col("sb") / nd) / (
+        F.sqrt(F.col("saa") - F.col("sa") * F.col("sa") / nd)
+        * F.sqrt(F.col("sbb") - F.col("sb") * F.col("sb") / nd)
+    )
+    return s.select(
+        "type_a", "type_b", "n", F.round(corr, 6).alias("corr")
+    ).orderBy("type_a", "type_b")
+
+
 SEASONAL_DEV_RATIO = 2.0
 
 SEASONAL_ORACLE = f"""
