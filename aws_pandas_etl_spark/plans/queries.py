@@ -5673,6 +5673,90 @@ def weighted_sample_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_LATENCY_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+), lat AS (
+  SELECT CAST((epoch_us(p.ts) - epoch_us(best.vts)) // 1000000 AS BIGINT)
+           AS latency_s
+  FROM p JOIN LATERAL (
+    SELECT max(v.ts) AS vts FROM v
+    WHERE v.user_id = p.user_id AND v.ts <= p.ts
+  ) best ON best.vts IS NOT NULL
+), r AS (
+  SELECT latency_s,
+         ROW_NUMBER() OVER (ORDER BY latency_s) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lat
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+       MIN(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1
+                THEN latency_s END) AS q1_s,
+       MIN(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                THEN latency_s END) AS median_s,
+       MIN(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1
+                THEN latency_s END) AS q3_s
+FROM r
+"""
+
+
+@register("funnel_latency_quartiles", FUNNEL_LATENCY_ORACLE)
+def funnel_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: exact quartiles of the
+    view-to-purchase delay — "how long does intent take to convert",
+    the funnel's companion number to its conversion RATE.  Latency
+    pairs come from the backward as-of join (each purchase matches
+    the latest preceding view per user, running-frame shape);
+    latencies truncate to whole seconds so the exact percentiles run
+    on a latency HISTOGRAM (the trim_length_outliers posture: the
+    single-partition cumulative window sees |distinct seconds| rows,
+    never the corpus).
+
+    Scale shape: one user-keyed as-of shuffle, one histogram groupBy,
+    selection over the tiny cumulative frame."""
+    from aws_pandas_etl_spark.operators.relational import as_of_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    j = as_of_join_backward(
+        p, v, on=["user_id"], ts_col="ts",
+        payload_cols=["ts"], tiebreak_col="event_id", payload_prefix="view_",
+    )
+    lat = j.filter(F.col("view_ts").isNotNull()).select(
+        F.expr(
+            "CAST((unix_micros(ts) - unix_micros(view_ts)) div 1000000 "
+            "AS BIGINT)"
+        ).alias("latency_s")
+    )
+    hist = lat.groupBy("latency_s").agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("latency_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "latency_s",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    pick = lambda q: F.min(
+        F.when(
+            F.col("cum")
+            >= F.floor(F.lit(q) * (F.col("n") - 1)).cast("bigint") + 1,
+            F.col("latency_s"),
+        )
+    )
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_conversions"),
+        pick(0.25).alias("q1_s"),
+        pick(0.5).alias("median_s"),
+        pick(0.75).alias("q3_s"),
+    )
+
+
 PEAK_WINDOW_US = 300_000_000  # 5 minutes
 
 PEAK_RATE_ORACLE = f"""
