@@ -7386,6 +7386,70 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TWOHOP_ORACLE = (
+    _knn_ctes()
+    + """
+, hop2 AS (
+  SELECT e1.a AS node, e2.b AS reach
+  FROM knn e1 JOIN knn e2 ON e1.b = e2.a
+  WHERE e2.b != e1.a
+  UNION
+  SELECT a AS node, b AS reach FROM knn
+)
+SELECT node,
+       CAST((SELECT COUNT(*) FROM knn k WHERE k.a = h.node) AS BIGINT)
+         AS n_1hop,
+       CAST(COUNT(*) AS BIGINT) AS n_within_2hops
+FROM hop2 h GROUP BY node ORDER BY node
+"""
+)
+
+
+@register("knn_graph_2hop_reach", TWOHOP_ORACLE)
+def knn_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded graph reachability: for every vector, how many distinct
+    nodes its kNN graph reaches within two hops (excluding itself) —
+    the local-density signal that separates hub regions (2-hop
+    neighborhoods much larger than k) from isolated cliques (2-hop ~
+    1-hop, the near-duplicate pocket worth deduping).  One self-join
+    of the edge list on the hop boundary plus a distinct union with
+    the direct edges — no iteration, no state.
+
+    Scale shape: the edge list is k_neighbors x n rows; the hop join
+    fans out at most k^2 per node before the distinct collapses it —
+    bounded amplification, shuffle keyed on node ids."""
+    from aws_pandas_etl_spark.operators.clustering import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph(
+        emb,
+        k_neighbors=KNN_GRAPH_K,
+        k=_kmeans_k(emb),
+        iters=KMEANS_ITERS,
+        assign_probes=SEMDEDUP_PROBES,
+    ).select("a", "b").localCheckpoint(eager=False)
+    e1 = edges.select(F.col("a").alias("node"), F.col("b").alias("mid"))
+    e2 = edges.select(F.col("a").alias("mid"), F.col("b").alias("reach"))
+    two = (
+        e1.join(e2, "mid")
+        .filter(F.col("reach") != F.col("node"))
+        .select("node", "reach")
+    )
+    reach = two.unionByName(
+        edges.select(F.col("a").alias("node"), F.col("b").alias("reach"))
+    ).distinct()
+    one = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("n_1hop")
+    )
+    return (
+        reach.groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_within_2hops"))
+        .join(one, "node")
+        .select("node", "n_1hop", "n_within_2hops")
+        .orderBy("node")
+    )
+
+
 PAGERANK_ITERS, PAGERANK_DAMPING = 3, 0.85
 
 
