@@ -7386,6 +7386,103 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIVTOP_QUOTA, DIVTOP_K = 2, 20
+
+DIVTOP_ORACLE = f"""
+WITH r AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS per_cust
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM r WHERE per_cust <= {DIVTOP_QUOTA}
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {DIVTOP_K}
+"""
+
+
+@register("diversified_top_orders", DIVTOP_ORACLE)
+def diversified_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified ranking: the global top-20 orders by value with AT
+    MOST 2 per customer — the quota pattern behind search-result
+    diversity and fair leaderboards, where a plain top-k collapses
+    onto one heavy entity.  One window pass assigns per-customer
+    ranks, the quota filters, and the global top-k goes through
+    TakeOrderedAndProject — never a full sort.
+
+    Scale shape: one shuffle by the quota key; the quota filter
+    drops all but quota rows per customer BEFORE the top-k, so the
+    ordering operator sees quota x |customers| rows at most."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("per_cust"),
+        )
+        .filter(F.col("per_cust") <= DIVTOP_QUOTA)
+        .drop("per_cust")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(DIVTOP_K)
+    )
+
+
+WOW_ORACLE = """
+WITH w AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events GROUP BY event_type, week
+)
+SELECT event_type, week, n, total_value,
+       lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+       ROUND((CAST(n AS DOUBLE)
+              - lag(n) OVER (PARTITION BY event_type ORDER BY week))
+             / lag(n) OVER (PARTITION BY event_type ORDER BY week), 6)
+         AS wow_growth
+FROM w
+"""
+
+
+@register("weekly_growth_by_type", WOW_ORACLE)
+def weekly_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly counts and exact
+    decimal value totals with the lag-based growth rate — the
+    reporting backbone metric.  Growth divides two exact integers
+    (one deterministic division, rounded); the first week has no
+    predecessor and reports NULL, as a dashboard would.
+
+    Scale shape: one map-side-combined groupBy to the weekly frame,
+    then a |types| x weeks window — calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        "n",
+        "total_value",
+        prev.alias("prev_n"),
+        F.round(
+            (F.col("n").cast("double") - prev) / prev, 6
+        ).alias("wow_growth"),
+    )
+
+
 TWOHOP_ORACLE = (
     _knn_ctes()
     + """
