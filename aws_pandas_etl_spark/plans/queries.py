@@ -7386,6 +7386,123 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHIP_DELAY_ORACLE = """
+WITH d AS (
+  SELECT o.o_orderpriority,
+         CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(delay_days) AS DOUBLE) / COUNT(*), 6) AS avg_delay_days,
+       CAST(MAX(delay_days) AS BIGINT) AS max_delay_days
+FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("order_to_ship_delay_stats", SHIP_DELAY_ORACLE)
+def order_to_ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency reporting: order-to-ship delay in whole
+    days per order priority — integer date arithmetic end to end
+    (datediff sums exactly; one deterministic division for the mean),
+    answering "do urgent orders actually ship faster".
+
+    Scale shape: the canonical fact-to-fact equi-join on the order
+    key (AQE decides broadcast vs shuffle), then a map-side-combined
+    groupBy on the 5-value priority key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias(
+            "delay_days"
+        ),
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum("delay_days").cast("double") / F.count("*"), 6
+            ).alias("avg_delay_days"),
+            F.max("delay_days").cast("bigint").alias("max_delay_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+RFM_R_DAYS, RFM_F_N = 7, 5
+
+RFM_ORACLE = f"""
+WITH mx AS (
+  SELECT max(ts) AS ref FROM events
+), p AS (
+  SELECT user_id,
+         CAST(date_trunc('day', mx.ref) AS DATE)
+           - CAST(date_trunc('day', max(e.ts)) AS DATE) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+  FROM events e, mx
+  WHERE e.event_type = 'purchase'
+  GROUP BY user_id, mx.ref
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+       frequency, monetary,
+       CASE WHEN recency_days <= {RFM_R_DAYS} AND frequency >= {RFM_F_N}
+              THEN 'champion'
+            WHEN recency_days <= {RFM_R_DAYS} THEN 'recent'
+            WHEN frequency >= {RFM_F_N} THEN 'loyal_lapsing'
+            ELSE 'at_risk' END AS segment
+FROM p
+"""
+
+
+@register("rfm_user_segments", RFM_ORACLE)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (whole days from each user's last
+    purchase to the corpus reference date), frequency, and exact
+    decimal monetary value, bucketed into four deterministic segments
+    by integer thresholds — the classic lifecycle cut, with no float
+    boundary anywhere (recency and frequency are integers; monetary
+    is reported, not thresholded).
+
+    Scale shape: one purchase-filtered groupBy per user; the
+    reference date is a 1-row scalar broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("ref"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.first("ref"))),
+                F.to_date(F.date_trunc("day", F.max("ts"))),
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    seg = (
+        F.when(
+            (F.col("recency_days") <= RFM_R_DAYS)
+            & (F.col("frequency") >= RFM_F_N),
+            F.lit("champion"),
+        )
+        .when(F.col("recency_days") <= RFM_R_DAYS, F.lit("recent"))
+        .when(F.col("frequency") >= RFM_F_N, F.lit("loyal_lapsing"))
+        .otherwise(F.lit("at_risk"))
+    )
+    return p.select(
+        "user_id", "recency_days", "frequency", "monetary", seg.alias("segment")
+    )
+
+
 DIVTOP_QUOTA, DIVTOP_K = 2, 20
 
 DIVTOP_ORACLE = f"""
