@@ -126,6 +126,7 @@ _SCALAR_CROSS_OK = {
     "rolling_7d_distinct_users",     # 1-row max-day bound
     "fk_orphan_audit",               # 1-row total x 1-row orphan count
     "lang_source_chi2",              # 1-row grand total
+    "rfm_user_segments",             # 1-row reference date
 }
 
 # Streaming queries execute a real job on invocation — planning them
