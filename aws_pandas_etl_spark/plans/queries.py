@@ -7386,6 +7386,71 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECON_ORACLE = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS net
+  FROM lineitem GROUP BY l_orderkey
+), d AS (
+  SELECT abs(CAST(o.o_totalprice AS DOUBLE) - l.net)
+           / CAST(o.o_totalprice AS DOUBLE) AS rel
+  FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT CASE WHEN rel < 0.001 THEN 'lt_0.1pct'
+            WHEN rel < 0.01  THEN 'lt_1pct'
+            WHEN rel < 0.1   THEN 'lt_10pct'
+            WHEN rel < 0.5   THEN 'lt_50pct'
+            ELSE 'ge_50pct' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM d GROUP BY band ORDER BY band
+"""
+
+
+@register("order_total_reconciliation", RECON_ORACLE)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines reconciliation: compare each order's stored
+    total against the exact decimal sum of its line nets and
+    distribute the relative discrepancy into fixed bands — the
+    cross-table integrity audit that catches partially-loaded line
+    tables and double-applied discounts (on this synthetic fixture
+    the totals are independent of the lines, so the distribution
+    documents that fact deterministically).  Band edges are pure
+    comparisons on deterministic doubles; the per-order line sum is
+    the REV_DK decimal pattern extended with tax.
+
+    Scale shape: lineitem pre-aggregates to one row per order BEFORE
+    the join (the Q18 posture), so the join carries order-count rows
+    on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    net = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(net).cast("double").alias("net")
+    )
+    rel = F.abs(
+        F.col("o_totalprice").cast("double") - F.col("net")
+    ) / F.col("o_totalprice").cast("double")
+    band = (
+        F.when(rel < 0.001, F.lit("lt_0.1pct"))
+        .when(rel < 0.01, F.lit("lt_1pct"))
+        .when(rel < 0.1, F.lit("lt_10pct"))
+        .when(rel < 0.5, F.lit("lt_50pct"))
+        .otherwise(F.lit("ge_50pct"))
+    )
+    return (
+        orders.join(l, orders.o_orderkey == l.l_orderkey)
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("band")
+    )
+
+
 SHIP_DELAY_ORACLE = """
 WITH d AS (
   SELECT o.o_orderpriority,
