@@ -7865,7 +7865,12 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full outer join, now carrying the reconciliation audit), and
 # bpe_top_merges (replaces streaming_dedup_within_watermark — the
 # streaming family holds six seats; the tokenizer-training loop is a
-# brand-new family).
+# brand-new family).  Also in: rolling_7d_distinct_users (sketch
+# mergeability) for decontaminate_bloom, and format_roundtrip_events
+# (multi-format ingest) for curate_training_corpus — both out-seats
+# r5-driver-green with their families still represented (dedup keeps
+# 6 seats incl. decontamination via the exact-value sweep; text keeps
+# pack/stratified/bm25/bpe).
 _DRIVER_WINDOW = [
     "q7_trade_volume",
     "q9_product_profit",
@@ -7895,7 +7900,7 @@ _DRIVER_WINDOW = [
     "pipeline_roundtrip",
     "pipeline_error_isolation",
     "interpolate_hourly_values",
-    "decontaminate_bloom",
+    "rolling_7d_distinct_users",
     "ngram_jaccard_pairs",
     "streaming_approx_distinct_linear",
     "kmeans_embeddings",
@@ -7904,7 +7909,7 @@ _DRIVER_WINDOW = [
     "bm25_topk_docs",
     "semantic_dedup_pairs",
     "heavy_hitter_tokens",
-    "curate_training_corpus",
+    "format_roundtrip_events",
     "pack_sequences_greedy",
     "stratified_sample_by_lang",
     "multimodal_features",
