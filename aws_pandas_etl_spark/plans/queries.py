@@ -7386,6 +7386,73 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_REPORT_ORACLE = """
+WITH a AS (
+  SELECT 'events.user_id' AS key_col, CAST(user_id AS VARCHAR) AS k FROM events
+  UNION ALL
+  SELECT 'events.event_type', event_type FROM events
+  UNION ALL
+  SELECT 'documents.source', source FROM documents
+), c AS (
+  SELECT key_col, k, CAST(COUNT(*) AS BIGINT) AS n
+  FROM a GROUP BY key_col, k
+)
+SELECT key_col,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(n) AS BIGINT) AS top_key_rows,
+       ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_key_share
+FROM c GROUP BY key_col ORDER BY key_col
+"""
+
+
+@register("key_skew_report", SKEW_REPORT_ORACLE)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: for each candidate key
+    column, its cardinality and the share of rows held by the hottest
+    key — the number that decides between a plain shuffle, AQE skew
+    splitting, and explicit salting (functions/skew.py) BEFORE a job
+    ships.  A top-key share near 1/cardinality is uniform; a share
+    orders of magnitude above it pins one reducer at scale.
+
+    Scale shape: per column one map-side-combined count-by-key, then
+    the report aggregates the |distinct keys| frame — the raw tables
+    stream once each."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    a = (
+        ev.select(
+            F.lit("events.user_id").alias("key_col"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .unionByName(
+            ev.select(
+                F.lit("events.event_type").alias("key_col"),
+                F.col("event_type").alias("k"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.lit("documents.source").alias("key_col"),
+                F.col("source").alias("k"),
+            )
+        )
+    )
+    c = a.groupBy("key_col", "k").agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        c.groupBy("key_col")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.max("n").cast("bigint").alias("top_key_rows"),
+            F.round(
+                F.max("n").cast("double") / F.sum("n"), 6
+            ).alias("top_key_share"),
+        )
+        .orderBy("key_col")
+    )
+
+
 RECON_ORACLE = """
 WITH l AS (
   SELECT l_orderkey,
