@@ -5673,6 +5673,81 @@ def weighted_sample_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIT_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+), v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.value,
+       CAST(CASE WHEN lv.vts IS NULL THEN NULL
+            ELSE (epoch_us(p.ts) - epoch_us(lv.vts)) // 1000000 END AS BIGINT)
+         AS secs_since_view,
+       CAST(CASE WHEN lc.cts IS NULL THEN NULL
+            ELSE (epoch_us(p.ts) - epoch_us(lc.cts)) // 1000000 END AS BIGINT)
+         AS secs_since_click
+FROM p
+LEFT JOIN LATERAL (
+  SELECT max(v.ts) AS vts FROM v
+  WHERE v.user_id = p.user_id AND v.ts <= p.ts
+) lv ON TRUE
+LEFT JOIN LATERAL (
+  SELECT max(c.ts) AS cts FROM c
+  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+) lc ON TRUE
+"""
+
+
+@register("point_in_time_features", PIT_ORACLE)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join (the feature-store correctness
+    shape): enrich every purchase with recency features — seconds
+    since the user's latest view and latest click AS OF the purchase
+    instant — guaranteeing no future leakage, the bug class that
+    silently inflates offline model metrics.  Two chained backward
+    as-of joins (each a union + running-frame window, one shuffle per
+    feature table); deltas are integer-µs arithmetic with integer
+    division to whole seconds.
+
+    Scale shape: each feature table contributes one user-keyed
+    shuffle; no range join, no per-row subquery — the oracle's
+    LATERAL form is what the as-of operator replaces at scale."""
+    from aws_pandas_etl_spark.operators.relational import as_of_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = as_of_join_backward(
+        p, v, on=["user_id"], ts_col="ts",
+        payload_cols=["ts"], tiebreak_col="event_id", payload_prefix="view_",
+    )
+    j = as_of_join_backward(
+        j, c, on=["user_id"], ts_col="ts",
+        payload_cols=["ts"], tiebreak_col="event_id", payload_prefix="click_",
+    )
+    secs = lambda col: F.expr(
+        f"CAST((unix_micros(ts) - unix_micros({col})) div 1000000 AS BIGINT)"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(F.col("view_ts").isNotNull(), secs("view_ts")).alias(
+            "secs_since_view"
+        ),
+        F.when(F.col("click_ts").isNotNull(), secs("click_ts")).alias(
+            "secs_since_click"
+        ),
+    )
+
+
 FUNNEL_LATENCY_ORACLE = """
 WITH p AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
