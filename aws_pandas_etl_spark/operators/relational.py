@@ -73,11 +73,14 @@ def _as_of_join(
     """Shared as-of machinery: tag sides, UNION, carry the right
     payload across a (key, time)-ordered window, keep left rows.
 
-    Direction is three tokens: the right side sorts toward the left
-    row it should match (backward: right-before-left at equal ts via
-    ``_is_right DESC``; forward: left-before-right via ASC), the frame
-    points at history vs future, and the carry is last vs first
-    (ignorenulls).  One shuffle on the key either way."""
+    Both directions run the same RUNNING frame (UNBOUNDED PRECEDING ..
+    CURRENT ROW) with ``last(ignorenulls)`` as the carry; "forward" is
+    the backward scan of the fully REVERSED (DESC) total order, so the
+    matching right row is always in the visible history — never an
+    O(rows^2) following frame.  At equal ts the right row sorts into
+    the left row's history via ``_is_right DESC`` in either direction,
+    and ties resolve to the smallest tiebreak.  One shuffle on the key
+    either way."""
     l_cols = left.columns
     tagged_left = left.select(
         *l_cols,

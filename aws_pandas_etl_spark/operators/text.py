@@ -514,13 +514,18 @@ def bpe_top_merges(
                 )
             ).alias("pair"),
         )
-        top = (
+        top_rows = (
             pairs.groupBy("pair")
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pair")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top_rows:
+            # no adjacent symbol pairs left (single-character words or
+            # the vocabulary merged dry) — return the merges found so far
+            break
+        top = top_rows[0]
         pa, pb = top["pair"].split(" ")
         results.append((it, top["pair"], top["cnt"]))
 

@@ -5905,9 +5905,9 @@ WITH h AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CAST(va AS DECIMAL(18,6))) AS DOUBLE) AS sa,
          CAST(SUM(CAST(vb AS DECIMAL(18,6))) AS DOUBLE) AS sb,
-         CAST(SUM(CAST(va * vb AS DECIMAL(28,10))) AS DOUBLE) AS sab,
-         CAST(SUM(CAST(va * va AS DECIMAL(28,10))) AS DOUBLE) AS saa,
-         CAST(SUM(CAST(vb * vb AS DECIMAL(28,10))) AS DOUBLE) AS sbb
+         CAST(SUM(CAST(ROUND(va * vb, 10) AS DECIMAL(28,10))) AS DOUBLE) AS sab,
+         CAST(SUM(CAST(ROUND(va * va, 10) AS DECIMAL(28,10))) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(ROUND(vb * vb, 10) AS DECIMAL(28,10))) AS DOUBLE) AS sbb
   FROM p GROUP BY type_a, type_b
 )
 SELECT type_a, type_b, n,
@@ -5946,13 +5946,16 @@ def type_hourly_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("va").cast("decimal(18,6)")).cast("double").alias("sa"),
         F.sum(F.col("vb").cast("decimal(18,6)")).cast("double").alias("sb"),
-        F.sum((F.col("va") * F.col("vb")).cast("decimal(28,10)"))
+        # round-then-cast: a double product sitting exactly on a
+        # .5-at-scale boundary would otherwise tie-break differently
+        # across engines' double->decimal casts (pagerank precedent)
+        F.sum(F.round(F.col("va") * F.col("vb"), 10).cast("decimal(28,10)"))
         .cast("double")
         .alias("sab"),
-        F.sum((F.col("va") * F.col("va")).cast("decimal(28,10)"))
+        F.sum(F.round(F.col("va") * F.col("va"), 10).cast("decimal(28,10)"))
         .cast("double")
         .alias("saa"),
-        F.sum((F.col("vb") * F.col("vb")).cast("decimal(28,10)"))
+        F.sum(F.round(F.col("vb") * F.col("vb"), 10).cast("decimal(28,10)"))
         .cast("double")
         .alias("sbb"),
     )

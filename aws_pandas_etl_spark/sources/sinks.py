@@ -86,12 +86,19 @@ def _merge_side_paths(path: str) -> tuple[str, str]:
 
 
 def merge_load(
-    df: DataFrame, path: str, keys: list[str], order_col: str
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    tiebreak_col: str | None = None,
 ) -> int:
     """Incremental upsert (CDC compaction): union the incoming batch
     with the existing target and keep the latest row per key
-    (``order_col`` descending, ties to the incoming batch).  Returns
-    the target row count after the merge.
+    (``order_col`` descending, ties to the incoming batch, then to the
+    largest ``tiebreak_col`` when given — without one, rows tied on
+    (keys, order_col) INSIDE a single batch are kept arbitrarily, so
+    callers with possible in-batch ties should always pass it).
+    Returns the target row count after the merge.
 
     Without a transactional table format the merged result is written
     to a hidden temp sibling and swapped in with metadata ops only:
@@ -143,9 +150,10 @@ def merge_load(
         existing = None
     incoming = df.withColumn(src_col, F.lit(1))
     allrows = incoming if existing is None else existing.unionByName(incoming)
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), F.col(src_col).desc()
-    )
+    order = [F.col(order_col).desc(), F.col(src_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
     merged = (
         allrows.withColumn(rn_col, F.row_number().over(w))
         .filter(F.col(rn_col) == 1)

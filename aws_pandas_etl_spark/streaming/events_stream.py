@@ -428,7 +428,14 @@ def run_foreach_batch_merge(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         merge_load(
-            batch_df, target, keys=["user_id", "event_type"], order_col="ts"
+            batch_df,
+            target,
+            keys=["user_id", "event_type"],
+            order_col="ts",
+            # in-batch (key, ts) ties must resolve exactly like
+            # UPSERT_ORACLE's ORDER BY ts DESC, event_id DESC — without
+            # this the merge is only deterministic by fixture luck
+            tiebreak_col="event_id",
         )
 
     with _scoped_shuffle_partitions(spark, 8):

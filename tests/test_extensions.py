@@ -815,3 +815,20 @@ def test_bpe_greedy_merge_semantics(spark):
     # after merging: 'aaaa' -> [aa, aa]; pairs now (aa,aa) x3 vs (a,b) x3
     # tie 3 vs 3 -> lexicographically smallest pair wins: 'a b'
     assert out[2] == ("a b", 3)
+
+
+def test_bpe_merges_dry_returns_partial(spark):
+    """A corpus of single-character words has zero adjacent pairs — the
+    loop must return the merges found so far (here: none) instead of
+    crashing on an empty top-pair collect."""
+    from aws_pandas_etl_spark.operators.text import bpe_top_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c a")], "doc_id bigint, text string"
+    )
+    assert bpe_top_merges(docs, iters=3).collect() == []
+    # a vocabulary that merges dry mid-run: 'ab' x2 gives exactly one
+    # merge round, then no pairs remain -> 1 row, not 3
+    docs2 = spark.createDataFrame([(1, "ab ab c")], "doc_id bigint, text string")
+    rows = bpe_top_merges(docs2, iters=3).collect()
+    assert [(r["iteration"], r["pair"], r["cnt"]) for r in rows] == [(1, "a b", 2)]

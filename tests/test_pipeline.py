@@ -126,6 +126,32 @@ def test_merge_load_upserts_latest_per_key(spark, tmp_path):
     assert got == {1: "new", 2: "tie-incoming", 3: "ins"}
 
 
+def test_merge_load_tiebreak_col_resolves_in_batch_ties(spark, tmp_path):
+    """Rows tied on (keys, order_col) INSIDE one batch are kept by the
+    largest tiebreak_col, not partition luck."""
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import merge_load
+
+    p = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [
+            Row(k=1, v="low-id", ver=1, id=10),
+            Row(k=1, v="high-id", ver=1, id=20),
+            Row(k=2, v="solo", ver=1, id=5),
+        ]
+    ).repartition(4)
+    assert merge_load(batch, p, keys=["k"], order_col="ver", tiebreak_col="id") == 2
+    got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {1: "high-id", 2: "solo"}
+    # incoming batch still beats the target on an across-batch tie even
+    # when its tiebreak id is SMALLER (src precedence ranks above it)
+    b2 = spark.createDataFrame([Row(k=1, v="incoming", ver=1, id=1)])
+    assert merge_load(b2, p, keys=["k"], order_col="ver", tiebreak_col="id") == 2
+    got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got[1] == "incoming"
+
+
 def test_pipeline_merge_mode(spark, tmp_path):
     from pyspark.sql import Row
 
