@@ -156,26 +156,24 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin one representative per family group that must never
-    # drift back out of the window
+    # drift back out of the window (round-7 backlog-clearing rotation:
+    # all 50 seats are never-driver-verified entries; each pin below is
+    # the family's new-window representative)
     for must in [
-        "q8_market_share",            # TPC-H extension set
-        "user_spend_percent_rank",    # distributed global ranking
-        "pipeline_error_isolation",   # A1/E1
-        "ngram_jaccard_pairs",        # dedup variant
-        "multimodal_features",        # X5
-        "scd2_purchase_history",      # SCD2
-        "pack_sequences_greedy",      # training-data ops
-        "streaming_dedup_events",     # streaming
-        # round-6 rotation: never-driver-verified seats now in window
-        "q15_top_supplier",           # TPC-H tail (view reuse)
-        "grouping_sets_revenue",      # grouping analytics
-        "incremental_dedup_new_batch",  # production ingest dedup
-        "dedup_clusters_minhash",     # iterative connected components
-        "session_window_batch",       # batch-native session windows
-        # late-round-6 rotation: brand-new operator families
-        "pagerank_knn_graph",         # iterative graph fixpoint
-        "bm25_topk_docs",             # ranked retrieval scoring
-        "streaming_approx_distinct_linear",  # bounded-state stream sketch
-        "interpolate_hourly_values",  # time-series gap fill
+        "top_supplier_per_nation",    # TPC-H-ish relational
+        "urgent_and_low_customers",   # conditional-agg relational
+        "dedup_survivors_minhash",    # dedup (LSH -> CC -> survivor)
+        "decontaminate_benchmark",    # benchmark decontamination
+        "streaming_range_join_errors_clicks",  # streaming
+        "lang_id_confusion_matrix",   # text / language-ID
+        "embedding_class_separation", # embedding monitors
+        "knn_graph_2hop_reach",       # graph over kNN edges
+        "multimodal_frame_sample",    # X5 multimodal
+        "pipeline_merge_roundtrip",   # K2 CDC merge pipeline
+        "mixture_sample_by_lang",     # deterministic sampling
+        "point_in_time_features",     # leakage-free temporal join
+        "rfm_user_segments",          # behavioral analytics
+        "fk_orphan_audit",            # data-quality audits
+        "key_skew_report",            # scale diagnostics
     ]:
         assert must in Q._DRIVER_WINDOW, must

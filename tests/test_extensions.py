@@ -832,3 +832,57 @@ def test_bpe_merges_dry_returns_partial(spark):
     docs2 = spark.createDataFrame([(1, "ab ab c")], "doc_id bigint, text string")
     rows = bpe_top_merges(docs2, iters=3).collect()
     assert [(r["iteration"], r["pair"], r["cnt"]) for r in rows] == [(1, "a b", 2)]
+
+
+def test_knn_graph_artifact_built_once_and_reused(spark):
+    """The graph family shares one materialized kNN edge artifact:
+    the second query must READ the first one's parquet, not rebuild
+    (same path, unchanged mtime), and results must be identical to a
+    direct knn_graph build."""
+    import glob
+    import os
+
+    from aws_pandas_etl_spark.plans import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    for p in glob.glob("/tmp/awspe_knn_graph_*"):
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
+    direct = sorted(
+        tuple(r) for r in Q.knn_graph_cosine(spark, sf_dir).collect()
+    )
+    paths = glob.glob("/tmp/awspe_knn_graph_*")
+    assert len(paths) == 1
+    mtime = os.path.getmtime(paths[0])
+    again = sorted(
+        tuple(r) for r in Q.knn_graph_cosine(spark, sf_dir).collect()
+    )
+    assert again == direct
+    # 2hop rides the same artifact — still no rebuild
+    Q.knn_graph_2hop_reach(spark, sf_dir).count()
+    assert glob.glob("/tmp/awspe_knn_graph_*") == paths
+    assert os.path.getmtime(paths[0]) == mtime
+
+
+def test_write_knn_graph_atomic_publish_race(spark, tmp_path):
+    """A builder that loses the publish race discards its copy and the
+    winner's artifact survives untouched."""
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.operators.clustering import (
+        read_knn_graph,
+        write_knn_graph,
+    )
+
+    winner = spark.createDataFrame([Row(a=1, b=2, cosine_sim=0.9)])
+    loser = spark.createDataFrame([Row(a=9, b=8, cosine_sim=0.1)])
+    path = str(tmp_path / "knn")
+    write_knn_graph(winner, path)
+    # second publish to the same live path = the lost race
+    write_knn_graph(loser, path)
+    got = [tuple(r) for r in read_knn_graph(spark, path).collect()]
+    assert got == [(1, 2, 0.9)]
+    # no tmp siblings left behind
+    leftovers = [p for p in tmp_path.iterdir() if p.name.startswith(".knn.")]
+    assert leftovers == []
