@@ -2702,6 +2702,142 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q11_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS val
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), g AS (
+  SELECT l_partkey, val FROM ps
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT l_partkey AS ps_partkey, CAST(SUM(val) AS DOUBLE) AS value
+FROM g GROUP BY l_partkey
+HAVING CAST(SUM(val) AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM g)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+@register("q11_important_stock", Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: scalar-subquery HAVING — per-part value held by
+    one nation's suppliers, kept only where it exceeds a fraction of
+    that nation's TOTAL value.  Like Q16, partsupp is derived from
+    lineitem (no partsupp fixture): the (part, supplier) value is the
+    summed discounted revenue.  The HAVING scalar decorrelates to a
+    1-row aggregate of the SAME nation-filtered frame, broadcast into
+    a filter — computed once, never per group.  Both comparison sides
+    go DECIMAL-exact-sum -> double with one shared IEEE multiply, so
+    the cross-engine comparison is deterministic.
+
+    Scale shape: one lineitem-sized groupBy on (part, supplier), the
+    nation filter rides a broadcast of supplier x nation, then a
+    part-keyed re-aggregate; the threshold is plan-time-tiny (1 row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("val")
+    )
+    # supplier scales with SF — no forced broadcast; AQE's size-based
+    # selection broadcasts the one-nation slice while it measures small
+    nation_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    g = ps.join(nation_supp, ps.l_suppkey == nation_supp.s_suppkey).select(
+        "l_partkey", "val"
+    )
+    per_part = g.groupBy("l_partkey").agg(F.sum("val").alias("val_d"))
+    thresh = g.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("thresh"))
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .filter(F.col("val_d").cast("double") > F.col("thresh"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("val_d").cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+Q20_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS availqty,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN CAST(l_quantity AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS yr_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_7' AND s_suppkey IN (
+  SELECT l_suppkey FROM ps
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND yr_qty > 0 AND availqty > yr_qty * 2
+)
+ORDER BY s_suppkey
+"""
+
+
+@register("q20_part_promotion_suppliers", Q20_ORACLE)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested-IN with a correlated per-(part, supplier)
+    scalar, fully decorrelated to joins.  Like Q16/Q11, partsupp is
+    derived from lineitem: "availqty" is the pair's all-time shipped
+    quantity, and the spec's correlated one-year quantity subquery
+    becomes a conditional SUM in the SAME aggregate (one pass, no
+    second lineitem scan).  The yr_qty > 0 guard replays the spec's
+    NULL-on-empty correlated-subquery semantics; the quantity compare
+    stays DECIMAL-exact (integer factor, no double boundary).  The
+    part-name IN becomes a broadcast LEFT SEMI on the filtered part
+    keys; the supplier IN another LEFT SEMI on the distinct qualifying
+    suppliers.
+
+    Scale shape: one lineitem-sized groupBy; both IN-subqueries turn
+    into semi joins against frames that are part- / supplier-sized —
+    never row-multiplying, never correlated re-execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    in_year = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("availqty"),
+        F.sum(
+            F.when(in_year, F.col("l_quantity").cast("decimal(18,4)")).otherwise(zero)
+        ).alias("yr_qty"),
+    )
+    # part scales with SF — the semi-join build side stays unhinted
+    # (AQE broadcasts the name-filtered slice while it measures small)
+    red_parts = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    qual_supp = (
+        ps.join(red_parts, ps.l_partkey == red_parts.p_partkey, "left_semi")
+        .filter((F.col("yr_qty") > 0) & (F.col("availqty") > F.col("yr_qty") * 2))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(nat, supp.s_nationkey == nat.n_nationkey)
+        .filter(F.col("n_name") == "NATION_7")
+        .join(qual_supp, supp.s_suppkey == qual_supp.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 Q22_ORACLE = """
 WITH avg_bal AS (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v

@@ -312,6 +312,7 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
         "q18_large_volume_orders", "q19_disjunctive_filter",
         "q21_sole_returning_supplier", "q22_wealthy_inactive",
         "nation_revenue_share", "top_supplier_per_nation",
+        "q11_important_stock", "q20_part_promotion_suppliers",
     ]
     offenders = {}
     for q in family:
