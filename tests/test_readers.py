@@ -348,3 +348,42 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     rows = {r["k"]: (r["v"], r["extra"]) for r in merged.collect()}
     assert rows[0] == ("old", None) and rows[4] == ("new", 7)
     assert len(rows) == 5
+
+
+def test_hadoop_footer_file_drives_remote_probe_branch(spark, tmp_path):
+    """The non-local branch of the streaming ts probe (events_stream.py::
+    _probe_ts_type) reads parquet footers through a py4j file-like over
+    the Hadoop FileSystem API.  No remote scheme exists in the harness,
+    so drive the SAME machinery over a Hadoop ``file:`` path directly:
+    _HadoopFooterFile must satisfy pyarrow's seek/read footer protocol
+    and _ts_kind must classify the column identically to the fast path
+    (the Derby treatment of the JDBC claim, applied to streaming)."""
+    import pyarrow.parquet as pq
+
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        _HadoopFooterFile,
+        _ts_kind,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    fast = _ts_kind(pq.ParquetFile(src))
+
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"file://{src}")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    st = fs.getFileStatus(jpath)
+    f = _HadoopFooterFile(jvm, fs, jpath, st.getLen())
+    try:
+        # protocol surface pyarrow relies on
+        assert f.readable() and f.seekable() and not f.writable()
+        assert f.seek(0, 2) == st.getLen()  # SEEK_END
+        assert f.read() == b""              # read at EOF -> empty
+        f.seek(0)
+        assert f.read(4) == b"PAR1" and f.tell() == 4
+        f.seek(-4, 2)
+        assert f.read(4) == b"PAR1"         # parquet tail magic
+        f.seek(0)
+        assert _ts_kind(pq.ParquetFile(f)) == fast
+    finally:
+        f.close()
+    assert f.closed
