@@ -132,20 +132,16 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_rows(
     sigs: DataFrame,
     num_bands: int = NUM_BANDS,
     num_hashes: int = NUM_HASHES,
-    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
-    """Band signatures, bucket-join to candidate pairs (a < b).
-
-    One explode (rows x num_bands), one equi-join shuffle on
-    (band, band_hash).  ``max_bucket`` drops degenerate buckets
-    (boilerplate) to keep the join linear-ish at scale.
-    """
+    """Explode signatures into (doc_id, band, band_hash) rows — the
+    shared banding step of the LSH pipeline (lsh_candidate_pairs) and
+    its diagnostics (lsh_band_stats).  One explode, rows x num_bands."""
     rpb = num_hashes // num_bands
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -163,6 +159,21 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_hash")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    num_bands: int = NUM_BANDS,
+    num_hashes: int = NUM_HASHES,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Band signatures, bucket-join to candidate pairs (a < b).
+
+    One explode (rows x num_bands), one equi-join shuffle on
+    (band, band_hash).  ``max_bucket`` drops degenerate buckets
+    (boilerplate) to keep the join linear-ish at scale.
+    """
+    banded = band_rows(sigs, num_bands, num_hashes)
     # Degenerate-bucket guard: the oversized-bucket list is tiny (it's
     # the pathological tail), so a broadcast anti-join beats a Window
     # count (which would shuffle every banded row).
@@ -180,6 +191,60 @@ def lsh_candidate_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+    )
+
+
+def lsh_band_stats(
+    sigs: DataFrame,
+    num_bands: int = NUM_BANDS,
+    num_hashes: int = NUM_HASHES,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Per-band LSH bucket economics — the scale diagnostic behind the
+    "candidates ∝ bucket sizes, not n²" claim (key_skew_report's twin
+    for the dedup pipeline).  For each band: live bucket count, largest
+    bucket, candidate pairs the bucket-join will materialize
+    (Σ n·(n−1)/2 over buckets within the max_bucket guard), and the
+    oversized buckets / pairs the guard drops.  Run BEFORE a large
+    dedup to predict its join cost and spot a boilerplate-bucket blowup
+    while it is still one aggregate, not a hung shuffle.
+
+    Scale shape: one explode + one (band, band_hash) groupBy — the same
+    shuffle the real pipeline pays — then a num_bands-row aggregate.
+    No pair is ever materialized."""
+    banded = band_rows(sigs, num_bands, num_hashes)
+    sizes = banded.groupBy("band", "band_hash").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    pair_n = F.col("n") * (F.col("n") - F.lit(1))
+    in_guard = F.col("n") <= F.lit(max_bucket)
+    zero = F.lit(0).cast("bigint")
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket_n"),
+            F.sum(F.when(in_guard, pair_n).otherwise(zero))
+            .cast("bigint")
+            .alias("candidate_pairs_x2"),
+            F.sum(F.when(~in_guard, F.lit(1).cast("bigint")).otherwise(zero))
+            .cast("bigint")
+            .alias("n_oversized"),
+            F.sum(F.when(~in_guard, pair_n).otherwise(zero))
+            .cast("bigint")
+            .alias("dropped_pairs_x2"),
+        )
+        .select(
+            "band",
+            "n_buckets",
+            "max_bucket_n",
+            # integer div: n·(n−1) is even, and bigint div never loses
+            # precision the way a double roundtrip could at huge counts
+            F.expr("candidate_pairs_x2 div 2").alias("candidate_pairs"),
+            "n_oversized",
+            F.expr("dropped_pairs_x2 div 2").alias("dropped_pairs"),
+        )
+        .orderBy("band")
     )
 
 

@@ -783,7 +783,10 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_ctes() -> str:
+    """WITH-prefix ending in CTE ``bands(doc_id, band, band_hash)`` —
+    the shared banding pipeline — so the pair oracle and the bucket
+    diagnostics extend one construction."""
     from aws_pandas_etl_spark.functions.hashing import (
         BASE_HASH_HEX_DIGITS,
         MINHASH_PRIME,
@@ -792,7 +795,6 @@ def _minhash_oracle() -> str:
 
     nh, nb = D.NUM_HASHES, D.NUM_BANDS
     rpb = nh // nb
-    max_bucket = D.MAX_BUCKET
     base = (
         f"CAST(('0x'||substr(md5(s),1,{BASE_HASH_HEX_DIGITS})) AS BIGINT)"
     )
@@ -825,7 +827,12 @@ WITH t AS (
   SELECT doc_id, hashes, [{mins}] AS sig FROM hs
 ), bands AS (
   {band_rows}
-), kept AS (
+)"""
+
+
+def _minhash_oracle() -> str:
+    max_bucket = D.MAX_BUCKET
+    return f"""{_minhash_bands_ctes()}, kept AS (
   -- mirror of lsh_candidate_pairs' max_bucket guard (degenerate
   -- boilerplate buckets dropped on BOTH sides)
   SELECT band, band_hash FROM bands
@@ -855,6 +862,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, same bands — so candidate sets match exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return D.dedup_near_minhash(docs, threshold=0.5, shingle_n=3)
+
+
+def _lsh_band_stats_oracle() -> str:
+    mb = D.MAX_BUCKET
+    return f"""{_minhash_bands_ctes()}, sizes AS (
+  SELECT band, band_hash, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bands GROUP BY band, band_hash
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+       CAST(SUM(CASE WHEN n <= {mb} THEN n * (n - 1) ELSE 0 END) // 2
+            AS BIGINT) AS candidate_pairs,
+       CAST(SUM(CASE WHEN n > {mb} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversized,
+       CAST(SUM(CASE WHEN n > {mb} THEN n * (n - 1) ELSE 0 END) // 2
+            AS BIGINT) AS dropped_pairs
+FROM sizes GROUP BY band ORDER BY band
+"""
+
+
+@register("lsh_band_bucket_stats", _lsh_band_stats_oracle())
+def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket economics per band — the dedup twin of
+    key_skew_report: bucket counts, largest bucket, the candidate
+    pairs the bucket-join WILL materialize (Σ n·(n−1)/2 inside the
+    max_bucket guard) and the oversized buckets/pairs the guard drops.
+    The pre-flight that predicts a 100 TB dedup's join cost from one
+    aggregate instead of discovering it as a hung shuffle.  Same hash
+    family and banding as dedup_minhash_lsh, so the numbers ARE that
+    pipeline's."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, shingle_n=3)
+    return D.lsh_band_stats(sigs)
 
 
 def _levenshtein_oracle() -> str:
@@ -1917,6 +1958,76 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     ).otherwise(F.unix_micros("ts") - F.unix_micros("last_view_ts"))
     return joined.select(
         "event_id", "user_id", "ts", "last_view_ts", gap.alias("gap_us")
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, event_id, value, CAST(NULL AS VARCHAR) AS touch_type,
+         0 AS is_right
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, value, event_type AS touch_type, 1
+  FROM events WHERE event_type IN ('view', 'click')
+), w AS (
+  SELECT user_id, value, is_right,
+         last_value(touch_type IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, is_right DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+  FROM u
+)
+SELECT COALESCE(channel, 'unattributed') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+FROM w WHERE is_right = 0
+GROUP BY COALESCE(channel, 'unattributed') ORDER BY channel
+"""
+
+
+@register("attribution_last_touch", ATTRIBUTION_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution, last-touch model: each purchase's value
+    credits the user's most recent preceding touch (view or click);
+    purchases with no prior touch report as 'unattributed'.  Rides the
+    same union+window-carry as-of machinery as the other temporal
+    joins (operators/relational.py) — one shuffle on user_id, never a
+    correlated per-purchase lookup — then a channel-bounded aggregate
+    of DECIMAL-exact value sums.
+
+    Scale shape: the as-of union is events-sized, the final aggregate
+    is |channels| rows; no join fan-out anywhere."""
+    from aws_pandas_etl_spark.operators.relational import as_of_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_id", "value", F.col("event_type").alias("touch_type")
+    )
+    joined = as_of_join_backward(
+        purchases,
+        touches,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["touch_type"],
+        tiebreak_col="event_id",
+        payload_prefix="last_",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("last_touch_type"), F.lit("unattributed")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("channel")
     )
 
 
