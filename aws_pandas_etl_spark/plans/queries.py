@@ -2291,6 +2291,87 @@ def token_vocabulary_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COVERAGE_NS = (100, 1000, 10000)
+
+_COV_ARMS = "\nUNION ALL ".join(
+    f"SELECT {n} AS top_n, c{n} AS covered_tokens, total AS total_tokens,"
+    f" ROUND(CAST(c{n} AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage"
+    f" FROM cov, tot"
+    for n in COVERAGE_NS
+)
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH t AS (
+  SELECT unnest({_dk_toks('text')}) AS token FROM documents
+), v AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY token
+), r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk FROM v
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM v
+), cov AS (
+  SELECT {", ".join(f"CAST(SUM(CASE WHEN rnk <= {n} THEN n END) AS BIGINT) AS c{n}" for n in COVERAGE_NS)}
+  FROM r WHERE rnk <= {max(COVERAGE_NS)}
+)
+SELECT * FROM ({_COV_ARMS}) ORDER BY top_n
+"""
+
+
+@register("vocab_coverage_topn", VOCAB_COVERAGE_ORACLE)
+def vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    occurrences the top-N most frequent tokens cover (N = 100 / 1k /
+    10k) — the number that sizes a tokenizer vocabulary and predicts
+    the OOV rate before training it.
+
+    Scale shape: one tokenize-explode-count (the vocabulary build the
+    corpus pays anyway), then TakeOrderedAndProject keeps only the top
+    max(N) rows — the ranking window and all three conditional sums
+    run over a 10k-row frame, never the vocabulary, never the corpus;
+    the denominator is a 1-row scalar aggregate.  Ties at each N
+    boundary break by (freq DESC, token ASC) on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = vocab.agg(F.sum("n").cast("bigint").alias("total_tokens"))
+    top = vocab.orderBy(F.col("n").desc(), "token").limit(max(COVERAGE_NS))
+    # the window sees only the top-10k frame (bounded), not the vocab
+    rnk = F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
+    ranked = top.select("n", rnk.alias("rnk"))
+    cov = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rnk") <= n, F.col("n")))
+            .cast("bigint")
+            .alias(f"c{n}")
+            for n in COVERAGE_NS
+        ]
+    )
+    arms = [
+        F.struct(
+            F.lit(n).alias("top_n"), F.col(f"c{n}").alias("covered_tokens")
+        )
+        for n in COVERAGE_NS
+    ]
+    return (
+        cov.crossJoin(F.broadcast(total))
+        .select(F.explode(F.array(*arms)).alias("a"), "total_tokens")
+        .select(
+            F.col("a.top_n").cast("int").alias("top_n"),
+            F.col("a.covered_tokens").alias("covered_tokens"),
+            "total_tokens",
+            F.round(
+                F.col("a.covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("top_n")
+    )
+
+
 # chunk geometry shared by the Spark call and the oracle — one source
 CHUNK_TOKENS, CHUNK_STRIDE = 64, 48
 
@@ -3801,6 +3882,64 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("component_id")
     return comp.withColumn(
         "cluster_size", F.count("*").over(w).cast("bigint")
+    )
+
+
+def _cluster_histogram_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+), e AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), sizes AS (
+  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY component_id
+)
+SELECT n AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n) AS BIGINT) AS n_docs
+FROM sizes GROUP BY n ORDER BY cluster_size
+"""
+
+
+@register("dedup_cluster_size_histogram", _cluster_histogram_oracle())
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-structure histogram: how many near-dup clusters of
+    each size the corpus contains (singletons included via a left join
+    of ALL documents onto the components) — the one-glance answer to
+    "is duplication a few huge boilerplate families or a long tail of
+    pairs", which decides survivor policy and predicted corpus
+    shrinkage before running the dedup.
+
+    Scale shape: rides the LSH->CC machinery the dedup itself uses,
+    then two size-bounded aggregates (|components| rows, then
+    |distinct sizes| rows)."""
+    docs_full = load_table(spark, sf_dir, "documents")
+    docs = docs_full.select("doc_id")
+    pairs = D.dedup_near_minhash(docs_full, threshold=0.5).select("a", "b")
+    comp = D.connected_components(pairs)
+    lab = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+    )
+    sizes = lab.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        sizes.groupBy(F.col("n").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
     )
 
 

@@ -127,6 +127,8 @@ _SCALAR_CROSS_OK = {
     "fk_orphan_audit",               # 1-row total x 1-row orphan count
     "lang_source_chi2",              # 1-row grand total
     "rfm_user_segments",             # 1-row reference date
+    "q11_important_stock",           # 1-row HAVING threshold
+    "vocab_coverage_topn",           # 1-row total-token denominator
 }
 
 # Streaming queries execute a real job on invocation — planning them
