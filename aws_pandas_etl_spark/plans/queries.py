@@ -5587,6 +5587,55 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(emb, k=_kmeans_k(emb), iters=KMEANS_ITERS)
 
 
+def _ivf_balance_oracle() -> str:
+    prefix, final, _ = _kmeans_ctes()
+    return f"""{prefix}, sizes AS (
+  SELECT CAST(cluster AS INTEGER) AS cid, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM {final} GROUP BY cluster
+), tot AS (
+  SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM sizes
+)
+SELECT cid, n_vectors,
+       ROUND(CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE), 6) AS frac
+FROM sizes, tot ORDER BY cid
+"""
+
+
+@register("ivf_cell_balance", _ivf_balance_oracle())
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health: per-IVF-cell vector counts and corpus shares
+    from the same deterministic k-means the similarity family blocks
+    on — completing the per-blocking-strategy diagnostic trio
+    (key_skew_report for joins, lsh_band_bucket_stats for dedup, this
+    for ANN).  A cell far above 1/k share means nprobe scans of that
+    cell dominate query latency and the index needs more centroids or
+    a re-train; the k ∝ corpus rule keeps expected share flat.
+
+    Scale shape: the argmin assignment is a codegen projection against
+    k·dim broadcast literals; the report is a k-row aggregate plus a
+    1-row total."""
+    from aws_pandas_etl_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd(emb, k=_kmeans_k(emb), iters=KMEANS_ITERS)
+    sizes = assigned.groupBy(F.col("cluster").alias("cid")).agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    total = sizes.agg(F.sum("n_vectors").cast("bigint").alias("total"))
+    return (
+        sizes.crossJoin(F.broadcast(total))
+        .select(
+            "cid",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("frac"),
+        )
+        .orderBy("cid")
+    )
+
+
 SPAN_W, SPAN_MOD = 12, 4
 
 SPAN_ORACLE = f"""
@@ -7957,6 +8006,100 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_key_share"),
         )
         .orderBy("key_col")
+    )
+
+
+JOIN_FORECAST_ORACLE = """
+WITH lo AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey
+), oo AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY o_orderkey
+), oc AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY o_custkey
+), cu AS (
+  SELECT c_custkey AS k, CAST(1 AS BIGINT) AS c FROM customer
+), ev AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+)
+SELECT * FROM (
+  SELECT 'customer.c_custkey=orders.o_custkey' AS relationship,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM cu) AS left_rows,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM oc) AS right_rows,
+         (SELECT CAST(SUM(cu.c * oc.c) AS BIGINT) FROM cu JOIN oc USING (k)) AS join_rows
+  UNION ALL
+  SELECT 'events.user_id self-join',
+         (SELECT CAST(SUM(c) AS BIGINT) FROM ev),
+         (SELECT CAST(SUM(c) AS BIGINT) FROM ev),
+         (SELECT CAST(SUM(c * c) AS BIGINT) FROM ev)
+  UNION ALL
+  SELECT 'lineitem.l_orderkey=orders.o_orderkey',
+         (SELECT CAST(SUM(c) AS BIGINT) FROM lo),
+         (SELECT CAST(SUM(c) AS BIGINT) FROM oo),
+         (SELECT CAST(SUM(lo.c * oo.c) AS BIGINT) FROM lo JOIN oo USING (k))
+) ORDER BY relationship
+"""
+
+
+def _join_forecast_arm(
+    label: str, left: DataFrame, right: DataFrame
+) -> DataFrame:
+    """One forecast row: EXACT equi-join output cardinality from
+    per-key counts (Σ cl(k)·cr(k)) without materializing the join.
+    left/right are (k, c) count-by-key frames."""
+    lr = left.agg(F.sum("c").cast("bigint").alias("left_rows"))
+    rr = right.agg(F.sum("c").cast("bigint").alias("right_rows"))
+    jr = (
+        left.join(right.withColumnRenamed("c", "cr"), "k")
+        .agg(F.sum(F.col("c") * F.col("cr")).cast("bigint").alias("join_rows"))
+    )
+    return (
+        lr.crossJoin(F.broadcast(rr))
+        .crossJoin(F.broadcast(jr))
+        .select(
+            F.lit(label).alias("relationship"),
+            "left_rows",
+            "right_rows",
+            "join_rows",
+        )
+    )
+
+
+@register("join_size_forecast", JOIN_FORECAST_ORACLE)
+def join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output-cardinality forecast: |A ⋈ B| = Σ_k cA(k)·cB(k)
+    computed from the two count-by-key frames — the planner-style
+    pre-ship number (will this join explode?) obtained WITHOUT running
+    the join, key_skew_report's companion.  Covers the fact-to-fact,
+    dim-to-fact, and self-join relationships of the harness schema; a
+    self-join forecast Σ c² is also the blocking-quality metric used
+    by the dedup diagnostics.
+
+    Scale shape: per relationship one map-side-combined count-by-key
+    per side, one distinct-key-sized equi-join of the count frames,
+    and three 1-row aggregates — the fact tables stream once each and
+    no forecast ever materializes a joined row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+
+    def counts(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+
+    lo = counts(li, "l_orderkey")
+    oo = counts(orders, "o_orderkey")
+    oc = counts(orders, "o_custkey")
+    cu = counts(cust, "c_custkey")
+    evc = counts(ev, "user_id")
+    return (
+        _join_forecast_arm("customer.c_custkey=orders.o_custkey", cu, oc)
+        .unionByName(_join_forecast_arm("events.user_id self-join", evc, evc))
+        .unionByName(
+            _join_forecast_arm("lineitem.l_orderkey=orders.o_orderkey", lo, oo)
+        )
+        .orderBy("relationship")
     )
 
 

@@ -129,6 +129,8 @@ _SCALAR_CROSS_OK = {
     "rfm_user_segments",             # 1-row reference date
     "q11_important_stock",           # 1-row HAVING threshold
     "vocab_coverage_topn",           # 1-row total-token denominator
+    "join_size_forecast",            # three 1-row forecast scalars
+    "ivf_cell_balance",              # 1-row corpus total
 }
 
 # Streaming queries execute a real job on invocation — planning them
