@@ -5249,6 +5249,60 @@ def pipeline_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELETE_RT_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events WHERE user_id % 13 <> 5
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("pipeline_delete_roundtrip", DELETE_RT_ORACLE)
+def pipeline_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 retraction flavor — GDPR-style key scrub via ``delete_load``
+    (sources/sinks.py): seed a landing target with every event, then
+    hard-delete all rows of the "forget me" users (user_id % 13 = 5)
+    through the crash-safe sibling swap, and aggregate the READ-BACK
+    target.  A delete that misses rows, drops bystanders, or loses the
+    swap breaks the oracle match (the oracle is simply "events minus
+    those users").  The reference's only deletion is TRUNCATE —
+    whole-table, not keyed."""
+    import os
+    import tempfile
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        delete_load,
+        overwrite_load,
+        read_back,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "aws_pandas_etl_spark_delete_roundtrip",
+        f"pid{os.getpid()}",
+        "events",
+    )
+    n0 = overwrite_load(ev, path)
+    forget = ev.filter(F.col("user_id") % 13 == 5).select("user_id")
+    n1 = delete_load(spark, path, forget, keys=["user_id"])
+    if n1 > n0:  # a delete can never grow the target
+        raise AssertionError(f"delete grew target: {n0} -> {n1}")
+    back = read_back(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 PARTITION_OVERWRITE_ORACLE = """
 WITH reloaded AS (
   SELECT event_type, CAST(ts AS DATE) AS event_date FROM events

@@ -85,6 +85,73 @@ def _merge_side_paths(path: str) -> tuple[str, str]:
     return f"{prefix}.{tail}._merge_tmp", f"{prefix}.{tail}._merge_old"
 
 
+class _SwapTarget:
+    """Crash-safe rewrite of a live parquet target via hidden siblings:
+    write to ``.<name>._merge_tmp``, rename the live target ASIDE to
+    ``.<name>._merge_old``, rename the tmp in, drop the old copy.
+    Every crash point leaves a full copy on disk; ``recover()`` (run
+    BEFORE reading the existing target) restores the kept-aside copy
+    if a previous run died between the two renames.  Rename is still
+    non-atomic on object stores — production swaps ``publish`` for a
+    transactional table commit (Delta/Iceberg), keeping the same plan.
+    Shared by merge_load (CDC upsert) and delete_load (key scrub)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.tmp_path, self.old_path = _merge_side_paths(path)
+        jvm = spark._jvm
+        self.jtmp = jvm.org.apache.hadoop.fs.Path(self.tmp_path)
+        self.jold = jvm.org.apache.hadoop.fs.Path(self.old_path)
+        self.jfinal = jvm.org.apache.hadoop.fs.Path(path)
+        self.fs = self.jfinal.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def recover(self) -> None:
+        fs = self.fs
+        if not fs.exists(self.jfinal) and fs.exists(self.jold):
+            if not fs.rename(self.jold, self.jfinal):
+                raise IOError(
+                    f"swap: crash recovery {self.old_path} -> {self.path} failed"
+                )
+        fs.delete(self.jtmp, True)  # leftover tmp from a failed write
+
+    def publish(self, df: DataFrame) -> None:
+        fs = self.fs
+        write_parquet_sink(df, self.tmp_path, mode="overwrite")
+        fs.delete(self.jold, True)  # stale kept-aside copy from an old success
+        if fs.exists(self.jfinal) and not fs.rename(self.jfinal, self.jold):
+            raise IOError(f"swap: keep-aside {self.path} -> {self.old_path} failed")
+        if not fs.rename(self.jtmp, self.jfinal):
+            raise IOError(f"swap: rename {self.tmp_path} -> {self.path} failed")
+        fs.delete(self.jold, True)
+
+
+def delete_load(spark: SparkSession, path: str, keys_df: DataFrame, keys: list[str]) -> int:
+    """GDPR-style hard delete: remove every row of the live parquet
+    target whose key tuple appears in ``keys_df`` — the
+    right-to-be-forgotten / bad-batch-retraction operation every
+    long-lived landing zone eventually needs (the reference can only
+    TRUNCATE).  One LEFT ANTI join against the distinct key set, then
+    the same crash-safe sibling swap as merge_load; deleting from a
+    missing target is an error, not a no-op (a typo'd path silently
+    "succeeding" would mask an unexecuted legal request).  Returns the
+    surviving row count.
+
+    Scale shape: the anti join shuffles on the keys (AQE broadcasts
+    the key set while it measures small — a deletion list usually is);
+    the rewrite cost is the price of immutable files, amortized by
+    batching requests — production on Delta/Iceberg swaps the publish
+    for DELETE WHERE with the identical anti-join plan."""
+    swap = _SwapTarget(spark, path)
+    swap.recover()
+    existing = spark.read.parquet(path)  # missing target must raise
+    remaining = existing.join(
+        keys_df.select(*keys).distinct(), keys, "left_anti"
+    )
+    swap.publish(remaining)
+    return spark.read.parquet(path).count()
+
+
 def merge_load(
     df: DataFrame,
     path: str,
@@ -117,19 +184,8 @@ def merge_load(
     from pyspark.errors import AnalysisException
 
     spark = df.sparkSession
-    tmp_path, old_path = _merge_side_paths(path)
-    jvm = spark._jvm
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
-    jold = jvm.org.apache.hadoop.fs.Path(old_path)
-    jfinal = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jfinal.getFileSystem(spark._jsc.hadoopConfiguration())
-    # Recovery + cleanup from a previously crashed run, BEFORE reading
-    # the existing target: a crash between the two swap renames leaves
-    # no live target but a complete ._merge_old copy — restore it.
-    if not fs.exists(jfinal) and fs.exists(jold):
-        if not fs.rename(jold, jfinal):
-            raise IOError(f"merge_load: crash recovery {old_path} -> {path} failed")
-    fs.delete(jtmp, True)  # leftover tmp from a failed write
+    swap = _SwapTarget(spark, path)
+    swap.recover()
     # helper columns must not collide with user columns — pick names
     # that are guaranteed absent (a "_src" column in the data would
     # otherwise be clobbered and then dropped)
@@ -163,13 +219,7 @@ def merge_load(
     # write (the risky, long part) never touches the live target; no
     # localCheckpoint materialization needed since the target is only
     # read, not overwritten, during the write.
-    write_parquet_sink(merged, tmp_path, mode="overwrite")
-    fs.delete(jold, True)  # stale kept-aside copy from an old success
-    if fs.exists(jfinal) and not fs.rename(jfinal, jold):
-        raise IOError(f"merge_load: keep-aside {path} -> {old_path} failed")
-    if not fs.rename(jtmp, jfinal):
-        raise IOError(f"merge_load: rename {tmp_path} -> {path} failed")
-    fs.delete(jold, True)
+    swap.publish(merged)
     return spark.read.parquet(path).count()
 
 

@@ -278,3 +278,57 @@ def test_merge_load_recovers_from_crash_between_renames(spark, tmp_path):
     got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
     assert got == {1: "keep", 2: "b2"}  # k=1 recovered from the aside copy
     assert not os.path.exists(old)  # aside copy dropped after the swap
+
+
+def test_delete_load_scrubs_keys_and_keeps_bystanders(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import delete_load, overwrite_load
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=1, v="b"), Row(k=2, v="c"), Row(k=3, v="d")]
+    )
+    overwrite_load(df, p)
+    keys = spark.createDataFrame([Row(k=1), Row(k=1), Row(k=9)])  # dup + absent
+    assert delete_load(spark, p, keys, keys=["k"]) == 2
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(p).collect())
+    assert got == [(2, "c"), (3, "d")]
+    # deleting already-deleted keys is idempotent
+    assert delete_load(spark, p, keys, keys=["k"]) == 2
+
+
+def test_delete_load_missing_target_raises(spark, tmp_path):
+    """A typo'd path must raise, never silently 'succeed' at executing
+    a legal deletion request."""
+    import pytest
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import delete_load
+
+    keys = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(Exception):
+        delete_load(spark, str(tmp_path / "nope"), keys, keys=["k"])
+
+
+def test_delete_load_recovers_from_crash_between_renames(spark, tmp_path):
+    """Same crash model as merge_load: target renamed aside but tmp
+    not yet renamed in — the next delete_load restores and proceeds."""
+    import os
+
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        _merge_side_paths,
+        delete_load,
+        overwrite_load,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    overwrite_load(df, p)
+    _, old = _merge_side_paths(p)
+    os.rename(p, old)  # simulate the crash window
+    keys = spark.createDataFrame([Row(k=2)])
+    assert delete_load(spark, p, keys, keys=["k"]) == 1
+    assert [r["k"] for r in spark.read.parquet(p).collect()] == [1]
