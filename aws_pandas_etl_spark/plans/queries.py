@@ -5303,6 +5303,65 @@ def pipeline_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCHEMA_EVOLUTION_ORACLE = """
+WITH merged AS (
+  SELECT event_id, event_type, CAST(NULL AS VARCHAR) AS props
+  FROM events WHERE user_id % 2 = 0
+  UNION ALL
+  SELECT event_id, event_type, props FROM events WHERE user_id % 2 = 1
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_props
+FROM merged GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("schema_evolution_ingest", SCHEMA_EVOLUTION_ORACLE)
+def schema_evolution_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema drift, end to end: batch 1 lands WITHOUT the
+    ``props`` column (the producer hadn't shipped it yet), batch 2
+    lands WITH it; ``read_parquet_merged`` (sources/readers.py) unions
+    the footer schemas so old files surface props as NULL, and the
+    aggregate runs over the read-back merged landing zone.  A reader
+    that dropped the new column, failed on the old files, or misfiled
+    values breaks the oracle.  The reference hard-fails on any schema
+    change (pa.Table.from_pandas against a fixed schema,
+    dataframe_operations.py:103)."""
+    import os
+    import tempfile
+
+    from aws_pandas_etl_spark.sources.readers import read_parquet_merged
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "aws_pandas_etl_spark_schema_evolution",
+        f"pid{os.getpid()}",
+        "events",
+    )
+    b1 = ev.filter(F.col("user_id") % 2 == 0).select(
+        "event_id", "event_type"
+    )
+    b2 = ev.filter(F.col("user_id") % 2 == 1).select(
+        "event_id", "event_type", "props"
+    )
+    b1.write.mode("overwrite").parquet(path)
+    b2.write.mode("append").parquet(path)
+    back = read_parquet_merged(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("props").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_with_props"),
+        )
+        .orderBy("event_type")
+    )
+
+
 PARTITION_OVERWRITE_ORACLE = """
 WITH reloaded AS (
   SELECT event_type, CAST(ts AS DATE) AS event_date FROM events

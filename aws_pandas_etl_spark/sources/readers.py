@@ -130,6 +130,23 @@ def register_temp_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: merge the footer schemas of every file
+    under ``path`` (``mergeSchema``) so batches landed BEFORE a column
+    existed surface it as NULL instead of failing the scan — the
+    additive-drift reality of any long-lived landing zone (a producer
+    ships a new field; history doesn't get rewritten).  Merge is
+    name-based and additive-only: a type CHANGE for an existing column
+    still fails loudly, which is the correct contract (silent coercion
+    hides producer bugs).
+
+    Scale note: mergeSchema reads every file footer at planning time —
+    fine for a landing zone's file counts; at catalog scale the merged
+    schema belongs in the table metadata (Delta/Iceberg do exactly
+    this) and the per-file union becomes a no-op."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def jdbc_scan(
     spark: SparkSession,
     url: str,
