@@ -177,6 +177,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate all-kNN join: for EVERY vector, its k_neighbors
     nearest neighbors by cosine among cluster-blocked candidates — the
@@ -191,54 +192,110 @@ def knn_graph(
     the same dial as SemDeDup: cluster count vs probes.
 
     Returns (a, b, cosine_sim): b ranks among a's k_neighbors nearest
-    candidates (ties by neighbor id).
+    candidates (ties by neighbor id).  ``cents`` pins an externally
+    fitted clustering (see knn_graph_extend); None fits on the input.
     """
-    from pyspark.sql import Window
-
     pairs = cluster_blocked_cosine_pairs(
-        embeddings, k, iters, assign_probes, id_col, vec_col, round_digits
+        embeddings, k, iters, assign_probes, id_col, vec_col, round_digits, cents
     )
-    directed = pairs.unionByName(
-        pairs.select(
-            F.col("b").alias("a"), F.col("a").alias("b"), "cosine_sim"
-        )
-    )
-    w = Window.partitionBy("a").orderBy(F.col("cosine_sim").desc(), F.col("b"))
-    return (
-        directed.withColumn("___rn", F.row_number().over(w))
-        .filter(F.col("___rn") <= k_neighbors)
-        .select("a", "b", "cosine_sim")
-    )
+    return _topk_per_source(pairs, k_neighbors)
 
 
-def cluster_blocked_cosine_pairs(
-    embeddings: DataFrame,
+def knn_graph_extend(
+    old_edges: DataFrame,
+    old_emb: DataFrame,
+    new_emb: DataFrame,
+    k_neighbors: int = 5,
     k: int = 8,
     iters: int = 2,
     assign_probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """Shared candidates-then-rescore core: k-means top-p blocking,
-    unique (a < b) pair ids, one cosine fold per pair with precomputed
-    norms.  Returns (a, b, cosine_sim) unthresholded."""
-    cents = kmeans_fit(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    assigned = embeddings.select(
+    """Incremental kNN-graph maintenance: extend a materialized graph
+    (``old_edges`` = the prior build over ``old_emb``) with an arriving
+    batch ``new_emb`` WITHOUT re-rescoring the old corpus against
+    itself.  Centroids stay pinned from the old fit (re-fit drift is
+    deferred to periodic rebuilds — standard IVF practice), so the only
+    pairs that pay a cosine fold are those with at least one NEW side;
+    old sources keep their stored top-k as candidates and merely
+    re-rank against the new arrivals.
+
+    Exactness: for any source, top-k(top-k(old candidates) ∪ new
+    candidates) == top-k(all candidates), so the extended graph is
+    IDENTICAL to a full rebuild under the same pinned clustering
+    (asserted in tests/test_extensions.py).  What pinning gives up is
+    only centroid drift — the recall dial is unchanged.
+
+    Scale shape: cost ∝ |new| x cluster occupancy, not |corpus|² —
+    the per-batch price of keeping a 10^9-vector graph current; the
+    merge is one union + the same per-source top-k window, keyed by
+    source id."""
+    if cents is None:
+        cents = kmeans_fit(
+            old_emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    all_emb = old_emb.unionByName(new_emb)
+    assigned = _topp_assign(all_emb, cents, assign_probes, id_col, vec_col)
+    is_new = new_emb.select(F.col(id_col), F.lit(True).alias("___new"))
+    flagged = assigned.join(is_new, id_col, "left").select(
+        id_col, "cluster", F.coalesce(F.col("___new"), F.lit(False)).alias("___new")
+    )
+    cand = (
+        flagged.alias("x")
+        .join(flagged.alias("y"), "cluster")
+        .filter(
+            (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            & (F.col("x.___new") | F.col("y.___new"))
+        )
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .distinct()
+    )
+    new_pairs = _rescore_pairs(cand, all_emb, id_col, vec_col, round_digits)
+    # old_edges are already directed; fold them in as one-orientation
+    # candidates on top of the new pairs' two orientations
+    directed_new = new_pairs.unionByName(
+        new_pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cosine_sim")
+    )
+    from pyspark.sql import Window
+
+    merged = old_edges.select("a", "b", "cosine_sim").unionByName(directed_new)
+    w = Window.partitionBy("a").orderBy(F.col("cosine_sim").desc(), F.col("b"))
+    return (
+        merged.withColumn("___rn", F.row_number().over(w))
+        .filter(F.col("___rn") <= k_neighbors)
+        .select("a", "b", "cosine_sim")
+    )
+
+
+def _topp_assign(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    assign_probes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Top-p multi-probe cluster assignment: (id_col, cluster) rows,
+    ``assign_probes`` per vector, against literal centroids."""
+    return embeddings.select(
         id_col,
         F.explode(
             F.slice(F.array_sort(_dist_structs(vec_col, cents)), 1, assign_probes)
         ).alias("___s"),
     ).select(id_col, F.col("___s.cid").alias("cluster"))
-    cand = (
-        assigned.alias("x")
-        .join(assigned.alias("y"), "cluster")
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
-        )
-        .distinct()
-    )
+
+
+def _rescore_pairs(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """One cosine fold per unique (a, b) candidate pair, with the
+    per-vector norm precomputed once."""
     v = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -267,6 +324,54 @@ def cluster_blocked_cosine_pairs(
         )
         .select("a", "b", sim.alias("cosine_sim"))
     )
+
+
+def _topk_per_source(pairs: DataFrame, k_neighbors: int) -> DataFrame:
+    """Directed view (both orientations) -> per-source top-k by
+    (cosine_sim DESC, neighbor id)."""
+    from pyspark.sql import Window
+
+    directed = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cosine_sim")
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cosine_sim").desc(), F.col("b"))
+    return (
+        directed.withColumn("___rn", F.row_number().over(w))
+        .filter(F.col("___rn") <= k_neighbors)
+        .select("a", "b", "cosine_sim")
+    )
+
+
+def cluster_blocked_cosine_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    assign_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Shared candidates-then-rescore core: k-means top-p blocking,
+    unique (a < b) pair ids, one cosine fold per pair with precomputed
+    norms.  Returns (a, b, cosine_sim) unthresholded.  ``cents`` pins
+    an externally fitted clustering (incremental maintenance); None
+    fits on the input."""
+    if cents is None:
+        cents = kmeans_fit(
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = _topp_assign(embeddings, cents, assign_probes, id_col, vec_col)
+    cand = (
+        assigned.alias("x")
+        .join(assigned.alias("y"), "cluster")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    return _rescore_pairs(cand, embeddings, id_col, vec_col, round_digits)
 
 
 def write_knn_graph(edges: DataFrame, path: str) -> None:

@@ -5614,7 +5614,9 @@ def _kmeans_k(emb: DataFrame) -> int:
     return max(KMEANS_K, emb.count() // KMEANS_DIV)
 
 
-def _kmeans_ctes(iters: int = KMEANS_ITERS) -> tuple[str, str, str]:
+def _kmeans_ctes(
+    iters: int = KMEANS_ITERS, src: str = "embeddings", pre: str = ""
+) -> tuple[str, str, str]:
     """DuckDB twin of operators.clustering.kmeans_lloyd as a reusable
     CTE prefix: identical init, distances as in-order list_sum folds
     over the vector arrays (the proven IVF/LSH/cosine oracle pattern —
@@ -5630,13 +5632,13 @@ def _kmeans_ctes(iters: int = KMEANS_ITERS) -> tuple[str, str, str]:
         "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
     )
     parts = [
-        f"""WITH kk AS (
-  SELECT GREATEST({KMEANS_K}, COUNT(*) // {KMEANS_DIV}) AS k FROM embeddings
+        f"""WITH {pre}kk AS (
+  SELECT GREATEST({KMEANS_K}, COUNT(*) // {KMEANS_DIV}) AS k FROM {src}
 ), c0 AS (
   SELECT CAST(rn - 1 AS INTEGER) AS cid, cvec FROM (
     SELECT row_number() OVER (ORDER BY vec_id) AS rn,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-    FROM embeddings
+    FROM {src}
   ), kk WHERE rn <= kk.k
 )"""
     ]
@@ -5644,7 +5646,7 @@ def _kmeans_ctes(iters: int = KMEANS_ITERS) -> tuple[str, str, str]:
         parts.append(
             f""", d{it} AS (
   SELECT e.vec_id, c.cid, {d2} AS d2
-  FROM embeddings e CROSS JOIN c{it} c
+  FROM {src} e CROSS JOIN c{it} c
 ), a{it} AS (
   SELECT vec_id, cid AS cluster FROM (
     SELECT vec_id, cid,
@@ -5662,7 +5664,7 @@ def _kmeans_ctes(iters: int = KMEANS_ITERS) -> tuple[str, str, str]:
   FROM a{it} a JOIN (
     SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
            unnest(embedding) AS v
-    FROM embeddings
+    FROM {src}
   ) ex USING (vec_id)
   GROUP BY a.cluster, ex.dim
 ), c{it + 1} AS (
@@ -6074,6 +6076,104 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(path):
         write_knn_graph(_build(), path)
     return read_knn_graph(spark, path)
+
+
+INC_SPLIT_MOD, INC_SPLIT_REM = 10, 7
+
+
+def _knn_incremental_oracle() -> str:
+    """Full pinned-clustering kNN over ALL vectors with centroids
+    fitted on the OLD split only — mathematically identical to the
+    incremental extend (top-k(top-k(old) ∪ new-side candidates) ==
+    top-k(all candidates); equality asserted Spark-side in
+    tests/test_extensions.py::test_knn_graph_extend_equals_pinned_rebuild)."""
+    pre = (
+        f"emb_old AS (SELECT * FROM embeddings"
+        f" WHERE vec_id % {INC_SPLIT_MOD} <> {INC_SPLIT_REM}), "
+    )
+    prefix, _, _ = _kmeans_ctes(src="emb_old", pre=pre)
+    d2 = (
+        "list_sum(list_transform(list_zip(e.embedding, c.cvec), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    cos = _dk_cos("x.embedding", "y.embedding")
+    return f"""{prefix}, dall AS (
+  SELECT e.vec_id, c.cid, {d2} AS d2
+  FROM embeddings e CROSS JOIN c{KMEANS_ITERS - 1} c
+), am2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dall
+  ) WHERE rn <= {SEMDEDUP_PROBES}
+), v2 AS (
+  SELECT am2.vec_id, am2.cluster, e.embedding
+  FROM am2 JOIN embeddings e USING (vec_id)
+), pairs2 AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, ROUND({cos}, 6) AS cosine_sim
+  FROM v2 x JOIN v2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+), directed2 AS (
+  SELECT a, b, cosine_sim FROM pairs2
+  UNION ALL
+  SELECT b AS a, a AS b, cosine_sim FROM pairs2
+), knn2 AS (
+  SELECT a, b, cosine_sim FROM (
+    SELECT a, b, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine_sim DESC, b) AS rn
+    FROM directed2
+  ) WHERE rn <= {KNN_GRAPH_K}
+)
+SELECT a, b, cosine_sim FROM knn2
+"""
+
+
+@register("knn_graph_incremental_batch", _knn_incremental_oracle())
+def knn_graph_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-graph maintenance, driver-verifiable end to end:
+    build the graph over the 90% "old" corpus, then EXTEND it with the
+    arriving 10% batch (operators/clustering.py::knn_graph_extend) —
+    centroids pinned from the old fit, only pairs with a new side pay
+    a cosine fold, old sources re-rank their stored top-k against the
+    arrivals.  The oracle replays the equivalent full pinned-clustering
+    build, so any divergence between the cheap incremental path and
+    the expensive rebuild breaks the match.
+
+    Scale shape: per batch, cost ∝ |new| x cluster occupancy — the
+    maintenance price that keeps a corpus-sized graph current without
+    corpus² rebuilds; the merge is a union + one per-source top-k
+    window."""
+    from aws_pandas_etl_spark.operators.clustering import (
+        kmeans_fit,
+        knn_graph,
+        knn_graph_extend,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % INC_SPLIT_MOD != INC_SPLIT_REM)
+    new = emb.filter(F.col("vec_id") % INC_SPLIT_MOD == INC_SPLIT_REM)
+    k = _kmeans_k(old)
+    # one fit, shared by the old build and the extension (deterministic
+    # either way — this just avoids paying the Lloyd rounds twice)
+    cents = kmeans_fit(old, k=k, iters=KMEANS_ITERS)
+    old_edges = knn_graph(
+        old,
+        k_neighbors=KNN_GRAPH_K,
+        k=k,
+        iters=KMEANS_ITERS,
+        assign_probes=SEMDEDUP_PROBES,
+        cents=cents,
+    )
+    return knn_graph_extend(
+        old_edges,
+        old,
+        new,
+        k_neighbors=KNN_GRAPH_K,
+        k=k,
+        iters=KMEANS_ITERS,
+        assign_probes=SEMDEDUP_PROBES,
+        cents=cents,
+    )
 
 
 @register("knn_graph_cosine", _knn_graph_oracle())

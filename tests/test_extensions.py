@@ -886,3 +886,39 @@ def test_write_knn_graph_atomic_publish_race(spark, tmp_path):
     # no tmp siblings left behind
     leftovers = [p for p in tmp_path.iterdir() if p.name.startswith(".knn.")]
     assert leftovers == []
+
+
+def test_knn_graph_extend_equals_pinned_rebuild(spark):
+    """Incremental maintenance exactness: extending the old graph with
+    a new batch must produce EXACTLY the full rebuild under the same
+    pinned clustering — top-k(top-k(old) ∪ new candidates) ==
+    top-k(all candidates)."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.operators.clustering import (
+        kmeans_fit,
+        knn_graph,
+        knn_graph_extend,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.filter(F.col("vec_id") % 10 != 7)
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    cents = kmeans_fit(old, k=8, iters=2)
+    old_edges = knn_graph(old, k_neighbors=5, k=8, iters=2, cents=cents)
+    ext = sorted(
+        tuple(r)
+        for r in knn_graph_extend(
+            old_edges, old, new, k_neighbors=5, k=8, iters=2
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in knn_graph(
+            old.unionByName(new), k_neighbors=5, k=8, iters=2, cents=cents
+        ).collect()
+    )
+    assert ext == full and len(ext) > 0
+    # and new sources actually joined the graph
+    new_sources = {a for a, _, _ in ext} & {r["vec_id"] for r in new.collect()}
+    assert new_sources
