@@ -4956,6 +4956,97 @@ def value_gini_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("event_type", gini.alias("gini")).orderBy("event_type")
 
 
+UDAF_SCALE = 10_000
+
+UDAF_ORACLE = f"""
+WITH t AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(value AS DOUBLE) * {UDAF_SCALE}) AS BIGINT) AS vm,
+         CAST(event_id % 7 + 1 AS BIGINT) AS w
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(vm * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / {UDAF_SCALE}.0
+         AS wmean_value
+FROM t GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("udaf_weighted_mean_value", UDAF_ORACLE)
+def udaf_weighted_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation through the Arrow UDAF API (grouped-aggregate
+    ``pandas_udf``) — the user-defined-aggregate surface the reference
+    lacks entirely, exercised with exact cross-engine parity: values
+    move to floor-scaled int64 micro-units JVM-side (floor has no
+    rounding-tie rule to diverge on), the in-group reduction is an
+    int64 sum (order-independent under any partitioning — a float sum
+    here would hash-mismatch by accumulation order), and the final
+    division replays the oracle's IEEE ops in the same order.
+
+    Scale shape: a grouped-agg pandas_udf ships each full group
+    through one Arrow batch — right for |groups| >> 1 with bounded
+    group size; the built-in decimal-sum path stays the hot-path
+    recommendation (docs/SCALE.md), this covers the API."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: this module's `from __future__ import
+    # annotations` turns type hints into strings, which the
+    # hint-inference path cannot resolve for a locally-defined UDF
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(vm, w):
+        num = int((vm * w).sum())
+        den = int(w.sum())
+        return float(num) / float(den) / float(UDAF_SCALE)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * UDAF_SCALE)
+        .cast("long")
+        .alias("vm"),
+        (F.col("event_id") % 7 + 1).cast("long").alias("w"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(wmean("vm", "w").alias("wmean_value"))
+        .orderBy("event_type")
+    )
+
+
+CUME_DIST_ORACLE = """
+WITH t AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total,
+       cume_dist() OVER (PARTITION BY event_type
+                         ORDER BY total, user_id) AS value_cume_dist
+FROM t ORDER BY event_type, user_id
+"""
+
+
+@register("value_cume_dist_per_type", CUME_DIST_ORACLE)
+def value_cume_dist_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist over per-(type, user) decimal-exact totals — the
+    fraction-of-population-at-or-below ranking (percentile position
+    without percent_rank's n−1 denominator), completing the ranking-
+    window API row (row_number / rank / percent_rank / ntile /
+    cume_dist all covered).  The (total, user_id) order is tie-free so
+    both engines emit identical fractions; the window partitions by
+    event_type — per-partition sorts, no global order."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("total", "user_id")
+    return t.select(
+        "event_type",
+        "user_id",
+        "total",
+        F.cume_dist().over(w).alias("value_cume_dist"),
+    ).orderBy("event_type", "user_id")
+
+
 SHARE_ORACLE = f"""
 WITH n AS (
   SELECT n_name, {REV_DK} AS revenue
