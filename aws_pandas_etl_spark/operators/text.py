@@ -438,6 +438,48 @@ def misra_gries_candidates(
     ).distinct()
 
 
+def misra_gries_sketch(
+    df: DataFrame, token_col: str = "token", counters: int = 400
+) -> DataFrame:
+    """Count-preserving per-partition MG sketch: (token, cnt) rows
+    where cnt is the surviving LOWER BOUND — the mergeable form
+    (Agarwal et al., PODS'12) a hierarchical combine needs (the
+    streaming runner folds per-batch sketches into one store with the
+    same decrement step; misra_gries_candidates discards counts
+    because the single-level batch path rescores exactly anyway)."""
+    import pandas as pd
+
+    def _sketch(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf[token_col].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > counters:
+                cut = sorted(counts.values(), reverse=True)[counters]
+                counts = {t: c - cut for t, c in counts.items() if c > cut}
+        yield pd.DataFrame(
+            {token_col: list(counts.keys()), "cnt": list(counts.values())}
+        )
+
+    return df.select(token_col).mapInPandas(
+        _sketch, schema=f"{token_col} string, cnt bigint"
+    )
+
+
+def mg_combine(store: dict, sketch_rows, counters: int) -> dict:
+    """Driver-side mergeable-summaries combine: fold (token, cnt)
+    sketch rows into ``store``, then one decrement step caps it at
+    ``counters`` entries.  Total undercount stays <= N/(counters+1)
+    under any merge tree, so the store remains a superset of every
+    phi-heavy token with counters + 1 >= 1/phi."""
+    for tok, c in sketch_rows:
+        store[tok] = store.get(tok, 0) + int(c)
+    if len(store) > counters:
+        cut = sorted(store.values(), reverse=True)[counters]
+        store = {t: c - cut for t, c in store.items() if c > cut}
+    return store
+
+
 def heavy_hitters_exact(
     df: DataFrame, token_col: str = "token", phi: float = 0.005, counters: int = 400
 ) -> DataFrame:

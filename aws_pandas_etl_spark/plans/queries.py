@@ -5903,6 +5903,24 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.heavy_hitters_exact(toks, "token", phi=HH_PHI, counters=HH_COUNTERS)
 
 
+@register("streaming_heavy_hitters", HH_ORACLE)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of heavy_hitter_tokens: the corpus arrives as 4
+    micro-batches, per-batch MG sketches fold into one bounded
+    (<= counters entries forever) driver store via the mergeable-
+    summaries combine, and the candidates get one exact recount — the
+    superset guarantee survives the merge tree, so the result must
+    equal the batch oracle bit for bit
+    (streaming/events_stream.py::run_streaming_heavy_hitters)."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_streaming_heavy_hitters,
+    )
+
+    return run_streaming_heavy_hitters(
+        spark, sf_dir, phi=HH_PHI, counters=HH_COUNTERS
+    )
+
+
 SEMDEDUP_T, SEMDEDUP_PROBES = 0.4, 2
 
 

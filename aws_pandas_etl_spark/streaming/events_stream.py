@@ -659,3 +659,101 @@ def run_stream_static_join(
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
     return _run_to_memory_sink(spark, agg, "complete", "ssjoin", timeout_sec)
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    n_splits: int = 4,
+    phi: float = 0.005,
+    counters: int = 400,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming frequent-token detection: the documents corpus arrives
+    as ``n_splits`` micro-batches; each batch's per-partition
+    Misra-Gries sketches (operators/text.py::misra_gries_sketch) fold
+    into ONE driver-side candidate store via the mergeable-summaries
+    combine (mg_combine) — state is <= ``counters`` (token, count)
+    entries FOREVER, regardless of stream length or vocabulary — and
+    the final answer is an exact filtered recount of the candidates
+    over the full corpus, so it must equal the batch heavy-hitter
+    oracle bit for bit (the superset guarantee survives arbitrary
+    merge trees).
+
+    Driver traffic per batch is <= partitions x counters sketch rows
+    (bounded by construction — the BPE-argmax audit class); production
+    swaps the doc_id file split for Kafka and the final recount for a
+    second pass over the landed corpus."""
+    from aws_pandas_etl_spark.operators.text import (
+        mg_combine,
+        misra_gries_sketch,
+        tokens,
+    )
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    if counters + 1 < 1.0 / phi:
+        raise ValueError(
+            f"counters={counters} cannot guarantee support phi={phi}"
+        )
+    from pyspark.sql import Window
+
+    name = f"hhstream_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), name)
+    src_dir = os.path.join(base, "src")
+    checkpoint = os.path.join(base, "ckpt")
+    os.makedirs(src_dir)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # doc_id-ordered split into n files = the arriving batch sequence
+    # (harness scaffolding standing in for a Kafka topic)
+    q = docs.withColumn("_q", F.ntile(n_splits).over(Window.orderBy("doc_id")))
+    for i in range(1, n_splits + 1):
+        part = os.path.join(base, f"part{i}")
+        q.filter(F.col("_q") == i).drop("_q").coalesce(1).write.parquet(part)
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        os.rename(os.path.join(part, src), os.path.join(src_dir, f"batch_{i}.parquet"))
+        shutil.rmtree(part, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    store: dict[str, int] = {}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal store
+        toks = batch_df.select(F.explode(tokens("text")).alias("token"))
+        rows = misra_gries_sketch(toks, "token", counters).collect()
+        store = mg_combine(
+            store, ((r["token"], r["cnt"]) for r in rows), counters
+        )
+
+    with _scoped_shuffle_partitions(spark, 8):
+        sq = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = sq.awaitTermination(timeout_sec)
+        finally:
+            sq.stop()
+    shutil.rmtree(base, ignore_errors=True)
+    if not finished:
+        raise TimeoutError(f"heavy-hitter stream did not finish in {timeout_sec}s")
+
+    all_toks = docs.select(F.explode(tokens("text")).alias("token"))
+    cand = spark.createDataFrame(
+        [(t,) for t in sorted(store)], "token string"
+    )
+    total = all_toks.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        all_toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("total")))
+        .select("token", "cnt")
+    )

@@ -145,6 +145,7 @@ _SKIP_EXECUTING = {
     "streaming_range_join_errors_clicks",
     "streaming_approx_distinct_linear",
     "streaming_foreach_batch_merge",
+    "streaming_heavy_hitters",
 }
 
 
