@@ -8331,6 +8331,72 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXPECT_ORACLE = """
+WITH raw AS (
+  SELECT 'fk(orders.o_custkey->customer.c_custkey)' AS rule,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+           WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+             SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS n_violations
+  UNION ALL
+  SELECT 'in_range(value,0.0,10000.0)',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+           WHERE value IS NOT NULL AND NOT (value BETWEEN 0.0 AND 10000.0))
+  UNION ALL
+  SELECT 'not_null(user_id)',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id IS NULL)
+  UNION ALL
+  SELECT 'unique(event_id)',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
+            SELECT COUNT(*) AS n FROM events GROUP BY event_id
+            HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'values_in(event_type,click|purchase|view)',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+           WHERE event_type IS NOT NULL
+             AND event_type NOT IN ('click', 'purchase', 'view'))
+)
+SELECT rule, n_rows, n_violations, n_violations = 0 AS passed
+FROM raw ORDER BY rule
+"""
+
+
+@register("expectations_report", EXPECT_ORACLE)
+def expectations_report_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative contract validation (operators/quality.py): five
+    expectation kinds — nullability, range, domain, key uniqueness,
+    referential integrity — each compiled to one aggregate, unioned
+    into a per-rule report with violation counts.  The domain rule is
+    deliberately too narrow so the failing-rule path (passed=false,
+    nonzero count) is exercised, not just the happy path.  The
+    reference's only gate is cast-or-fail during load."""
+    from aws_pandas_etl_spark.operators import quality as QA
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return QA.expectations_report(
+        [
+            QA.expect_not_null(ev, "user_id"),
+            QA.expect_in_range(ev, "value", 0.0, 10000.0),
+            QA.expect_values_in(ev, "event_type", ["view", "click", "purchase"]),
+            QA.expect_unique(ev, ["event_id"]),
+            QA.expect_fk(
+                orders,
+                "o_custkey",
+                cust,
+                "c_custkey",
+                "fk(orders.o_custkey->customer.c_custkey)",
+            ),
+        ]
+    )
+
+
 JOIN_FORECAST_ORACLE = """
 WITH lo AS (
   SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey

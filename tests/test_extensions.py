@@ -922,3 +922,44 @@ def test_knn_graph_extend_equals_pinned_rebuild(spark):
     # and new sources actually joined the graph
     new_sources = {a for a, _, _ in ext} & {r["vec_id"] for r in new.collect()}
     assert new_sources
+
+
+def test_expectations_rule_semantics(spark):
+    """Edge semantics pinned: NULLs don't violate range/domain rules
+    (that's not_null's job), every copy of a duplicated key counts as
+    a violation, and NULL FKs are skipped by the referential rule."""
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.operators import quality as QA
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, v=5.0, t="a"),
+            Row(id=1, v=None, t=None),   # dup id; NULLs
+            Row(id=1, v=50.0, t="z"),    # dup id; out of range; bad domain
+            Row(id=2, v=-1.0, t="b"),    # out of range
+        ]
+    )
+    rows = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in QA.expectations_report(
+            [
+                QA.expect_not_null(df, "v"),
+                QA.expect_in_range(df, "v", 0.0, 10.0),
+                QA.expect_values_in(df, "t", ["a", "b"]),
+                QA.expect_unique(df, ["id"]),
+            ]
+        ).collect()
+    }
+    assert rows["not_null(v)"] == (4, 1, False)
+    assert rows["in_range(v,0.0,10.0)"] == (4, 2, False)  # NULL not counted
+    assert rows["values_in(t,a|b)"] == (4, 1, False)      # NULL not counted
+    assert rows["unique(id)"] == (4, 3, False)            # all 3 copies count
+
+    dim = spark.createDataFrame([Row(k=1)])
+    fact = spark.createDataFrame([Row(k=1), Row(k=None), Row(k=9)])
+    fk = QA.expect_fk(fact, "k", dim, "k", "fk(test)").collect()[0]
+    assert (fk["n_rows"], fk["n_violations"], fk["passed"]) == (3, 1, False)
+    # all-green path
+    ok = QA.expect_unique(spark.createDataFrame([Row(id=1), Row(id=2)]), ["id"])
+    assert ok.collect()[0]["passed"] is True

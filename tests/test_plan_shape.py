@@ -131,6 +131,7 @@ _SCALAR_CROSS_OK = {
     "vocab_coverage_topn",           # 1-row total-token denominator
     "join_size_forecast",            # three 1-row forecast scalars
     "ivf_cell_balance",              # 1-row corpus total
+    "expectations_report",           # 1-row rule aggregates
 }
 
 # Streaming queries execute a real job on invocation — planning them
