@@ -5394,6 +5394,60 @@ def pipeline_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IDEMPOTENT_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("pipeline_idempotent_append", IDEMPOTENT_ORACLE)
+def pipeline_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once landing under at-least-once delivery: three event
+    batches append through ``idempotent_append_load`` and batch 2 is
+    delivered TWICE (the queue-redelivery case) — the duplicate commit
+    must be a no-op, so the read-back aggregate equals plain events
+    exactly; a writer that double-applied would double batch 2's rows
+    and break the oracle."""
+    import os
+    import tempfile
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        idempotent_append_load,
+        read_batched_target,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "aws_pandas_etl_spark_idempotent_append",
+        f"pid{os.getpid()}",
+        "events",
+    )
+    batches = [ev.filter(F.col("user_id") % 3 == i) for i in range(3)]
+    _, a1 = idempotent_append_load(batches[0], path, "b0")
+    _, a2 = idempotent_append_load(batches[1], path, "b1")
+    _, a2r = idempotent_append_load(batches[1], path, "b1")  # redelivery
+    _, a3 = idempotent_append_load(batches[2], path, "b2")
+    if not (a1 and a2 and a3) or a2r:
+        raise AssertionError(
+            f"idempotent commit flags wrong: {a1} {a2} {a2r} {a3}"
+        )
+    back = read_batched_target(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SCHEMA_EVOLUTION_ORACLE = """
 WITH merged AS (
   SELECT event_id, event_type, CAST(NULL AS VARCHAR) AS props

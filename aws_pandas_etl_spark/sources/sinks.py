@@ -295,3 +295,44 @@ def overwrite_partitions_load(
         .parquet(path)
     )
     return int(obs.get["n"])
+
+
+def idempotent_append_load(df: DataFrame, path: str, batch_id: str) -> tuple[int, bool]:
+    """Exactly-once append under retries: each batch lands as its own
+    subdirectory ``batch-<id>`` published by atomic tmp-dir rename, so
+    a RETRY of an already-committed batch is a no-op instead of a
+    duplicate — the at-least-once-delivery reality of every queue/
+    scheduler, solved with a directory-per-batch manifest (the pattern
+    foreachBatch sinks use with batchId; Delta/Iceberg replace the
+    rename with a txn-log commit carrying the same id).  A crash
+    mid-write leaves only a dot-prefixed tmp (invisible to readers —
+    Spark's listing skips '.'/'_' paths) that the winner's publish or
+    the next retry ignores.  Read the target back with
+    ``read_batched_target`` (recursive lookup).  Returns (total rows
+    now live, whether THIS call applied the batch)."""
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    dest = path.rstrip("/") + f"/batch-{batch_id}"
+    jdest = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = jdest.getFileSystem(spark._jsc.hadoopConfiguration())
+    applied = False
+    if not fs.exists(jdest):
+        tmp = path.rstrip("/") + f"/.batch-{batch_id}.__tmp_{_uuid.uuid4().hex[:8]}"
+        write_parquet_sink(df, tmp, mode="overwrite")
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.rename(jtmp, jdest):
+            applied = True
+        else:  # lost the race to a concurrent retry — its commit stands
+            fs.delete(jtmp, True)
+            if not fs.exists(jdest):
+                raise IOError(f"idempotent append: publish {dest} failed")
+    total = read_batched_target(spark, path).count()
+    return total, applied
+
+
+def read_batched_target(spark: SparkSession, path: str) -> DataFrame:
+    """Read a batch-per-subdirectory target (idempotent_append_load's
+    layout): recursive lookup, no partition-column inference."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)

@@ -332,3 +332,29 @@ def test_delete_load_recovers_from_crash_between_renames(spark, tmp_path):
     keys = spark.createDataFrame([Row(k=2)])
     assert delete_load(spark, p, keys, keys=["k"]) == 1
     assert [r["k"] for r in spark.read.parquet(p).collect()] == [1]
+
+
+def test_idempotent_append_retry_is_noop(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        idempotent_append_load,
+        read_batched_target,
+    )
+
+    p = str(tmp_path / "t")
+    b1 = spark.createDataFrame([Row(k=1), Row(k=2)])
+    b2 = spark.createDataFrame([Row(k=3)])
+    assert idempotent_append_load(b1, p, "a") == (2, True)
+    assert idempotent_append_load(b2, p, "b") == (3, True)
+    # retry of a committed batch: no-op, even with DIFFERENT content
+    weird = spark.createDataFrame([Row(k=99), Row(k=98)])
+    assert idempotent_append_load(weird, p, "b") == (3, False)
+    assert sorted(r["k"] for r in read_batched_target(spark, p).collect()) == [1, 2, 3]
+    # a crashed half-write (leftover dot-tmp) is invisible to readers
+    import os
+
+    os.makedirs(f"{p}/.batch-c.__tmp_dead", exist_ok=True)
+    with open(f"{p}/.batch-c.__tmp_dead/part-junk", "w") as f:
+        f.write("not parquet")
+    assert read_batched_target(spark, p).count() == 3
