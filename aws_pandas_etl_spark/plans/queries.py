@@ -898,6 +898,57 @@ def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_band_stats(sigs)
 
 
+def _leakage_oracle() -> str:
+    from aws_pandas_etl_spark.functions.hashing import hash_bucket_sql
+
+    bucket = hash_bucket_sql("doc_id", "split")
+    return f"""
+WITH pairs AS (
+  {_minhash_oracle()}
+), s AS (
+  SELECT doc_id, CASE WHEN {bucket} < 80 THEN 'train'
+                      WHEN {bucket} < 90 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM documents
+)
+SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+FROM pairs p
+JOIN s sa ON sa.doc_id = p.a
+JOIN s sb ON sb.doc_id = p.b
+WHERE sa.split <> sb.split AND (sa.split = 'test' OR sb.split = 'test')
+ORDER BY p.a, p.b
+"""
+
+
+@register("cross_split_leakage_pairs", _leakage_oracle())
+def cross_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: near-duplicate pairs (the SAME
+    MinHash-LSH + exact-Jaccard pipeline as the dedup family) that
+    STRADDLE the deterministic train/val/test split with a test-side
+    member — the "your eval set is in your training data" check that
+    n-gram decontamination misses when the overlap is a near-copy
+    rather than an exact passage.  The split is hash-assigned, so the
+    audit is reproducible across runs and engines.
+
+    Scale shape: identical to dedup_minhash_lsh (candidates ∝ bucket
+    sizes) plus two doc_id-keyed joins of a 2-column split frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_near_minhash(docs, threshold=0.5, shingle_n=3)
+    s = docs.select("doc_id", TX.assign_split("doc_id").alias("split"))
+    sa = s.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .filter(
+            (F.col("split_a") != F.col("split_b"))
+            & ((F.col("split_a") == "test") | (F.col("split_b") == "test"))
+        )
+        .select("a", "b", "split_a", "split_b", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
 def _levenshtein_oracle() -> str:
     return f"""
 WITH neardup AS (
@@ -5618,6 +5669,80 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("nlp").cast("double") / F.count("*"), 6
             ).alias("avg_neg_logprob"),
         )
+    )
+
+
+BIGRAM_LP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_dk_toks('text')} AS toks FROM documents
+), bg AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i, i + 1), ' ') AS bigram,
+         list_extract(toks, i) AS w1
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+), cb AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY bigram
+), cw AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(ROUND(-ln(CAST(cb.c AS DOUBLE) / cw.c1), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_neg_logprob
+FROM bg JOIN cb USING (bigram) JOIN cw USING (w1)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("bigram_logprob_quality", BIGRAM_LP_ORACLE)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, bigram flavor: per-doc average
+    negative CONDITIONAL log-probability -ln p(w_i | w_{i-1}) under
+    the corpus's own bigram counts — one step closer to KenLM
+    perplexity than the unigram score (catches fluent-word gibberish:
+    every token common, transitions never seen together).  Scoring the
+    corpus against itself means every bigram has count >= 1, so no
+    smoothing constant muddies cross-engine parity.
+
+    Plan: one bigram explode feeds the bigram counts, the context
+    (w1) counts, AND the scoring join; both count joins key on
+    corpus-scaling vocab — unforced, AQE decides.  Parity: per-bigram
+    -ln is rounded to 6 digits then DECIMAL-summed (the unigram
+    pattern).  Docs with < 2 tokens have no transitions and drop out,
+    matching the oracle's join semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    k = F.size(F.col("toks")) - F.lit(1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.array_join(F.slice(F.col("toks"), i, 2), " ").alias("bigram"),
+            F.element_at(F.col("toks"), i).alias("w1"),
+        ),
+    )
+    bg = t.select("doc_id", F.explode(pairs).alias("g")).select(
+        "doc_id", F.col("g.bigram").alias("bigram"), F.col("g.w1").alias("w1")
+    )
+    cb = bg.groupBy("bigram").agg(F.count("*").cast("bigint").alias("c"))
+    cw = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    nlp = F.round(
+        -F.log(F.col("c").cast("double") / F.col("c1")), 6
+    ).cast("decimal(18,6)")
+    return (
+        bg.join(cb, "bigram")
+        .join(cw, "w1")
+        .select("doc_id", nlp.alias("nlp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("nlp").cast("double") / F.count("*"), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 
