@@ -5462,6 +5462,7 @@ def pipeline_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     and break the oracle."""
     import os
     import tempfile
+    import uuid
 
     from aws_pandas_etl_spark.sources.sinks import (
         idempotent_append_load,
@@ -5471,10 +5472,14 @@ def pipeline_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
+    # fresh target per invocation: the commit markers are the POINT of
+    # this query, so a pid-stable path would see batch-ids already
+    # committed on the second run in the same process and (correctly)
+    # refuse to re-apply them — breaking the applied-flag assertions
     path = os.path.join(
         tempfile.gettempdir(),
         "aws_pandas_etl_spark_idempotent_append",
-        f"pid{os.getpid()}",
+        uuid.uuid4().hex[:12],
         "events",
     )
     batches = [ev.filter(F.col("user_id") % 3 == i) for i in range(3)]
