@@ -411,3 +411,80 @@ def write_knn_graph(edges: DataFrame, path: str) -> None:
 def read_knn_graph(spark, path: str) -> DataFrame:
     """Read a materialized kNN edge artifact (a, b, cosine_sim)."""
     return spark.read.parquet(path)
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top principal component by power iteration — the data-DRIVEN
+    projection next to the data-oblivious JL (similarity.py): center
+    on the exact-decimal per-dim mean, then ``iters`` rounds of
+    v <- normalize(Σ_x x_c (x_c · v)) from the deterministic e_1 start.
+
+    Every source of cross-engine or partitioning nondeterminism is
+    pinned (the k-means contract): per-row projections x_c·v are
+    in-order double folds (deterministic projections), per-dim
+    contribution sums go rounded-then-DECIMAL (order-independent), the
+    normalization is an in-order fold over dim doubles replayed
+    identically by the oracle.  Fixed iteration count, so the sign
+    convention is simply "whatever e_1 converges to" on both engines.
+
+    Scale shape per round: one projection pass over the vectors + one
+    |dim|-row shuffle; driver traffic is dim doubles per round (the
+    centroid-update class).  Returns (dim 1-based, loading rounded).
+    """
+    import math
+
+    mean_rows = (
+        embeddings.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("m")
+        )
+        .collect()
+    )
+    mean = [r["m"] for r in sorted(mean_rows, key=lambda r: r["pos"])]
+    dim = len(mean)
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    xc = F.zip_with(
+        F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
+    )
+    centered = embeddings.select(xc.alias("___xc"))
+
+    v = [1.0] + [0.0] * (dim - 1)
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(float(c)) for c in v])
+        t = centered.select("___xc", dot(F.col("___xc"), vlit).alias("___u"))
+        w_rows = (
+            t.select(F.posexplode("___xc").alias("pos", "x"), "___u")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * F.col("___u"), 10).cast(
+                        "decimal(28,10)"
+                    )
+                )
+                .cast("double")
+                .alias("w")
+            )
+            .collect()
+        )
+        w = [r["w"] for r in sorted(w_rows, key=lambda r: r["pos"])]
+        # in-order fold, mirrored by the oracle's list_sum over the
+        # dim-ordered array
+        norm = math.sqrt(sum(wi * wi for wi in w))
+        v = [wi / norm for wi in w]
+
+    rows = [(i + 1, round(c, round_digits)) for i, c in enumerate(v)]
+    return embeddings.sparkSession.createDataFrame(
+        rows, "dim int, loading double"
+    )

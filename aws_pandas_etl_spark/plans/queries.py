@@ -5977,6 +5977,93 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(emb, k=_kmeans_k(emb), iters=KMEANS_ITERS)
 
 
+PCA_ITERS = 3
+
+
+def _pca_oracle(iters: int = PCA_ITERS) -> str:
+    """Unrolled power iteration (the pagerank precedent): exact-decimal
+    per-dim mean, per-row in-order double folds for the projection,
+    rounded-then-DECIMAL per-dim contribution sums, in-order
+    normalization fold — each arithmetic step mirrors the Spark
+    operator bit for bit."""
+    parts = [
+        """WITH m0 AS (
+  SELECT dim,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM (
+    SELECT unnest(generate_series(1, len(embedding))) AS dim,
+           unnest(embedding) AS v
+    FROM embeddings
+  ) GROUP BY dim
+), mv AS (
+  SELECT array_agg(m ORDER BY dim) AS marr FROM m0
+), x AS (
+  SELECT vec_id,
+         list_transform(
+           list_zip(list_transform(embedding, e -> CAST(e AS DOUBLE)), marr),
+           p -> p[1] - p[2]) AS xc
+  FROM embeddings, mv
+), v0 AS (
+  SELECT list_transform(
+           generate_series(1, (SELECT MIN(len(embedding)) FROM embeddings)),
+           i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v
+)"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f""", u{it} AS (
+  SELECT vec_id, xc,
+         list_sum(list_transform(list_zip(xc, v),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           AS u
+  FROM x, v{it}
+), w{it} AS (
+  SELECT dim,
+         CAST(SUM(CAST(ROUND(xi * u, 10) AS DECIMAL(28,10))) AS DOUBLE) AS w
+  FROM (
+    SELECT u, unnest(generate_series(1, len(xc))) AS dim,
+           unnest(xc) AS xi
+    FROM u{it}
+  ) GROUP BY dim
+), wa{it} AS (
+  SELECT array_agg(w ORDER BY dim) AS warr FROM w{it}
+), v{it + 1} AS (
+  SELECT list_transform(
+           warr, w -> w / sqrt(list_sum(list_transform(warr, q -> q * q))))
+           AS v
+  FROM wa{it}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT dim, ROUND(loading, 6) AS loading FROM (
+  SELECT unnest(generate_series(1, len(v))) AS dim, unnest(v) AS loading
+  FROM v{iters}
+) ORDER BY dim
+"""
+    )
+    return "".join(parts)
+
+
+@register("pca_top_component", _pca_oracle())
+def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table via power
+    iteration (operators/clustering.py::pca_top_component) — the
+    data-DRIVEN dimensionality-reduction axis next to the
+    data-oblivious JL projection, and the second iterative-numerics
+    fixpoint (after PageRank) proven bit-exact against an unrolled-CTE
+    replay: exact-decimal centering, in-order projection folds,
+    rounded-then-DECIMAL contribution sums, shared normalization fold.
+
+    Scale shape: per round one projection pass + a |dim|-row shuffle;
+    driver traffic is dim doubles per round."""
+    from aws_pandas_etl_spark.operators.clustering import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, iters=PCA_ITERS)
+
+
 def _ivf_balance_oracle() -> str:
     prefix, final, _ = _kmeans_ctes()
     return f"""{prefix}, sizes AS (

@@ -963,3 +963,32 @@ def test_expectations_rule_semantics(spark):
     # all-green path
     ok = QA.expect_unique(spark.createDataFrame([Row(id=1), Row(id=2)]), ["id"])
     assert ok.collect()[0]["passed"] is True
+
+
+def test_pca_power_iteration_properties(spark):
+    """The returned axis is unit-norm, reproducible, and explains at
+    least as much variance as the starting axis e1 (power iteration
+    monotonically improves the Rayleigh quotient) — checked against a
+    numpy covariance computation on the collected fixture."""
+    import numpy as np
+
+    from aws_pandas_etl_spark.operators.clustering import pca_top_component
+
+    emb = load_table(spark, SF, "embeddings")
+    out = {r["dim"]: r["loading"] for r in pca_top_component(emb, iters=3).collect()}
+    v = np.array([out[d] for d in sorted(out)])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    again = {r["dim"]: r["loading"] for r in pca_top_component(emb, iters=3).collect()}
+    assert again == out
+
+    X = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc / len(Xc)
+    e1 = np.zeros(X.shape[1]); e1[0] = 1.0
+    rq = lambda u: float(u @ C @ u)
+    assert rq(v) >= rq(e1) * 0.999
+    # and it lands near the true top eigenvalue (3 rounds on this
+    # fixture get close; loose floor so the test pins direction, not
+    # convergence speed)
+    top = float(np.linalg.eigvalsh(C)[-1])
+    assert rq(v) >= 0.5 * top
