@@ -8470,6 +8470,132 @@ LIMIT {BM25_TOP}
 """
 
 
+RRF_K, RRF_ARM_TOP, RRF_TOP, RRF_QUERY_DOC = 60, 50, 10, 0
+
+
+def _rrf_oracle() -> str:
+    from aws_pandas_etl_spark.functions.hashing import BASE_HASH_HEX_DIGITS
+
+    base = f"CAST(('0x'||substr(md5(s),1,{BASE_HASH_HEX_DIGITS})) AS BIGINT)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_dk_toks('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' '))),
+           s -> {base})) AS hashes
+  FROM t
+), q AS (
+  SELECT hashes AS qh FROM sh WHERE doc_id = {RRF_QUERY_DOC}
+), lex AS (
+  SELECT doc_id,
+         ROUND(CAST(len(list_intersect(hashes, qh)) AS DOUBLE)
+               / greatest(len(list_distinct(list_concat(hashes, qh))), 1), 6)
+           AS s
+  FROM sh, q WHERE doc_id <> {RRF_QUERY_DOC}
+), lr AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk FROM lex
+  ) WHERE rnk <= {RRF_ARM_TOP}
+), qv AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = {RRF_QUERY_DOC}
+), sem AS (
+  SELECT vec_id AS doc_id, ROUND({_dk_cos('e.embedding', 'qv.qe')}, 6) AS s
+  FROM embeddings e, qv WHERE vec_id <> {RRF_QUERY_DOC}
+), sr AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk FROM sem
+  ) WHERE rnk <= {RRF_ARM_TOP}
+), fused AS (
+  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+         lr.rnk AS lex_rank, sr.rnk AS sem_rank,
+         ROUND(COALESCE(1.0 / ({RRF_K} + lr.rnk), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + sr.rnk), 0.0), 6) AS rrf
+  FROM lr FULL OUTER JOIN sr ON lr.doc_id = sr.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+"""
+
+
+@register("hybrid_retrieval_rrf", _rrf_oracle())
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the modern RAG
+    stack's retrieval shape: a LEXICAL arm (exact 3-gram-set Jaccard
+    against the query document's shingles) and a SEMANTIC arm (cosine
+    against its embedding — vec_id aligns with doc_id in the harness)
+    each produce a top-{RRF_ARM_TOP} list, fused by
+    Σ 1/({RRF_K} + rank) over a full outer join of the two lists.
+    RRF needs only RANKS, so the arms' incomparable score scales never
+    matter — which is why it is the default fusion in hybrid search.
+
+    Scale shape: each arm is one linear scan against a broadcast 1-row
+    query (shingle set / vector) with TakeOrdered keeping top-N; the
+    rank windows and the fusion join run over N-row frames, never the
+    corpus.  At production scale the semantic arm swaps the scan for
+    the IVF/LSH index — same fusion."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sh = D.shingle_hash_table(docs, "doc_id", "text", 3)
+    q = sh.filter(F.col("doc_id") == RRF_QUERY_DOC).select(
+        F.col("hashes").alias("qh")
+    )
+    lex_score = F.round(
+        F.size(F.array_intersect("hashes", "qh")).cast("double")
+        / F.greatest(F.size(F.array_union("hashes", "qh")), F.lit(1)),
+        6,
+    )
+    lex = (
+        sh.filter(F.col("doc_id") != RRF_QUERY_DOC)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", lex_score.alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(RRF_ARM_TOP)
+    )
+    lr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_DOC).select(
+        F.col("embedding").alias("qe")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_DOC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(SIM.cosine(F.col("embedding"), F.col("qe")), 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(RRF_ARM_TOP)
+    )
+    sr = sem.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+        .alias("sem_rank"),
+    )
+    fused = lr.join(sr, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOP)
+
+
 @register("bm25_topk_docs", BM25_ORACLE)
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed query-term set: the top 10

@@ -132,6 +132,7 @@ _SCALAR_CROSS_OK = {
     "join_size_forecast",            # three 1-row forecast scalars
     "ivf_cell_balance",              # 1-row corpus total
     "expectations_report",           # 1-row rule aggregates
+    "hybrid_retrieval_rrf",          # two 1-row query broadcasts
 }
 
 # Streaming queries execute a real job on invocation — planning them
