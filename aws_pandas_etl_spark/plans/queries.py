@@ -9406,7 +9406,12 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # backlog entries (per-key scalar-stat variants whose family has a
 # seat: dow/decile/histogram/mode/multi-distinct/minmax/trim/gini/
 # props-entropy/moments/peak-5min/twap/lag/seasonal/weekly-growth/
-# transition-matrix/mad/hourly-spine) rotate in next round.
+# transition-matrix/mad/hourly-spine) rotate in next round, together
+# with the 14 round-7 additions (q11/q20, lsh-band-stats, attribution,
+# vocab-coverage, cluster-histogram, join-forecast, ivf-balance,
+# delete/idempotent/schema-evolution pipelines, UDAF, cume_dist,
+# incremental-knn, streaming-HH, leakage, bigram-LM, PCA, RRF) — all
+# exact-value-green in the local sweep from birth.
 _DRIVER_WINDOW = [
     "top_supplier_per_nation",
     "urgent_and_low_customers",
