@@ -413,30 +413,15 @@ def read_knn_graph(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def pca_top_component(
+def pca_fit(
     embeddings: DataFrame,
     iters: int = 3,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_digits: int = 6,
-) -> DataFrame:
-    """Top principal component by power iteration — the data-DRIVEN
-    projection next to the data-oblivious JL (similarity.py): center
-    on the exact-decimal per-dim mean, then ``iters`` rounds of
-    v <- normalize(Σ_x x_c (x_c · v)) from the deterministic e_1 start.
-
-    Every source of cross-engine or partitioning nondeterminism is
-    pinned (the k-means contract): per-row projections x_c·v are
-    in-order double folds (deterministic projections), per-dim
-    contribution sums go rounded-then-DECIMAL (order-independent), the
-    normalization is an in-order fold over dim doubles replayed
-    identically by the oracle.  Fixed iteration count, so the sign
-    convention is simply "whatever e_1 converges to" on both engines.
-
-    Scale shape per round: one projection pass over the vectors + one
-    |dim|-row shuffle; driver traffic is dim doubles per round (the
-    centroid-update class).  Returns (dim 1-based, loading rounded).
-    """
+) -> tuple[list[float], list[float]]:
+    """Power-iteration fit: returns (per-dim exact-decimal mean, unit
+    top-component vector) — the reusable half of pca_top_component,
+    for callers that PROJECT onto the axis rather than report it.
+    Determinism contract documented on pca_top_component."""
     import math
 
     mean_rows = (
@@ -483,7 +468,34 @@ def pca_top_component(
         # dim-ordered array
         norm = math.sqrt(sum(wi * wi for wi in w))
         v = [wi / norm for wi in w]
+    return mean, v
 
+
+def pca_top_component(
+    embeddings: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top principal component by power iteration — the data-DRIVEN
+    projection next to the data-oblivious JL (similarity.py): center
+    on the exact-decimal per-dim mean, then ``iters`` rounds of
+    v <- normalize(Σ_x x_c (x_c · v)) from the deterministic e_1 start.
+
+    Every source of cross-engine or partitioning nondeterminism is
+    pinned (the k-means contract): per-row projections x_c·v are
+    in-order double folds (deterministic projections), per-dim
+    contribution sums go rounded-then-DECIMAL (order-independent), the
+    normalization is an in-order fold over dim doubles replayed
+    identically by the oracle.  Fixed iteration count, so the sign
+    convention is simply "whatever e_1 converges to" on both engines.
+
+    Scale shape per round: one projection pass over the vectors + one
+    |dim|-row shuffle; driver traffic is dim doubles per round (the
+    centroid-update class).  Returns (dim 1-based, loading rounded).
+    """
+    _, v = pca_fit(embeddings, iters=iters, vec_col=vec_col)
     rows = [(i + 1, round(c, round_digits)) for i, c in enumerate(v)]
     return embeddings.sparkSession.createDataFrame(
         rows, "dim int, loading double"

@@ -5980,12 +5980,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_ITERS = 3
 
 
-def _pca_oracle(iters: int = PCA_ITERS) -> str:
-    """Unrolled power iteration (the pagerank precedent): exact-decimal
-    per-dim mean, per-row in-order double folds for the projection,
+def _pca_ctes(iters: int = PCA_ITERS) -> str:
+    """Unrolled power iteration (the pagerank precedent) as a
+    WITH-prefix ending in CTEs ``x(vec_id, xc)`` (centered vectors)
+    and ``v{iters}(v)`` (the fitted unit axis): exact-decimal per-dim
+    mean, per-row in-order double folds for the projection,
     rounded-then-DECIMAL per-dim contribution sums, in-order
     normalization fold — each arithmetic step mirrors the Spark
-    operator bit for bit."""
+    operator bit for bit.  Composed by the loadings report AND the
+    projection-by-label query."""
     parts = [
         """WITH m0 AS (
   SELECT dim,
@@ -6035,15 +6038,73 @@ def _pca_oracle(iters: int = PCA_ITERS) -> str:
   FROM wa{it}
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _pca_oracle(iters: int = PCA_ITERS) -> str:
+    return f"""{_pca_ctes(iters)}
 SELECT dim, ROUND(loading, 6) AS loading FROM (
   SELECT unnest(generate_series(1, len(v))) AS dim, unnest(v) AS loading
   FROM v{iters}
 ) ORDER BY dim
 """
+
+
+def _pca_proj_oracle(iters: int = PCA_ITERS) -> str:
+    return f"""{_pca_ctes(iters)}, pr AS (
+  SELECT x.vec_id,
+         ROUND(list_sum(list_transform(list_zip(xc, v),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)
+           AS proj
+  FROM x, v{iters}
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(proj AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_proj,
+       MIN(proj) AS min_proj,
+       MAX(proj) AS max_proj
+FROM pr JOIN embeddings USING (vec_id)
+GROUP BY label ORDER BY label
+"""
+
+
+@register("pca_projection_by_label", _pca_proj_oracle())
+def pca_projection_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the fitted PCA axis: project every centered vector onto
+    the top component and report per-label projection stats — the
+    one-number class-separation readout along the learned
+    maximum-variance direction (labels whose projection ranges don't
+    overlap separate linearly on axis one).  Completes the fit->apply
+    pair the way quantize/JL already apply transforms.
+
+    Scale shape: pca_fit's bounded driver rounds (dim doubles each),
+    then ONE projection pass (in-order fold, rounded) + a label-
+    bounded aggregate of DECIMAL-summed projections."""
+    from aws_pandas_etl_spark.operators.clustering import pca_fit
+    from aws_pandas_etl_spark.operators.similarity import dot as _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, v = pca_fit(emb, iters=PCA_ITERS)
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    vlit = F.array(*[F.lit(float(c)) for c in v])
+    xc = F.zip_with(F.col("embedding"), mean_lit, lambda x, m: x.cast("double") - m)
+    proj = F.round(_dot(xc, vlit), 6)
+    return (
+        emb.select("label", proj.alias("proj"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("proj").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_proj"),
+            F.min("proj").alias("min_proj"),
+            F.max("proj").alias("max_proj"),
+        )
+        .orderBy("label")
     )
-    return "".join(parts)
 
 
 @register("pca_top_component", _pca_oracle())
@@ -8911,6 +8972,81 @@ def join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             _join_forecast_arm("lineitem.l_orderkey=orders.o_orderkey", lo, oo)
         )
         .orderBy("relationship")
+    )
+
+
+BASKET_MIN_SUPPORT, BASKET_TOP = 3, 20
+
+BASKET_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b
+), item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY l_partkey
+), pairs AS (
+  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_orders
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY x.l_partkey, y.l_partkey
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, pair_orders,
+       ROUND(CAST(pair_orders AS DOUBLE) * n.n_orders
+             / (ia.c * ib.c), 6) AS lift
+FROM pairs
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b, n
+ORDER BY lift DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+"""
+
+
+@register("market_basket_part_lift", BASKET_ORACLE)
+def market_basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: part pairs co-purchased
+    in >= {BASKET_MIN_SUPPORT} orders, ranked by lift
+    (P(ab)/(P(a)P(b)) — co-occurrence beyond popularity-chance), the
+    market-basket shape behind "frequently bought together".
+
+    Scale shape: the basket self-join keys on the order id, so fan-out
+    is bounded by basket size squared (~7² per TPC-H order, never
+    corpus²); the support HAVING prunes before the tiny item-count
+    joins; lift arithmetic is one shared integer-ratio expression per
+    surviving pair, and top-k is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    x = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    y = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            F.round(
+                F.col("pair_orders").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP)
     )
 
 

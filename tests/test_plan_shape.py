@@ -133,6 +133,8 @@ _SCALAR_CROSS_OK = {
     "ivf_cell_balance",              # 1-row corpus total
     "expectations_report",           # 1-row rule aggregates
     "hybrid_retrieval_rrf",          # two 1-row query broadcasts
+    "market_basket_part_lift",       # 1-row n_orders denominator
+    "pca_projection_by_label",       # 1-row axis via pca_fit collects
 }
 
 # Streaming queries execute a real job on invocation — planning them
