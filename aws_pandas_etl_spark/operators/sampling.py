@@ -74,3 +74,69 @@ def mixture_sample(
         .filter(hash_fraction(F.col(id_col), salt) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def neyman_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    total_target: int,
+    id_col: str,
+    salt: str = "neyman",
+) -> DataFrame:
+    """Optimal-allocation stratified sampling (Neyman): stratum sample
+    sizes ∝ n_h·σ_h, so strata whose measured variable varies more get
+    proportionally more of the budget — the minimum-variance estimator
+    allocation for a fixed total sample, vs plain proportional
+    stratification (operators with constant per-stratum rates).
+
+    Determinism contract: σ_h comes from exact BIGINT moments through
+    one shared IEEE expression; weights round to 6 digits and
+    DECIMAL-sum into the normalizer; allocations floor (no rounding-tie
+    rule); membership is the usual md5-fraction — retry-, partitioning-
+    and engine-invariant, replayable by the oracle.
+
+    Scale shape: one moment aggregate (|strata| rows), rates broadcast
+    back, scan-side filter — sampled-out rows never shuffle (the
+    mixture_sample posture).  Returns sampled rows with their
+    stratum's planned allocation in ``_alloc``."""
+    st = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col(value_col).cast("long")).cast("bigint").alias("_s"),
+        F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long"))
+        .cast("bigint")
+        .alias("_ss"),
+    )
+    nd = F.col("_n").cast("double")
+    var = (
+        F.col("_ss").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double") / nd
+    ) / nd
+    wdf = st.select(
+        group_col, "_n", F.round(nd * F.sqrt(var), 6).alias("_wh")
+    )
+    tot = wdf.agg(
+        F.sum(F.col("_wh").cast("decimal(18,6)")).cast("double").alias("_W")
+    )
+    al = (
+        wdf.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "_n",
+            F.floor(F.lit(float(total_target)) * F.col("_wh") / F.col("_W"))
+            .cast("bigint")
+            .alias("_alloc"),
+        )
+    )
+    rates = al.select(
+        group_col,
+        "_alloc",
+        F.least(
+            F.lit(1.0), F.col("_alloc").cast("double") / F.col("_n").cast("double")
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_fraction(F.col(id_col), salt) < F.col("_rate"))
+        .drop("_rate")
+    )

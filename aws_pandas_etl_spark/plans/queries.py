@@ -2149,6 +2149,73 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return admitted.select("doc_id", F.md5("text").alias("text_md5"))
 
 
+NEYMAN_TOTAL = 100
+
+NEYMAN_ORACLE = f"""
+WITH st AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT)
+           AS ss
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n,
+         ROUND(CAST(n AS DOUBLE)
+               * sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS wh
+  FROM st
+), tot AS (
+  SELECT CAST(SUM(CAST(wh AS DECIMAL(18,6))) AS DOUBLE) AS W FROM w
+), al AS (
+  SELECT lang, n,
+         CAST(FLOOR({NEYMAN_TOTAL}.0 * wh / W) AS BIGINT) AS alloc
+  FROM w, tot
+), r AS (
+  SELECT lang, alloc,
+         LEAST(1.0, CAST(alloc AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+  FROM al
+), samp AS (
+  SELECT d.lang, d.n_chars, r.alloc
+  FROM documents d JOIN r USING (lang)
+  WHERE CAST(('0x'||substr(md5('neyman:'||CAST(doc_id AS VARCHAR)),1,15))
+             AS BIGINT) / 1152921504606846976.0 < r.rate
+)
+SELECT lang, alloc AS planned_alloc,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_sampled
+FROM samp GROUP BY lang, alloc ORDER BY lang
+"""
+
+
+@register("neyman_sample_by_lang", NEYMAN_ORACLE)
+def neyman_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal-allocation (Neyman) stratified sampling over documents:
+    each language's share of a {NEYMAN_TOTAL}-doc budget is
+    proportional to n_h·σ_h of its length distribution — high-variance
+    strata get more of the budget, the minimum-variance-estimator rule
+    plain proportional stratification ignores
+    (operators/sampling.py::neyman_sample; exact-moment σ, floored
+    allocations, md5-fraction membership — fully replayed by the
+    oracle)."""
+    from aws_pandas_etl_spark.operators.sampling import neyman_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    samp = neyman_sample(
+        docs, "lang", "n_chars", NEYMAN_TOTAL, id_col="doc_id"
+    )
+    return (
+        samp.groupBy("lang", F.col("_alloc").alias("planned_alloc"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias(
+                "chars_sampled"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 MIXTURE_SAMPLE_ORACLE = """
 WITH c AS (
   SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
