@@ -507,10 +507,45 @@ def heavy_hitters_exact(
 def bpe_top_merges(
     df: DataFrame, text_col: str = "text", iters: int = 3
 ) -> DataFrame:
+    """Wrapper over :func:`_bpe_train` returning only the merge rows —
+    see that function for the algorithm and determinism notes."""
+    results, _ = _bpe_train(df, text_col, iters)
+    return df.sparkSession.createDataFrame(
+        results, "iteration int, pair string, cnt bigint"
+    )
+
+
+def bpe_vocab_stats(
+    df: DataFrame, text_col: str = "text", iters: int = 3
+) -> DataFrame:
+    """Tokenizer APPLY readout: corpus token counts before (characters)
+    and after the ``iters`` learned merges, with the compression ratio
+    — one aggregate over the training loop's own final vocabulary
+    state, so apply costs nothing beyond training (at deployment the
+    (word -> symbols) table joins any corpus as a broadcast
+    vocabulary).  Returns 1 row: (n_words, tokens_pre, tokens_post,
+    compression)."""
+    _, cur = _bpe_train(df, text_col, iters)
+    return cur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * F.length("word")).cast("bigint").alias("tokens_pre"),
+        F.sum(F.col("freq") * F.size("sym")).cast("bigint").alias("tokens_post"),
+        F.round(
+            F.sum(F.col("freq") * F.size("sym")).cast("double")
+            / F.sum(F.col("freq") * F.length("word")).cast("double"),
+            6,
+        ).alias("compression"),
+    )
+
+
+def _bpe_train(
+    df: DataFrame, text_col: str = "text", iters: int = 3
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
     """Tokenizer training, the BPE merge loop itself: ``iters`` rounds
     of (count adjacent symbol pairs weighted by word frequency ->
     merge the most frequent pair everywhere, greedy left-to-right).
-    Returns one row per round: (iteration, pair, cnt).
+    Returns (merge rows [(iteration, pair, cnt)], final vocabulary
+    DataFrame (word, freq, sym)).
 
     The merge step is fully relational: posexplode the symbol arrays,
     mark matches with lead(), split them into islands of CONSECUTIVE
@@ -606,7 +641,4 @@ def bpe_top_merges(
             .localCheckpoint()
         )
 
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        results, "iteration int, pair string, cnt bigint"
-    )
+    return results, cur

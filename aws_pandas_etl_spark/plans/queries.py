@@ -8075,11 +8075,13 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ITERS = 3
 
 
-def _bpe_oracle(iters: int = BPE_ITERS) -> str:
-    """DuckDB twin of operators.text.bpe_top_merges as unrolled CTEs:
-    identical pair counting, argmax tie order, gaps-and-islands greedy
-    merge (odd-ranked match per island merges, following row drops),
-    and order-pinned array reassembly per iteration."""
+def _bpe_ctes(iters: int = BPE_ITERS) -> str:
+    """DuckDB twin of operators.text's BPE training loop as unrolled
+    CTEs: identical pair counting, argmax tie order, gaps-and-islands
+    greedy merge (odd-ranked match per island merges, following row
+    drops), and order-pinned array reassembly per iteration.  Ends
+    with ``t{1..iters}`` (chosen merges) and ``s{iters}`` (the merged
+    vocabulary state) for composed oracles."""
     parts = [
         f"""WITH w AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -8133,11 +8135,43 @@ def _bpe_oracle(iters: int = BPE_ITERS) -> str:
   FROM d{t} WHERE NOT dropped GROUP BY word, freq
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(iters: int = BPE_ITERS) -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT CAST({t} AS INTEGER) AS iteration, pair, cnt FROM t{t}"
         for t in range(1, iters + 1)
     )
-    return "".join(parts) + "\n" + finals
+    return _bpe_ctes(iters) + "\n" + finals
+
+
+def _bpe_apply_oracle(iters: int = BPE_ITERS) -> str:
+    """The s{iters} CTE of the unrolled training replay IS the merged
+    vocabulary — corpus tokenization stats are one aggregate over it."""
+    return f"""{_bpe_ctes(iters)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(freq * length(word)) AS BIGINT) AS tokens_pre,
+       CAST(SUM(freq * len(sym)) AS BIGINT) AS tokens_post,
+       ROUND(CAST(SUM(freq * len(sym)) AS DOUBLE)
+             / CAST(SUM(freq * length(word)) AS DOUBLE), 6) AS compression
+FROM s{iters}
+"""
+
+
+@register("bpe_apply_corpus_stats", _bpe_apply_oracle())
+def bpe_apply_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: corpus token counts before/after the learned
+    BPE merges (operators/text.py::bpe_vocab_stats) — the
+    compression-ratio readout that justifies a merge budget, and the
+    fit->apply pair for the tokenizer (the PCA precedent).  The
+    tokenized state is the training loop's own vocabulary table, so
+    apply costs nothing beyond training; at deployment the (word ->
+    symbols) table joins against any corpus as a broadcast vocabulary.
+    The oracle aggregates the replayed merge state, so a single
+    misapplied merge anywhere in the corpus breaks the match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bpe_vocab_stats(docs, iters=BPE_ITERS)
 
 
 @register("bpe_top_merges", _bpe_oracle())
