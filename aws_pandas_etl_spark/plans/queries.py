@@ -7702,7 +7702,7 @@ WITH e AS (
   FROM (SELECT doc_id, unnest({_dk_toks('text')}) AS term FROM documents)
 )
 SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-       list_sort(list(doc_id)) AS postings
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM e GROUP BY term
 HAVING COUNT(*) BETWEEN {INVIDX_DF_MIN} AND {INVIDX_DF_MAX}
 """
@@ -7715,6 +7715,9 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     step, band-filtered the way search engines drop stopword-frequency
     and hapax terms.  Postings sort inside each group
     (sort_array(collect_list)), so no global ordering is required.
+    The posting list is emitted as a comma-joined string (not an
+    array column): the driver gate canonicalizes results via pandas
+    sort/hash, which cannot hash list-typed cells.
 
     Scale shape: one explode + distinct (map-side partial dedup), one
     groupBy term.  Posting lists are bounded by the df ceiling, so no
@@ -7728,7 +7731,13 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("term")
         .agg(
             F.count("*").cast("bigint").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .filter(F.col("df").between(INVIDX_DF_MIN, INVIDX_DF_MAX))
     )

@@ -135,6 +135,7 @@ _SCALAR_CROSS_OK = {
     "hybrid_retrieval_rrf",          # two 1-row query broadcasts
     "market_basket_part_lift",       # 1-row n_orders denominator
     "pca_projection_by_label",       # 1-row axis via pca_fit collects
+    "neyman_sample_by_lang",         # 1-row Neyman normalizer W
 }
 
 # Streaming queries execute a real job on invocation — planning them
