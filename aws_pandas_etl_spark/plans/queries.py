@@ -9658,57 +9658,76 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # delete/idempotent/schema-evolution pipelines, UDAF, cume_dist,
 # incremental-knn, streaming-HH, leakage, bigram-LM, PCA, RRF) — all
 # exact-value-green in the local sweep from birth.
+# Round-8 rotation (the backlog-retiring round): after CORRECTNESS_r07
+# the cumulative driver-verified union is 149/192; exactly 43 registry
+# entries have never had a driver row.  All 43 take seats this round —
+# the 18 per-key scalar-stat variants deferred from r7, the 14 round-7
+# additions, q11/q20, the PCA pair, and the two seats r7 could not
+# green (inverted_index_terms, now emitting string postings for the
+# driver canonicalizer, and neyman_sample_by_lang, now allowlisted for
+# its 1-row scalar cross).  The remaining 7 seats re-verify one
+# driver-green representative per family whose members are otherwise
+# all rotated out or whose code was touched this round:
+# multimodal_frame_sample (X5's only query), pipeline_merge_roundtrip
+# (merge tiebreak_col hardening), dedup_survivors_minhash (X2 LSH->CC
+# core), knn_graph_cosine (artifact cache relocated to a per-user
+# 0700 directory this round), decontaminate_benchmark,
+# mixture_sample_by_lang (cross-checks the new Neyman seat), and
+# point_in_time_features (leakage-free temporal join).  A green r8
+# window makes the cumulative union 192/192.
 _DRIVER_WINDOW = [
-    "top_supplier_per_nation",
-    "urgent_and_low_customers",
-    "unpivot_revenue_metrics",
-    "diversified_top_orders",
-    "order_total_reconciliation",
-    "order_to_ship_delay_stats",
-    "dedup_survivors_minhash",
-    "decontaminate_benchmark",
-    "containment_pairs",
-    "rare_token_blocked_pairs",
-    "dedup_rate_by_source",
-    "streaming_range_join_errors_clicks",
-    "streaming_static_join_enrich",
-    "streaming_ewma_per_user",
-    "lang_id_confusion_matrix",
-    "mixed_language_docs",
-    "repetition_quality",
-    "unigram_logprob_quality",
-    "udtf_char_trigrams_top20",
-    "lang_source_chi2",
+    # -- 43 never-driver-verified seats --
+    "q11_important_stock",
+    "q20_part_promotion_suppliers",
     "inverted_index_terms",
-    "embedding_class_separation",
-    "embedding_drift_by_label",
-    "embedding_label_centroids",
-    "embedding_quantize_int8",
-    "jl_projection_embeddings",
-    "knn_classify_majority",
-    "knn_graph_cosine",
-    "knn_graph_2hop_reach",
+    "hybrid_retrieval_rrf",
+    "vocab_coverage_topn",
+    "bigram_logprob_quality",
+    "bpe_apply_corpus_stats",
+    "token_length_moments",
+    "dedup_cluster_size_histogram",
+    "lsh_band_bucket_stats",
+    "cross_split_leakage_pairs",
+    "market_basket_part_lift",
+    "ivf_cell_balance",
+    "pca_top_component",
+    "pca_projection_by_label",
+    "knn_graph_incremental_batch",
+    "streaming_heavy_hitters",
+    "pipeline_idempotent_append",
+    "pipeline_delete_roundtrip",
+    "schema_evolution_ingest",
+    "expectations_report",
+    "join_size_forecast",
+    "udaf_weighted_mean_value",
+    "neyman_sample_by_lang",
+    "attribution_last_touch",
+    "event_transition_matrix",
+    "mode_event_type_per_user",
+    "multi_distinct_per_event_type",
+    "dow_event_totals",
+    "weekly_growth_by_type",
+    "hourly_spine_event_counts",
+    "peak_5min_event_rate",
+    "seasonal_hour_anomalies",
+    "twap_user_value",
+    "lag_features_per_user",
+    "grouped_minmax_normalize",
+    "trim_length_outliers",
+    "mad_outliers_per_event_type",
+    "value_decile_bins",
+    "value_histogram_fixed_bins",
+    "value_cume_dist_per_type",
+    "value_gini_per_event_type",
+    "props_entropy_per_event_type",
+    # -- 7 family-representative re-verify seats (all driver-green) --
     "multimodal_frame_sample",
     "pipeline_merge_roundtrip",
-    "pipeline_partition_overwrite",
+    "dedup_survivors_minhash",
+    "knn_graph_cosine",
+    "decontaminate_benchmark",
     "mixture_sample_by_lang",
-    "weighted_sample_by_value",
-    "sample_to_token_budget",
-    "asof_next_purchase_after_signup",
     "point_in_time_features",
-    "cohort_weekly_retention",
-    "funnel_latency_quartiles",
-    "rfm_user_segments",
-    "event_rate_anomaly_zscore",
-    "type_hourly_correlation",
-    "value_trend_correlation_per_user",
-    "value_quartiles_per_user",
-    "window_value_distribution",
-    "transition_entropy_per_type",
-    "fk_orphan_audit",
-    "malformed_json_audit",
-    "profile_events_columns",
-    "key_skew_report",
 ]
 
 

@@ -156,24 +156,24 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin one representative per family group that must never
-    # drift back out of the window (round-7 backlog-clearing rotation:
-    # all 50 seats are never-driver-verified entries; each pin below is
-    # the family's new-window representative)
+    # drift back out of the window (round-8 backlog-retiring rotation:
+    # 43 seats are the last never-driver-verified entries, 7 re-verify
+    # a driver-green representative per otherwise-vacated family)
     for must in [
-        "top_supplier_per_nation",    # TPC-H-ish relational
-        "urgent_and_low_customers",   # conditional-agg relational
-        "dedup_survivors_minhash",    # dedup (LSH -> CC -> survivor)
-        "decontaminate_benchmark",    # benchmark decontamination
-        "streaming_range_join_errors_clicks",  # streaming
-        "lang_id_confusion_matrix",   # text / language-ID
-        "embedding_class_separation", # embedding monitors
-        "knn_graph_2hop_reach",       # graph over kNN edges
-        "multimodal_frame_sample",    # X5 multimodal
-        "pipeline_merge_roundtrip",   # K2 CDC merge pipeline
-        "mixture_sample_by_lang",     # deterministic sampling
-        "point_in_time_features",     # leakage-free temporal join
-        "rfm_user_segments",          # behavioral analytics
-        "fk_orphan_audit",            # data-quality audits
-        "key_skew_report",            # scale diagnostics
+        "q11_important_stock",          # TPC-H-ish relational
+        "dedup_cluster_size_histogram", # dedup (LSH -> CC diagnostics)
+        "decontaminate_benchmark",      # benchmark decontamination
+        "streaming_heavy_hitters",      # streaming (mergeable MG)
+        "bigram_logprob_quality",       # text / LM quality
+        "pca_top_component",            # embeddings / spectral
+        "knn_graph_incremental_batch",  # graph over kNN edges
+        "multimodal_frame_sample",      # X5 multimodal
+        "pipeline_idempotent_append",   # K1 exactly-once sink
+        "neyman_sample_by_lang",        # deterministic sampling
+        "lag_features_per_user",        # temporal feature windows
+        "attribution_last_touch",       # behavioral analytics
+        "expectations_report",          # data-quality rules engine
+        "join_size_forecast",           # scale diagnostics
+        "inverted_index_terms",         # retrieval index build
     ]:
         assert must in Q._DRIVER_WINDOW, must
