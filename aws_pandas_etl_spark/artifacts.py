@@ -1,0 +1,95 @@
+"""Per-user scratch root for materialized query artifacts.
+
+Queries that land data on disk — the build-once kNN edge artifact, the
+K1/K2 sink round-trips, format conversions — need a scratch location
+that is (a) safe on a multi-user host and (b) bounded over time.  A
+bare ``tempfile.gettempdir()`` path gives neither: the system temp dir
+is world-writable, so a predictable artifact name can be pre-created
+(poisoned) by another user and would then be trusted blindly; and
+fingerprint-keyed artifacts accumulate forever as the source data or
+build parameters change.
+
+``artifact_path()`` fixes both:
+
+* every artifact lives under ``$TMPDIR/awspe-<uid>`` created with mode
+  0700; if the directory already exists it must be a real directory
+  (not a symlink) owned by the current user, else we refuse loudly —
+  a pre-created path by anyone else can never be trusted.
+* the first call in each process sweeps entries older than
+  ``STALE_AGE_SEC`` (24 h).  Artifacts are rebuildable by construction
+  (keyed by source mtime/size + params), so the worst case of sweeping
+  one that another long-lived process still holds open is a rebuild,
+  not corruption.
+
+At 100 TB the equivalent is a per-pipeline prefix on distributed
+storage with bucket-policy isolation and TTL lifecycle rules; this
+module is the local-disk rendition of the same contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import stat as stat_mod
+import tempfile
+import time
+
+#: Artifacts untouched for this long are rebuildable dead weight.
+STALE_AGE_SEC = 24 * 3600
+
+_swept = False
+
+
+def artifact_root() -> str:
+    """Return the per-user 0700 scratch root, creating it if needed.
+
+    Refuses a pre-existing path that is not a plain directory owned by
+    the current user (symlink swaps and cross-user pre-creation are
+    the poisoning vectors on a shared temp dir).
+    """
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(), f"awspe-{uid}")
+    try:
+        os.mkdir(root, mode=0o700)
+    except FileExistsError:
+        st = os.lstat(root)
+        if not stat_mod.S_ISDIR(st.st_mode):
+            raise RuntimeError(
+                f"artifact root {root!r} exists but is not a directory "
+                "(possible symlink attack) — remove it manually"
+            )
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"artifact root {root!r} is owned by uid {st.st_uid}, "
+                f"not the current user ({os.getuid()}) — refusing to "
+                "trust a directory another user pre-created"
+            )
+        if stat_mod.S_IMODE(st.st_mode) != 0o700:
+            os.chmod(root, 0o700)
+    _sweep_stale_once(root)
+    return root
+
+
+def artifact_path(*parts: str) -> str:
+    """Join ``parts`` under the per-user artifact root."""
+    return os.path.join(artifact_root(), *parts)
+
+
+def _sweep_stale_once(root: str) -> None:
+    """Once per process, drop root entries idle past STALE_AGE_SEC."""
+    global _swept
+    if _swept:
+        return
+    _swept = True
+    now = time.time()
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    for name in names:
+        p = os.path.join(root, name)
+        try:
+            if now - os.lstat(p).st_mtime > STALE_AGE_SEC:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue

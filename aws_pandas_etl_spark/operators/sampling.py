@@ -96,6 +96,15 @@ def neyman_sample(
     rule); membership is the usual md5-fraction — retry-, partitioning-
     and engine-invariant, replayable by the oracle.
 
+    Degenerate strata: when EVERY stratum has zero variance the Neyman
+    normalizer W is 0 and the optimal rule is undefined — the sampler
+    falls back to proportional allocation (floor(T·n_h/N)) instead of
+    silently returning zero rows.  Flooring systematically
+    under-allocates: the realized total is total_target minus up to
+    |strata| rows (fractional remainders are dropped, never
+    redistributed) — callers needing an exact total should bump
+    total_target by |strata| and trim.
+
     Scale shape: one moment aggregate (|strata| rows), rates broadcast
     back, scan-side filter — sampled-out rows never shuffle (the
     mixture_sample posture).  Returns sampled rows with their
@@ -116,14 +125,18 @@ def neyman_sample(
         group_col, "_n", F.round(nd * F.sqrt(var), 6).alias("_wh")
     )
     tot = wdf.agg(
-        F.sum(F.col("_wh").cast("decimal(18,6)")).cast("double").alias("_W")
+        F.sum(F.col("_wh").cast("decimal(18,6)")).cast("double").alias("_W"),
+        F.sum("_n").cast("double").alias("_ntot"),
     )
+    share = F.when(
+        F.col("_W") > 0, F.col("_wh") / F.col("_W")
+    ).otherwise(F.col("_n").cast("double") / F.col("_ntot"))
     al = (
         wdf.crossJoin(F.broadcast(tot))
         .select(
             group_col,
             "_n",
-            F.floor(F.lit(float(total_target)) * F.col("_wh") / F.col("_W"))
+            F.floor(F.lit(float(total_target)) * share)
             .cast("bigint")
             .alias("_alloc"),
         )

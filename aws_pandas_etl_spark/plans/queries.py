@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from aws_pandas_etl_spark.artifacts import artifact_path
 from aws_pandas_etl_spark.operators import dedup as D
 from aws_pandas_etl_spark.operators import multimodal as MM
 from aws_pandas_etl_spark.operators import similarity as SIM
@@ -649,7 +650,6 @@ def pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
     import os
-    import tempfile
 
     from aws_pandas_etl_spark.operators.transforms import (
         active_tables,
@@ -688,11 +688,8 @@ def pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few KB per process) and lands under the OS tempdir, which the OS
     # reaps.
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "aws_pandas_etl_spark_roundtrip",
-        f"{tag}_pid{os.getpid()}",
-        "orders",
+    path = artifact_path(
+        "roundtrip", f"{tag}_pid{os.getpid()}", "orders"
     )
     loaded = overwrite_load(df, path)
     back = read_back(spark, path)
@@ -736,7 +733,6 @@ def pipeline_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconciliation breaks the match.
     """
     import os
-    import tempfile
 
     from aws_pandas_etl_spark.plans.pipeline import TableSpec, run
 
@@ -751,11 +747,7 @@ def pipeline_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     def source(s: SparkSession, name: str) -> DataFrame:
         return load_table(s, sf_dir, "part" if name == "part_inactive" else "orders")
 
-    target = os.path.join(
-        tempfile.gettempdir(),
-        "aws_pandas_etl_spark_error_isolation",
-        f"pid{os.getpid()}",
-    )
+    target = artifact_path("error_isolation", f"pid{os.getpid()}")
     results = run(spark, specs, source, target)
     assert len(results) == 3  # every table reported, failure included
     return spark.createDataFrame(
@@ -2166,10 +2158,14 @@ WITH st AS (
                          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS wh
   FROM st
 ), tot AS (
-  SELECT CAST(SUM(CAST(wh AS DECIMAL(18,6))) AS DOUBLE) AS W FROM w
+  SELECT CAST(SUM(CAST(wh AS DECIMAL(18,6))) AS DOUBLE) AS W,
+         CAST(SUM(n) AS DOUBLE) AS ntot
+  FROM w
 ), al AS (
   SELECT lang, n,
-         CAST(FLOOR({NEYMAN_TOTAL}.0 * wh / W) AS BIGINT) AS alloc
+         CAST(FLOOR({NEYMAN_TOTAL}.0 * CASE WHEN W > 0 THEN wh / W
+                                            ELSE CAST(n AS DOUBLE) / ntot END)
+              AS BIGINT) AS alloc
   FROM w, tot
 ), r AS (
   SELECT lang, alloc,
@@ -3066,7 +3062,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "val"
     )
     per_part = g.groupBy("l_partkey").agg(F.sum("val").alias("val_d"))
-    thresh = g.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("thresh"))
+    # threshold re-aggregates the |parts|-sized per_part frame (exact
+    # decimal sum, same value as summing g) instead of the much larger
+    # pre-aggregate join output
+    thresh = per_part.agg(
+        (F.sum("val_d").cast("double") * F.lit(0.001)).alias("thresh")
+    )
     return (
         per_part.crossJoin(F.broadcast(thresh))
         .filter(F.col("val_d").cast("double") > F.col("thresh"))
@@ -5421,7 +5422,6 @@ def pipeline_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-only (sources/sinks.py::merge_load).
     """
     import os
-    import tempfile
 
     from aws_pandas_etl_spark.sources.sinks import merge_load, read_back
 
@@ -5434,11 +5434,8 @@ def pipeline_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
         .withColumn("ver", F.lit(2).cast("int"))
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "aws_pandas_etl_spark_merge_roundtrip",
-        f"pid{os.getpid()}",
-        "orders",
+    path = artifact_path(
+        "merge_roundtrip", f"pid{os.getpid()}", "orders"
     )
     n1 = merge_load(seed, path, keys=["o_orderkey"], order_col="ver")
     n2 = merge_load(updates, path, keys=["o_orderkey"], order_col="ver")
@@ -5477,7 +5474,6 @@ def pipeline_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     those users").  The reference's only deletion is TRUNCATE —
     whole-table, not keyed."""
     import os
-    import tempfile
 
     from aws_pandas_etl_spark.sources.sinks import (
         delete_load,
@@ -5488,11 +5484,8 @@ def pipeline_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "aws_pandas_etl_spark_delete_roundtrip",
-        f"pid{os.getpid()}",
-        "events",
+    path = artifact_path(
+        "delete_roundtrip", f"pid{os.getpid()}", "events"
     )
     n0 = overwrite_load(ev, path)
     forget = ev.filter(F.col("user_id") % 13 == 5).select("user_id")
@@ -5528,7 +5521,6 @@ def pipeline_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; a writer that double-applied would double batch 2's rows
     and break the oracle."""
     import os
-    import tempfile
     import uuid
 
     from aws_pandas_etl_spark.sources.sinks import (
@@ -5542,13 +5534,12 @@ def pipeline_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh target per invocation: the commit markers are the POINT of
     # this query, so a pid-stable path would see batch-ids already
     # committed on the second run in the same process and (correctly)
-    # refuse to re-apply them — breaking the applied-flag assertions
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "aws_pandas_etl_spark_idempotent_append",
-        uuid.uuid4().hex[:12],
-        "events",
-    )
+    # refuse to re-apply them — breaking the applied-flag assertions.
+    # The uuid dir is removed before returning (the aggregate is
+    # collected eagerly below), so repeated runs don't accumulate a
+    # full copy of events per invocation.
+    base = artifact_path("idempotent_append", uuid.uuid4().hex[:12])
+    path = os.path.join(base, "events")
     batches = [ev.filter(F.col("user_id") % 3 == i) for i in range(3)]
     _, a1 = idempotent_append_load(batches[0], path, "b0")
     _, a2 = idempotent_append_load(batches[1], path, "b1")
@@ -5559,7 +5550,7 @@ def pipeline_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"idempotent commit flags wrong: {a1} {a2} {a2r} {a3}"
         )
     back = read_batched_target(spark, path)
-    return (
+    agg = (
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -5569,6 +5560,14 @@ def pipeline_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    # materialize eagerly (|event_type| rows) so the landing zone can
+    # be deleted now — a lazily-scanning return would pin the uuid dir
+    # forever and leak one copy of events per invocation
+    rows = agg.collect()
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 SCHEMA_EVOLUTION_ORACLE = """
@@ -5598,16 +5597,12 @@ def schema_evolution_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     change (pa.Table.from_pandas against a fixed schema,
     dataframe_operations.py:103)."""
     import os
-    import tempfile
 
     from aws_pandas_etl_spark.sources.readers import read_parquet_merged
 
     ev = load_table(spark, sf_dir, "events")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "aws_pandas_etl_spark_schema_evolution",
-        f"pid{os.getpid()}",
-        "events",
+    path = artifact_path(
+        "schema_evolution", f"pid{os.getpid()}", "events"
     )
     b1 = ev.filter(F.col("user_id") % 2 == 0).select(
         "event_id", "event_type"
@@ -5658,7 +5653,6 @@ def pipeline_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     target date would double-count.
     """
     import os
-    import tempfile
 
     from aws_pandas_etl_spark.sources.sinks import (
         overwrite_partitions_load,
@@ -5668,11 +5662,8 @@ def pipeline_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("ts").cast("date").alias("event_date")
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "aws_pandas_etl_spark_partition_overwrite",
-        f"pid{os.getpid()}",
-        "events",
+    path = artifact_path(
+        "partition_overwrite", f"pid{os.getpid()}", "events"
     )
     reload_day = F.lit("2024-01-03").cast("date")
     overwrite_partitions_load(ev, path, ["event_date"])
@@ -6551,7 +6542,6 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     an uncached build."""
     import hashlib
     import os
-    import tempfile
 
     from aws_pandas_etl_spark.operators.clustering import (
         knn_graph,
@@ -6580,7 +6570,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"|kn={KNN_GRAPH_K}|ki={KMEANS_ITERS}|p={SEMDEDUP_PROBES}"
     )
     tag = hashlib.md5(ident.encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"awspe_knn_graph_{tag}")
+    path = artifact_path(f"knn_graph_{tag}")
     if not os.path.isdir(path):
         write_knn_graph(_build(), path)
     return read_knn_graph(spark, path)
@@ -6653,7 +6643,6 @@ def knn_graph_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     import hashlib
     import os
-    import tempfile
 
     from aws_pandas_etl_spark.operators.clustering import (
         kmeans_fit,
@@ -6692,7 +6681,7 @@ def knn_graph_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"|ki={KMEANS_ITERS}|p={SEMDEDUP_PROBES}"
         )
         tag = hashlib.md5(ident.encode()).hexdigest()[:16]
-        path = os.path.join(tempfile.gettempdir(), f"awspe_knn_old_{tag}")
+        path = artifact_path(f"knn_old_{tag}")
         if not os.path.isdir(path):
             write_knn_graph(_old_edges_build(), path)
         old_edges = read_knn_graph(spark, path)
@@ -7978,7 +7967,6 @@ def format_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; text formats cost ~3-5x parquet at scan time, which is
     the measured argument for converting landing data to parquet
     once."""
-    import tempfile as _tf
     import shutil as _sh
     import atexit as _ax
     import os as _os
@@ -7993,7 +7981,7 @@ def format_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
-    base = _os.path.join(_tf.gettempdir(), f"fmt_{_uu.uuid4().hex[:8]}")
+    base = artifact_path(f"fmt_{_uu.uuid4().hex[:8]}")
     _ax.register(_sh.rmtree, base, ignore_errors=True)
     schema = "event_id bigint, user_id bigint, value double"
     parts = []

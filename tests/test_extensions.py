@@ -842,17 +842,19 @@ def test_knn_graph_artifact_built_once_and_reused(spark):
     import glob
     import os
 
+    from aws_pandas_etl_spark.artifacts import artifact_path
     from aws_pandas_etl_spark.plans import queries as Q
 
     sf_dir = "/root/testdata/sf0.001"
-    for p in glob.glob("/tmp/awspe_knn_graph_*"):
+    pattern = artifact_path("knn_graph_*")
+    for p in glob.glob(pattern):
         import shutil
 
         shutil.rmtree(p, ignore_errors=True)
     direct = sorted(
         tuple(r) for r in Q.knn_graph_cosine(spark, sf_dir).collect()
     )
-    paths = glob.glob("/tmp/awspe_knn_graph_*")
+    paths = glob.glob(pattern)
     assert len(paths) == 1
     mtime = os.path.getmtime(paths[0])
     again = sorted(
@@ -861,7 +863,7 @@ def test_knn_graph_artifact_built_once_and_reused(spark):
     assert again == direct
     # 2hop rides the same artifact — still no rebuild
     Q.knn_graph_2hop_reach(spark, sf_dir).count()
-    assert glob.glob("/tmp/awspe_knn_graph_*") == paths
+    assert glob.glob(pattern) == paths
     assert os.path.getmtime(paths[0]) == mtime
 
 
@@ -992,3 +994,103 @@ def test_pca_power_iteration_properties(spark):
     # convergence speed)
     top = float(np.linalg.eigvalsh(C)[-1])
     assert rq(v) >= 0.5 * top
+
+
+def test_knn_graph_artifact_rebuilds_on_source_mutation(spark, tmp_path):
+    """The artifact key fingerprints the source parquet's (path, mtime,
+    size): touching the source must produce a NEW artifact, not serve
+    the stale one — the invalidation half of the build-once contract
+    (the reuse half is pinned in test_knn_graph_artifact_built_once)."""
+    import glob
+    import os
+    import shutil
+
+    from aws_pandas_etl_spark.artifacts import artifact_path
+    from aws_pandas_etl_spark.plans import queries as Q
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    shutil.copyfile("/root/testdata/sf0.001/embeddings.parquet", src)
+    pattern = artifact_path("knn_graph_*")
+    before = set(glob.glob(pattern))
+    first = sorted(tuple(r) for r in Q.knn_graph_cosine(spark, sf_dir).collect())
+    mid = set(glob.glob(pattern))
+    assert len(mid - before) == 1  # one fresh artifact for this corpus
+    # mutate the source identity (mtime) without changing content:
+    # the fingerprint must miss and a second artifact must appear
+    st = os.stat(src)
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    second = sorted(tuple(r) for r in Q.knn_graph_cosine(spark, sf_dir).collect())
+    after = set(glob.glob(pattern))
+    assert len(after - mid) == 1  # rebuilt under a new key
+    assert second == first  # same bytes -> same deterministic graph
+    for p in (after - before):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_artifact_root_per_user_0700_and_sweeps_stale(tmp_path, monkeypatch):
+    """Artifact hygiene contract: the root is uid-scoped and 0700 (a
+    world-writable temp dir is the poisoning vector), a symlink at the
+    root path is refused, and entries idle past STALE_AGE_SEC are
+    swept exactly once per process."""
+    import os
+    import stat
+    import time
+
+    import aws_pandas_etl_spark.artifacts as A
+
+    monkeypatch.setattr(A.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(A, "_swept", False)
+    root = A.artifact_root()
+    assert root == str(tmp_path / f"awspe-{os.getuid()}")
+    assert stat.S_IMODE(os.stat(root).st_mode) == 0o700
+    # stale entry (mtime pushed past the horizon) is swept on the next
+    # fresh-process call; a young sibling survives
+    stale = os.path.join(root, "knn_graph_deadbeef")
+    young = os.path.join(root, "knn_graph_young")
+    os.makedirs(stale)
+    os.makedirs(young)
+    old = time.time() - A.STALE_AGE_SEC - 60
+    os.utime(stale, (old, old))
+    monkeypatch.setattr(A, "_swept", False)
+    A.artifact_root()
+    assert not os.path.exists(stale)
+    assert os.path.isdir(young)
+    # a symlinked root is an attack, not a directory to trust
+    os.rmdir(young)
+    os.rmdir(root)
+    target = tmp_path / "elsewhere"
+    target.mkdir()
+    os.symlink(str(target), root)
+    monkeypatch.setattr(A, "_swept", False)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="not a directory"):
+        A.artifact_root()
+    os.unlink(root)
+
+
+def test_neyman_sample_zero_variance_falls_back_proportional(spark):
+    """When every stratum has zero variance the Neyman normalizer W is
+    0 and optimal allocation is undefined — the sampler must fall back
+    to proportional allocation (floor(T*n_h/N)) instead of silently
+    returning zero rows."""
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.operators.sampling import neyman_sample
+
+    rows = [Row(g="a", v=5, doc_id=i) for i in range(30)] + [
+        Row(g="b", v=7, doc_id=100 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    out = neyman_sample(df, "g", "v", total_target=20, id_col="doc_id")
+    allocs = {
+        r["g"]: r["_alloc"]
+        for r in out.select("g", "_alloc").distinct().collect()
+    }
+    # proportional: a gets floor(20*30/40)=15, b gets floor(20*10/40)=5
+    assert allocs == {"a": 15, "b": 5}
+    # and the sampler actually returns rows (the old behavior was a
+    # NULL rate -> empty result)
+    assert out.count() > 0
