@@ -9554,6 +9554,259 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Round-8 additions: corpus-curation diagnostics (novelty scoring,
+# mixture divergence, vocabulary growth) + write planning
+# ===========================================================================
+
+NOVELTY_N = 8
+
+NGRAM_NOVELTY_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_dk_toks('text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(toks) - {NOVELTY_N - 1}, 0)),
+    i -> array_to_string(list_slice(toks, i, i + {NOVELTY_N - 1}), ' ')))) AS gram
+  FROM t
+), fo AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       ROUND(CAST(SUM(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM g JOIN fo USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+@register("ngram_novelty_per_doc", NGRAM_NOVELTY_ORACLE)
+def ngram_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty score: the fraction of a doc's distinct
+    8-gram shingles whose FIRST corpus occurrence (min doc_id) is this
+    doc — the streaming-order novelty signal curation pipelines use to
+    down-weight documents that mostly restate earlier content (the
+    soft sibling of hard near-dedup; a doc that is 100% novel shares
+    no 8-gram with any earlier doc).  Docs shorter than 8 tokens have
+    no shingles and drop out (novelty undefined).
+
+    Scale shape: one shingle explode (distinct per doc, so bounded by
+    token count), one groupBy gram for first-occurrence, one
+    gram-keyed join back (same key as the groupBy — the exchange is
+    reused), one groupBy doc.  Never pairwise; cost is O(total
+    shingles), the decontamination posture."""
+    from aws_pandas_etl_spark.functions.hashing import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(shingles("text", n=NOVELTY_N)).alias("gram")
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("double"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+SOURCE_KL_ORACLE = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS DOUBLE) AS td, CAST(SUM(n_chars) AS DOUBLE) AS tc
+  FROM s
+)
+SELECT source, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / td, 6) AS share_docs,
+       ROUND(CAST(n_chars AS DOUBLE) / tc, 6) AS share_chars,
+       ROUND((CAST(n_chars AS DOUBLE) / tc)
+             * ln((CAST(n_chars AS DOUBLE) / tc)
+                  / (CAST(n_docs AS DOUBLE) / td)), 6) AS kl_term
+FROM s, tot ORDER BY source
+"""
+
+
+@register("source_mixture_kl", SOURCE_KL_ORACLE)
+def source_mixture_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift diagnostic: per source, its share of DOCUMENTS vs
+    its share of CHARACTERS, and the per-source KL(chars ‖ docs) term.
+    Sampling a corpus uniformly by document silently re-weights the
+    trained-token mixture toward short-doc sources; the summed kl_term
+    is exactly how many nats the doc-uniform sampler diverges from the
+    token mixture — the number a curation run checks before picking
+    its sampling unit.
+
+    Scale shape: one |sources|-row aggregate, 1-row totals broadcast
+    back (scalar cross join), pure expression math after."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("_nc"),
+    )
+    tot = s.agg(
+        F.sum("n_docs").cast("double").alias("_td"),
+        F.sum("_nc").cast("double").alias("_tc"),
+    )
+    sd = F.col("n_docs").cast("double") / F.col("_td")
+    sc = F.col("_nc").cast("double") / F.col("_tc")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(sd, 6).alias("share_docs"),
+            F.round(sc, 6).alias("share_chars"),
+            F.round(sc * F.log(sc / sd), 6).alias("kl_term"),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_GROWTH_ORACLE = f"""
+WITH b AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+), d AS (
+  SELECT least(9, ((doc_id - lo) * 10) // (hi - lo + 1)) AS slice,
+         len({_dk_toks('text')}) AS n_toks
+  FROM documents, b
+), toks AS (
+  SELECT slice, CAST(SUM(n_toks) AS BIGINT) AS slice_tokens
+  FROM d GROUP BY slice
+), fo AS (
+  SELECT term, MIN(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest({_dk_toks('text')}) AS term FROM documents
+  ) GROUP BY term
+), types AS (
+  SELECT least(9, ((first_doc - lo) * 10) // (hi - lo + 1)) AS slice,
+         CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM fo, b GROUP BY slice
+)
+SELECT CAST(t.slice + 1 AS BIGINT) AS corpus_decile,
+       CAST(SUM(t.slice_tokens) OVER (ORDER BY t.slice) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(coalesce(y.new_types, 0)) OVER (ORDER BY t.slice) AS BIGINT)
+         AS cum_types
+FROM toks t LEFT JOIN types y ON t.slice = y.slice
+ORDER BY corpus_decile
+"""
+
+
+@register("vocab_growth_by_corpus_slice", VOCAB_GROWTH_ORACLE)
+def vocab_growth_by_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law measurement: cumulative token count vs cumulative
+    distinct vocabulary (types) as the corpus accretes in doc_id
+    order, checkpointed at 10 equal-width doc_id slices — the
+    vocabulary-growth curve that sizes a tokenizer vocab and predicts
+    OOV rates as a crawl grows.
+
+    Deliberately NOT rank-deciles: ntile(10) over doc_id would funnel
+    the whole table through one window partition.  Equal-width doc_id
+    slices need only a 1-row (min, max) broadcast; slice assignment is
+    exact BIGINT arithmetic (``* 10`` then integral division), the
+    type count rides the same first-occurrence groupBy as novelty
+    scoring, and the only window is the 10-row running sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+    )
+
+    def _slice(c: F.Column) -> F.Column:
+        span = F.col("_hi") - F.col("_lo") + F.lit(1)
+        return F.least(
+            F.lit(9).cast("bigint"),
+            ((c - F.col("_lo")) * F.lit(10) - ((c - F.col("_lo")) * F.lit(10)) % span)
+            / span,
+        ).cast("bigint")
+
+    d = docs.crossJoin(F.broadcast(b)).select(
+        _slice(F.col("doc_id")).alias("slice"),
+        F.size(TX.tokens("text")).cast("bigint").alias("n_toks"),
+    )
+    toks = d.groupBy("slice").agg(
+        F.sum("n_toks").cast("bigint").alias("slice_tokens")
+    )
+    fo = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    types = (
+        fo.crossJoin(F.broadcast(b))
+        .select(_slice(F.col("first_doc")).alias("slice"))
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    w = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        toks.join(types, "slice", "left")
+        .select(
+            (F.col("slice") + 1).cast("bigint").alias("corpus_decile"),
+            F.sum("slice_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_types"),
+        )
+        .orderBy("corpus_decile")
+    )
+
+
+SHARD_TARGET_ROWS = 20_000
+
+SHARD_PLAN_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(ts AS DATE) AS event_date, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT event_date, n_rows,
+       CAST(CEIL(CAST(n_rows AS DOUBLE) / {SHARD_TARGET_ROWS}) AS BIGINT)
+         AS n_files,
+       CAST(CEIL(CAST(n_rows AS DOUBLE)
+                 / CEIL(CAST(n_rows AS DOUBLE) / {SHARD_TARGET_ROWS}))
+            AS BIGINT) AS rows_per_file
+FROM g ORDER BY event_date
+"""
+
+
+@register("write_shard_plan_by_date", SHARD_PLAN_ORACLE)
+def write_shard_plan_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-layout planner: per date partition, how many files a
+    partitioned write should produce at {SHARD_TARGET_ROWS} rows/file,
+    and the balanced rows-per-file that ceil implies.  This is the
+    pre-flight that prevents the two partitioned-write failure modes
+    at 100 TB — per-task files (32 000 tiny files/day from a 1000-task
+    stage) and one-file-per-partition (a 2 GB single-threaded write):
+    feed n_files into repartition(sum(n_files), partition cols, rand)
+    or operators/layout.py's compaction before the write.
+
+    Scale shape: one |dates|-row aggregate; the plan output is always
+    partition-count-sized, never data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    n_files = F.ceil(
+        F.col("n_rows").cast("double") / F.lit(SHARD_TARGET_ROWS)
+    ).cast("bigint")
+    return g.select(
+        "event_date",
+        "n_rows",
+        n_files.alias("n_files"),
+        F.ceil(F.col("n_rows").cast("double") / n_files.cast("double"))
+        .cast("bigint")
+        .alias("rows_per_file"),
+    ).orderBy("event_date")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
@@ -9653,16 +9906,16 @@ def pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additions, q11/q20, the PCA pair, and the two seats r7 could not
 # green (inverted_index_terms, now emitting string postings for the
 # driver canonicalizer, and neyman_sample_by_lang, now allowlisted for
-# its 1-row scalar cross).  The remaining 7 seats re-verify one
-# driver-green representative per family whose members are otherwise
-# all rotated out or whose code was touched this round:
-# multimodal_frame_sample (X5's only query), pipeline_merge_roundtrip
-# (merge tiebreak_col hardening), dedup_survivors_minhash (X2 LSH->CC
-# core), knn_graph_cosine (artifact cache relocated to a per-user
-# 0700 directory this round), decontaminate_benchmark,
-# mixture_sample_by_lang (cross-checks the new Neyman seat), and
-# point_in_time_features (leakage-free temporal join).  A green r8
-# window makes the cumulative union 192/192.
+# its 1-row scalar cross).  4 seats go to the four round-8 additions
+# (ngram_novelty_per_doc, source_mixture_kl,
+# vocab_growth_by_corpus_slice, write_shard_plan_by_date) so new
+# queries earn their driver row in the round they are born.  The
+# remaining 3 seats re-verify one driver-green representative per
+# family whose members are otherwise all rotated out or whose code
+# was touched this round: multimodal_frame_sample (X5's only query),
+# pipeline_merge_roundtrip (merge tiebreak_col hardening), and
+# decontaminate_benchmark.  A green r8 window makes the cumulative
+# union 196/196.
 _DRIVER_WINDOW = [
     # -- 43 never-driver-verified seats --
     "q11_important_stock",
@@ -9708,14 +9961,15 @@ _DRIVER_WINDOW = [
     "value_cume_dist_per_type",
     "value_gini_per_event_type",
     "props_entropy_per_event_type",
-    # -- 7 family-representative re-verify seats (all driver-green) --
+    # -- 4 round-8 additions (driver row in their birth round) --
+    "ngram_novelty_per_doc",
+    "source_mixture_kl",
+    "vocab_growth_by_corpus_slice",
+    "write_shard_plan_by_date",
+    # -- 3 family-representative re-verify seats (all driver-green) --
     "multimodal_frame_sample",
     "pipeline_merge_roundtrip",
-    "dedup_survivors_minhash",
-    "knn_graph_cosine",
     "decontaminate_benchmark",
-    "mixture_sample_by_lang",
-    "point_in_time_features",
 ]
 
 

@@ -136,6 +136,8 @@ _SCALAR_CROSS_OK = {
     "market_basket_part_lift",       # 1-row n_orders denominator
     "pca_projection_by_label",       # 1-row axis via pca_fit collects
     "neyman_sample_by_lang",         # 1-row Neyman normalizer W
+    "source_mixture_kl",             # 1-row doc/char totals
+    "vocab_growth_by_corpus_slice",  # 1-row (min,max) doc_id bounds
 }
 
 # Streaming queries execute a real job on invocation — planning them
