@@ -5394,7 +5394,7 @@ MERGE_ROUNDTRIP_ORACLE = """
 WITH merged AS (
   SELECT o_orderkey, o_orderpriority,
          CASE WHEN o_orderkey % 3 = 0
-              THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+              THEN o_totalprice + 2000.0 ELSE o_totalprice END AS price
   FROM orders
 )
 SELECT o_orderpriority AS order_priority,
@@ -5414,12 +5414,18 @@ def pipeline_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     redshift_operations.py:121-167), driver-verifiable end-to-end.
 
     Batch 1 seeds every order at version 1; batch 2 upserts a third of
-    the keys (``o_orderkey % 3 = 0``) with a changed price at version 2.
-    The aggregate runs over the READ-BACK merged target, so a merge that
-    drops history, double-counts updated keys, loses the keep-aside
-    swap, or applies the wrong version breaks the oracle match.  The
-    compaction itself is one shuffle on the merge key; the swap is
-    metadata-only (sources/sinks.py::merge_load).
+    the keys (``o_orderkey % 3 = 0``) at version 2 — and delivers each
+    updated key TWICE inside the batch, tied on (key, ver) and differing
+    only in ``upd_id`` and price (+1000 vs +2000): the CDC double-send.
+    ``tiebreak_col="upd_id"`` must deterministically keep the
+    higher-``upd_id`` (+2000) row; a merge that resolves in-batch ties
+    by partition luck flips ~half the updated keys to +1000 and breaks
+    ``sum_price``.  The aggregate runs over the READ-BACK merged
+    target, so a merge that drops history, double-counts updated keys,
+    loses the keep-aside swap, or applies the wrong version also
+    breaks the oracle match.  The compaction itself is one shuffle on
+    the merge key; the swap is metadata-only
+    (sources/sinks.py::merge_load).
     """
     import os
 
@@ -5428,17 +5434,33 @@ def pipeline_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    seed = orders.withColumn("ver", F.lit(1).cast("int"))
+    seed = orders.withColumn("ver", F.lit(1).cast("int")).withColumn(
+        "upd_id", F.lit(0).cast("int")
+    )
+    changed = orders.filter(F.col("o_orderkey") % 3 == 0)
     updates = (
-        orders.filter(F.col("o_orderkey") % 3 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        changed.withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        .withColumn("upd_id", F.lit(1).cast("int"))
+        .unionByName(
+            changed.withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(2000.0)
+            ).withColumn("upd_id", F.lit(2).cast("int"))
+        )
         .withColumn("ver", F.lit(2).cast("int"))
     )
     path = artifact_path(
         "merge_roundtrip", f"pid{os.getpid()}", "orders"
     )
     n1 = merge_load(seed, path, keys=["o_orderkey"], order_col="ver")
-    n2 = merge_load(updates, path, keys=["o_orderkey"], order_col="ver")
+    n2 = merge_load(
+        updates,
+        path,
+        keys=["o_orderkey"],
+        order_col="ver",
+        tiebreak_col="upd_id",
+    )
     if n1 != n2:  # upsert must not grow the keyspace
         raise AssertionError(f"merge grew keys: {n1} -> {n2}")
     back = read_back(spark, path)
