@@ -9782,6 +9782,98 @@ def vocab_growth_by_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_N_PARTS = 16
+RANGE_SAMPLE_TARGET = 4096.0
+
+RANGE_BOUNDS_ORACLE = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows FROM events),
+samp AS (
+  SELECT e.value, e.event_id
+  FROM events e, n
+  WHERE CAST(('0x'||substr(md5('rbounds:'||CAST(e.event_id AS VARCHAR)),1,15))
+             AS BIGINT) / 1152921504606846976.0
+        < least(1.0, {RANGE_SAMPLE_TARGET} / n.n_rows)
+), r AS (
+  SELECT value,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER () AS sn
+  FROM samp
+)
+SELECT CAST(k AS BIGINT) AS bound_idx,
+       MAX(CASE WHEN rn = CAST(floor((CAST(k AS DOUBLE) / {RANGE_N_PARTS})
+                                     * (sn - 1)) AS BIGINT) + 1
+                THEN value END) AS boundary
+FROM r, unnest(generate_series(1, {RANGE_N_PARTS - 1})) AS u(k)
+GROUP BY k ORDER BY bound_idx
+"""
+
+
+@register("range_partition_bounds_value", RANGE_BOUNDS_ORACLE)
+def range_partition_bounds_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic range-partitioner planning: the {RANGE_N_PARTS - 1}
+    split points a repartitionByRange(value) of events would use,
+    derived from a size-bounded deterministic sample — the primitive
+    behind every sort-based layout decision (range exchange, z-order
+    sibling, sorted parquet writes).  Spark's own RangePartitioner does
+    exactly this with a random reservoir; the md5-fraction variant is
+    retry-invariant and oracle-replayable.
+
+    Scale shape: the sample RATE adapts to the corpus (~{int(RANGE_SAMPLE_TARGET)}
+    rows regardless of size, from a 1-row count broadcast), so the one
+    global ordered-row-selection window runs over a BOUNDED frame —
+    the full table never hits a single partition, at 100 TB or
+    otherwise.  Boundaries are exact order statistics of the sample
+    (percentile_disc semantics, (value, event_id) tie-break)."""
+    from aws_pandas_etl_spark.operators.sampling import hash_fraction
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    n = ev.agg(F.count(F.lit(1)).cast("double").alias("n_rows"))
+    samp = (
+        ev.crossJoin(F.broadcast(n))
+        .filter(
+            hash_fraction(F.col("event_id"), "rbounds")
+            < F.least(
+                F.lit(1.0), F.lit(RANGE_SAMPLE_TARGET) / F.col("n_rows")
+            )
+        )
+        .select("value", "event_id")
+    )
+    w = Window.orderBy("value", "event_id")
+    r = samp.select(
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("sn"),
+    )
+    ks = spark.range(1, RANGE_N_PARTS).select(
+        F.col("id").cast("bigint").alias("bound_idx")
+    )
+    return (
+        r.crossJoin(F.broadcast(ks))
+        .groupBy("bound_idx")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.floor(
+                        (
+                            F.col("bound_idx").cast("double")
+                            / F.lit(float(RANGE_N_PARTS))
+                        )
+                        * (F.col("sn") - 1)
+                    ).cast("bigint")
+                    + 1,
+                    F.col("value"),
+                )
+            ).alias("boundary")
+        )
+        .orderBy("bound_idx")
+    )
+
+
 SHARD_TARGET_ROWS = 20_000
 
 SHARD_PLAN_ORACLE = f"""
