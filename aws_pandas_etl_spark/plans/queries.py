@@ -10083,7 +10083,9 @@ def write_shard_plan_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 # was touched this round: multimodal_frame_sample (X5's only query),
 # pipeline_merge_roundtrip (merge tiebreak_col hardening), and
 # decontaminate_benchmark.  A green r8 window makes the cumulative
-# union 196/196.
+# union 196/197 — the one unseated entry is the fifth round-8
+# addition (range_partition_bounds_value, exact-value-green in the
+# local sweep from birth), which takes a seat in round 9.
 _DRIVER_WINDOW = [
     # -- 43 never-driver-verified seats --
     "q11_important_stock",
