@@ -9975,6 +9975,270 @@ def write_shard_plan_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_date")
 
 
+def _survivors_quality_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+), e AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+), q AS (
+  SELECT doc_id,
+         ROUND(
+           0.4 * LEAST(1.0, CAST(len({_dk_toks('text')}) AS DOUBLE) / 50.0)
+         + 0.3 * (CAST(len(list_distinct({_dk_toks('text')})) AS DOUBLE)
+                  / GREATEST(len({_dk_toks('text')}), 1))
+         + 0.3 * (CAST(LENGTH(regexp_replace(coalesce(text, ''),
+                                             '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / GREATEST(LENGTH(coalesce(text, '')), 1)),
+         6) AS quality
+  FROM documents
+), lab AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id,
+         q.quality
+  FROM documents d LEFT JOIN comp c USING (doc_id) JOIN q USING (doc_id)
+)
+SELECT component_id, doc_id AS survivor_id,
+       CAST(n_members AS BIGINT) AS n_members, quality
+FROM (
+  SELECT component_id, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY component_id) AS n_members
+  FROM lab
+) WHERE rn = 1
+"""
+
+
+@register("dedup_survivors_by_quality", _survivors_quality_oracle())
+def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy survivorship: same transitive near-dup clusters
+    as dedup_survivors_minhash, but the canonical survivor is the
+    HIGHEST-quality member (deterministic heuristic score, ties to
+    smallest doc_id) instead of the longest — the policy axis real
+    curation pipelines flip when boilerplate-padded long copies should
+    lose to clean short ones.  Rides the shared materialized CC
+    labeling (_cc_components); the policy itself is one scan-side
+    quality expression + one per-component window, so changing
+    survivor policy never re-runs the LSH->CC build."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _cc_components(spark, sf_dir).select("doc_id", "component_id")
+    lab = (
+        docs.select(
+            "doc_id", F.round(TX.quality_score("text"), 6).alias("quality")
+        )
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wn = Window.partitionBy("component_id")
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wn).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("survivor_id"),
+            "n_members",
+            "quality",
+        )
+    )
+
+
+FERTILITY_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         len({_dk_toks('text')}) AS ws,
+         len(regexp_extract_all(coalesce(text, ''), '{TX.BPE_TOKEN_RE}')) AS bpe
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(CAST(SUM(bpe) AS DOUBLE) / GREATEST(SUM(ws), 1), 6) AS fertility
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+@register("bpe_fertility_by_lang", FERTILITY_ORACLE)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword pieces per whitespace word) by
+    language — the tokenizer-equity diagnostic: languages whose
+    fertility runs high pay more context budget per sentence and
+    effectively train on less text at a fixed token count.  Exact
+    integer token counts per doc (both tokenizations are scan-side
+    expressions), one |langs|-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(TX.tokens("text")).cast("bigint").alias("ws"),
+        TX.token_count_bpe("text").cast("bigint").alias("bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+            F.round(
+                F.sum("bpe").cast("double")
+                / F.greatest(F.sum("ws"), F.lit(1)),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _split_chi2_oracle() -> str:
+    from aws_pandas_etl_spark.functions.hashing import hash_bucket_sql
+
+    bucket = hash_bucket_sql("doc_id", "split")
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN {bucket} < 80 THEN 'train'
+              WHEN {bucket} < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         lang
+  FROM documents
+), o AS (
+  SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM s GROUP BY split, lang
+), rt AS (
+  SELECT split, CAST(SUM(n_docs) AS BIGINT) AS row_tot FROM o GROUP BY split
+), ct AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS col_tot FROM o GROUP BY lang
+), tt AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM o
+)
+SELECT o.split, o.lang, o.n_docs,
+       ROUND(CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tt.total, 6) AS expected,
+       ROUND((o.n_docs - CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tt.total)
+             * (o.n_docs - CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tt.total)
+             / (CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tt.total), 6)
+         AS chi2_contrib
+FROM o JOIN rt USING (split) JOIN ct USING (lang), tt
+"""
+
+
+@register("split_lang_independence_chi2", _split_chi2_oracle())
+def split_lang_independence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-quality audit: chi-square independence cells for the
+    (train/val/test split x lang) contingency table.  A sound
+    hash-based split is independent of every document attribute; a
+    large summed chi2 here means the eval sets are language-skewed
+    and benchmark numbers won't transfer.  Same cell/marginal shape
+    as lang_source_chi2 — one bounded groupBy, marginal rollups of
+    the CELL table, a 1-row total broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.select(
+        TX.assign_split("doc_id").alias("split"), "lang"
+    ).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    rt = o.groupBy("split").agg(
+        F.sum("n_docs").cast("bigint").alias("row_tot")
+    )
+    ct = o.groupBy("lang").agg(F.sum("n_docs").cast("bigint").alias("col_tot"))
+    tt = o.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+    contrib = (F.col("n_docs") - e) * (F.col("n_docs") - e) / e
+    return (
+        o.join(rt, "split")
+        .join(ct, "lang")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            F.round(e, 6).alias("expected"),
+            F.round(contrib, 6).alias("chi2_contrib"),
+        )
+    )
+
+
+MRL_PREFIXES = [8, 16, 32]
+
+MRL_ORACLE = f"""
+WITH k AS (SELECT unnest([{', '.join(str(k) for k in MRL_PREFIXES)}]) AS prefix_len),
+r AS (
+  SELECT k.prefix_len,
+         ROUND(sqrt(list_sum(list_transform(
+                 list_slice(e.embedding, 1, k.prefix_len),
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               / sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS rc
+  FROM embeddings e, k
+)
+SELECT CAST(prefix_len AS BIGINT) AS prefix_len,
+       CAST(CAST(SUM(CAST(rc AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS DOUBLE) AS mean_retained_cos,
+       ROUND(MIN(rc), 6) AS min_retained_cos
+FROM r GROUP BY prefix_len ORDER BY prefix_len
+"""
+
+
+@register("matryoshka_truncation_quality", MRL_ORACLE)
+def matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding truncatability audit (the Matryoshka question): for
+    prefix lengths 8/16/32 of the 64-dim embeddings, the cosine
+    between the full vector and its zero-padded truncation — which
+    reduces exactly to |v[:k]| / |v|, the fraction of the norm the
+    prefix retains.  High retained cosine at small k means ANN
+    indexes and storage can run on truncated vectors; the min flags
+    vectors whose information lives in the tail.
+
+    Scale shape: a 3-way literal explode of a scan-side expression
+    (no joins, no shuffle beyond the 3-group aggregate); per-vector
+    ratios round to 6 digits then DECIMAL-sum, so the mean is
+    order-independent and engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = lambda arr: F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    r = emb.select(
+        F.explode(
+            F.array(*[F.lit(k) for k in MRL_PREFIXES])
+        ).alias("prefix_len"),
+        F.col("embedding").alias("v"),
+    ).select(
+        "prefix_len",
+        F.round(
+            F.sqrt(sq(F.slice(F.col("v"), F.lit(1), F.col("prefix_len"))))
+            / F.sqrt(sq(F.col("v"))),
+            6,
+        ).alias("rc"),
+    )
+    return (
+        r.groupBy(F.col("prefix_len").cast("bigint").alias("prefix_len"))
+        .agg(
+            (
+                F.sum(F.col("rc").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("mean_retained_cos"),
+            F.round(F.min("rc"), 6).alias("min_retained_cos"),
+        )
+        .orderBy("prefix_len")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

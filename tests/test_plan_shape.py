@@ -139,6 +139,7 @@ _SCALAR_CROSS_OK = {
     "source_mixture_kl",             # 1-row doc/char totals
     "vocab_growth_by_corpus_slice",  # 1-row (min,max) doc_id bounds
     "range_partition_bounds_value",  # 1-row count + 15-row bound idx
+    "split_lang_independence_chi2",  # 1-row grand total
 }
 
 # Streaming queries execute a real job on invocation — planning them
