@@ -10347,9 +10347,12 @@ def matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame
 # was touched this round: multimodal_frame_sample (X5's only query),
 # pipeline_merge_roundtrip (merge tiebreak_col hardening), and
 # decontaminate_benchmark.  A green r8 window makes the cumulative
-# union 196/197 — the one unseated entry is the fifth round-8
-# addition (range_partition_bounds_value, exact-value-green in the
-# local sweep from birth), which takes a seat in round 9.
+# union 196/201 — the five unseated entries are the later round-8
+# additions (range_partition_bounds_value, dedup_survivors_by_quality,
+# bpe_fertility_by_lang, split_lang_independence_chi2,
+# matryoshka_truncation_quality; all exact-value-green in the local
+# sweep from birth, at sf0.001/0.01/0.1), which take seats in the
+# round-9 rotation.
 _DRIVER_WINDOW = [
     # -- 43 never-driver-verified seats --
     "q11_important_stock",
