@@ -413,3 +413,24 @@ def test_incremental_dedup_exact_stage_is_anti_join(spark):
     )
     plan = _plan(out)
     assert "LeftAnti" in plan
+
+
+def test_range_bounds_window_runs_over_sampled_frame(spark):
+    """range_partition_bounds_value's global order-statistic window may
+    only consume the SIZE-BOUNDED deterministic sample, never the raw
+    events table: every SinglePartition exchange in the plan must sit
+    above either the md5 sample filter (the 'rbounds' salt literal) or
+    the 1-row count aggregate.  A regression that hoists the window
+    below the filter would funnel the full table through one
+    partition."""
+    plan = QUERIES["range_partition_bounds_value"](
+        spark, SF
+    )._jdf.queryExecution().executedPlan().treeString()
+    lines = plan.splitlines()
+    singles = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert singles, plan  # the bounded sample does go global — by design
+    for i in singles:
+        sub = _subtree(lines, i)
+        assert ("rbounds:" in sub) or ("count(1)" in sub and "Scan" in sub), (
+            f"SinglePartition over an unsampled frame:\n{sub}"
+        )
