@@ -115,11 +115,14 @@ def kmeans_lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's: ``iters`` assignment rounds with a
     centroid update between consecutive rounds.  Returns one row per
-    vector: (id_col, cluster)."""
-    cents = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    vector: (id_col, cluster).  ``cents`` pins an externally fitted
+    (e.g. artifact-cached) clustering; None fits on the input."""
+    if cents is None:
+        cents = kmeans_fit(embeddings, k, iters, id_col, vec_col)
     return _assign(embeddings, vec_col, cents).select(id_col, "cluster")
 
 
@@ -132,6 +135,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): cluster embeddings with k-means,
     then find near-duplicate pairs ONLY within shared clusters — the
@@ -163,7 +167,8 @@ def semantic_dedup_pairs(
     rounded cosine >= threshold, a < b.
     """
     pairs = cluster_blocked_cosine_pairs(
-        embeddings, k, iters, assign_probes, id_col, vec_col, round_digits
+        embeddings, k, iters, assign_probes, id_col, vec_col, round_digits,
+        cents=cents,
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)
 

