@@ -6015,7 +6015,7 @@ def _kmeans_k(emb: DataFrame) -> int:
 
 
 def _kmeans_cents(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, split_old: bool = False
 ) -> tuple[int, list[tuple[int, list[float]]]]:
     """Fit-once/assign-many k-means centroids for the embeddings table:
     returns (k, cents) for the standard dials (k = _kmeans_k rule,
@@ -6027,7 +6027,9 @@ def _kmeans_cents(
     SAME fit a deployment would train once per corpus snapshot.
     kmeans_fit is deterministic, so cached and fresh centroids are
     identical and oracle parity is untouched.  Non-stat-able (remote)
-    sf_dirs fit fresh."""
+    sf_dirs fit fresh.  ``split_old`` fits on the 90% "old" split
+    (vec_id % INC_SPLIT_MOD != INC_SPLIT_REM) under its own key — the
+    incremental-maintenance scenario's pinned prior fit."""
     import hashlib
     import json as _json
     import os
@@ -6036,6 +6038,8 @@ def _kmeans_cents(
     from aws_pandas_etl_spark.operators.clustering import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if split_old:
+        emb = emb.filter(F.col("vec_id") % INC_SPLIT_MOD != INC_SPLIT_REM)
 
     def _fit() -> tuple[int, list[tuple[int, list[float]]]]:
         k = _kmeans_k(emb)
@@ -6046,9 +6050,12 @@ def _kmeans_cents(
         st = os.stat(src)
     except OSError:
         return _fit()
+    split_tag = (
+        f"|old%{INC_SPLIT_MOD}!{INC_SPLIT_REM}" if split_old else ""
+    )
     ident = (
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|kmc-v1|kk={KMEANS_K}|kd={KMEANS_DIV}|ki={KMEANS_ITERS}"
+        f"|kmc-v1{split_tag}|kk={KMEANS_K}|kd={KMEANS_DIV}|ki={KMEANS_ITERS}"
     )
     tag = hashlib.md5(ident.encode()).hexdigest()[:16]
     path = artifact_path(f"kmeans_cents_{tag}.json")
@@ -6770,7 +6777,6 @@ def knn_graph_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from aws_pandas_etl_spark.operators.clustering import (
-        kmeans_fit,
         knn_graph,
         knn_graph_extend,
         read_knn_graph,
@@ -6780,8 +6786,8 @@ def knn_graph_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     old = emb.filter(F.col("vec_id") % INC_SPLIT_MOD != INC_SPLIT_REM)
     new = emb.filter(F.col("vec_id") % INC_SPLIT_MOD == INC_SPLIT_REM)
-    k = _kmeans_k(old)
-    cents = kmeans_fit(old, k=k, iters=KMEANS_ITERS)
+    # the pinned prior fit, cached like every other fitted model
+    k, cents = _kmeans_cents(spark, sf_dir, split_old=True)
 
     def _old_edges_build() -> DataFrame:
         return knn_graph(
