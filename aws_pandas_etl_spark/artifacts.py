@@ -89,7 +89,11 @@ def _sweep_stale_once(root: str) -> None:
     for name in names:
         p = os.path.join(root, name)
         try:
-            if now - os.lstat(p).st_mtime > STALE_AGE_SEC:
-                shutil.rmtree(p, ignore_errors=True)
+            st = os.lstat(p)
+            if now - st.st_mtime > STALE_AGE_SEC:
+                if stat_mod.S_ISDIR(st.st_mode):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:  # file artifacts (e.g. cached centroid JSON)
+                    os.unlink(p)
         except OSError:
             continue

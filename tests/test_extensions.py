@@ -1094,3 +1094,25 @@ def test_neyman_sample_zero_variance_falls_back_proportional(spark):
     # and the sampler actually returns rows (the old behavior was a
     # NULL rate -> empty result)
     assert out.count() > 0
+
+
+def test_artifact_sweep_removes_stale_file_artifacts(tmp_path, monkeypatch):
+    """Centroid caches are FILES (JSON), not directories — the stale
+    sweep must unlink them too (rmtree(ignore_errors=True) on a file
+    silently no-ops, which would leak JSON artifacts forever)."""
+    import os
+    import time
+
+    import aws_pandas_etl_spark.artifacts as A
+
+    monkeypatch.setattr(A.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(A, "_swept", False)
+    root = A.artifact_root()
+    stale = os.path.join(root, "kmeans_cents_deadbeef.json")
+    with open(stale, "w") as fh:
+        fh.write("{}")
+    old = time.time() - A.STALE_AGE_SEC - 60
+    os.utime(stale, (old, old))
+    monkeypatch.setattr(A, "_swept", False)
+    A.artifact_root()
+    assert not os.path.exists(stale)
