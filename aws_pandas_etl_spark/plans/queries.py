@@ -10303,6 +10303,253 @@ def matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+KMV_K = 64
+KMV_S = 64
+_TWO60 = 1152921504606846976.0
+
+KMV_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+  FROM events
+), r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_used,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth
+  FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT event_type, k_used,
+       CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+            ELSE ROUND(63.0 / (CAST(kth AS DOUBLE) / {_TWO60}), 4) END
+         AS est_distinct,
+       exact_distinct
+FROM agg JOIN ex USING (event_type)
+"""
+
+
+@register("approx_distinct_users_kmv", KMV_ORACLE)
+def approx_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) — the
+    order-statistics sibling of the linear-counting register sketch:
+    per event type keep the k=64 smallest distinct 60-bit hash values
+    of user_id; the estimate is (k-1)/u_(k) where u_(k) is the k-th
+    smallest hash as a fraction of the hash space.  With fewer than k
+    distinct hashes the sketch IS the exact set (estimate = k_used).
+    KMV sketches merge by unioning value lists and re-truncating to
+    the k smallest — the property the two-level plan below exercises.
+
+    Scale shape: after the map-side-deduped DISTINCT (type, hash)
+    shuffle, the k smallest per type compute as a TREE top-k — level 1
+    takes the k smallest within each of S=64 salt partitions
+    (parallel, each 1/S of the type's hashes), level 2 merges the
+    <= S*k survivors per type; global top-k == top-k of the union of
+    per-salt top-k, exactly the sketch-merge identity.  No single
+    reducer ever sees a whole type's distinct-hash stream, so the plan
+    holds when one event type dominates 100 TB.  The exact
+    COUNT(DISTINCT) rides along as the accuracy reference."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_bigint(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+    d = ev.select("event_type", h.alias("h")).distinct()
+    w1 = Window.partitionBy("event_type", F.col("h") % KMV_S).orderBy("h")
+    lvl1 = (
+        d.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    kept = lvl1.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= KMV_K
+    )
+    agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("kth"),
+    )
+    est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(63.0) / (F.col("kth").cast("double") / F.lit(_TWO60)), 4
+        )
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return agg.join(ex, "event_type").select(
+        "event_type", "k_used", est.alias("est_distinct"), "exact_distinct"
+    )
+
+
+CMS_D = 4
+CMS_W = 1024
+CMS_TOP = 20
+
+CMS_ORACLE = f"""
+WITH occ AS (
+  SELECT unnest({_dk_toks('text')}) AS token FROM documents
+), ii AS (
+  SELECT unnest([{', '.join(str(i) for i in range(CMS_D))}]) AS i
+), sk AS (
+  SELECT i, CAST(('0x'||substr(md5('cms'||i||':'||token),1,15)) AS BIGINT)
+              % {CMS_W} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ, ii GROUP BY i, bucket
+), top AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM occ GROUP BY token
+  ORDER BY exact_n DESC, token LIMIT {CMS_TOP}
+), est AS (
+  SELECT t.token, MIN(s.c) AS cms_est
+  FROM top t, ii
+  JOIN sk s ON s.i = ii.i
+    AND s.bucket = CAST(('0x'||substr(md5('cms'||ii.i||':'||t.token),1,15))
+                        AS BIGINT) % {CMS_W}
+  GROUP BY t.token
+)
+SELECT t.token, t.exact_n, CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est - t.exact_n AS BIGINT) AS overcount
+FROM top t JOIN est e USING (token)
+"""
+
+
+@register("countmin_token_frequencies", CMS_ORACLE)
+def countmin_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates, audited against exact counts: every token occurrence
+    increments one counter per hash row (d=4 rows x w=1024 buckets);
+    the estimate for a token is the MIN of its d counters — always an
+    OVERcount (collisions only add), never an undercount, which the
+    ``overcount`` column exhibits per token.  Misra-Gries (the heavy-
+    hitter sketch already in the suite) answers "which keys are big";
+    CMS answers point frequency queries for ANY key from d*w bounded
+    counters, and two sketches merge by element-wise counter addition.
+
+    Scale shape: the sketch build is one groupBy over (row, bucket) —
+    map-side partial sums bound every shuffle task's output at d*w
+    counter rows regardless of corpus size, and the sketch itself is
+    4096 cells.  The exact top-20 reference join touches only the 20
+    audited tokens x d counter cells.  No collect: sketch and audit
+    stay DataFrames end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    def _bucket(i: int, col: F.Column) -> F.Column:
+        return md5_bigint(F.concat(F.lit(f"cms{i}:"), col)) % CMS_W
+
+    rows = occ.select(
+        F.posexplode(
+            F.array(*[_bucket(i, F.col("token")) for i in range(CMS_D)])
+        ).alias("i", "bucket")
+    )
+    sk = rows.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    top = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(CMS_TOP)
+    )
+    probes = top.select(
+        "token",
+        "exact_n",
+        F.posexplode(
+            F.array(*[_bucket(i, F.col("token")) for i in range(CMS_D)])
+        ).alias("i", "bucket"),
+    )
+    est = (
+        probes.join(sk, ["i", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )
+
+
+KANON_KS = (2, 5, 10)
+
+KANON_ORACLE = f"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY ALL
+), ks AS (
+  SELECT unnest([{', '.join(str(k) for k in KANON_KS)}]) AS risk_k
+)
+SELECT CAST(ks.risk_k AS BIGINT) AS risk_k,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < ks.risk_k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below,
+       CAST(COALESCE(SUM(CASE WHEN n < ks.risk_k THEN n END), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       ROUND(100.0 * CAST(COALESCE(SUM(CASE WHEN n < ks.risk_k THEN n END), 0)
+                          AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+         AS pct_rows_at_risk
+FROM cls, ks GROUP BY ks.risk_k ORDER BY risk_k
+"""
+
+
+@register("k_anonymity_audit", KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier set
+    (nation, market segment, account-balance band): a row is
+    re-identifiable at level k when its QI equivalence class holds
+    fewer than k rows.  Reports, for k in {2, 5, 10}, how many classes
+    and rows fall below the threshold — the release-gate number a
+    privacy review asks for before a dataset (or a training corpus
+    carrying user attributes) ships.
+
+    Scale shape: one groupBy over the bounded QI space produces the
+    class-size table (|nations| x |segments| x |bands| rows — tiny at
+    any corpus size); the per-threshold sweep is a 3-way literal
+    explode of that aggregate, not a join against the fact table.  The
+    percentage divides two exact bigints once per output row."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias(
+            "bal_band"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per_k = cls.select(
+        F.explode(F.array(*[F.lit(k) for k in KANON_KS])).alias("risk_k"), "n"
+    )
+    below = F.when(F.col("n") < F.col("risk_k"), F.col("n"))
+    return (
+        per_k.groupBy(F.col("risk_k").cast("bigint").alias("risk_k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(
+                F.when(F.col("n") < F.col("risk_k"), 1).otherwise(0)
+            ).cast("bigint").alias("n_classes_below"),
+            F.coalesce(F.sum(below), F.lit(0)).cast("bigint").alias(
+                "n_rows_at_risk"
+            ),
+            F.round(
+                F.lit(100.0)
+                * F.coalesce(F.sum(below), F.lit(0)).cast("double")
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("pct_rows_at_risk"),
+        )
+        .orderBy("risk_k")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
