@@ -10550,6 +10550,345 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_ALPHA = 0.709  # Flajolet et al. 2007, alpha_64
+
+HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         {_dk_hex("'hll:'||CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+), rr AS (
+  SELECT event_type, h % {HLL_M} AS reg,
+         55 - (CASE WHEN h // {HLL_M} = 0 THEN 0
+                    ELSE length(bin(h // {HLL_M})) END) AS rank
+  FROM h
+), m AS (
+  SELECT event_type, reg, MAX(rank) AS mr FROM rr GROUP BY event_type, reg
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS registers_used,
+         CAST(SUM(CAST(ROUND(pow(2.0, -mr), 18) AS DECIMAL(38,18)))
+              AS DOUBLE) AS s_present
+  FROM m GROUP BY event_type
+), est AS (
+  SELECT event_type, registers_used,
+         {HLL_M} - registers_used AS v,
+         {HLL_ALPHA} * {HLL_M} * {HLL_M}
+           / (s_present + ({HLL_M} - registers_used)) AS e_raw
+  FROM agg
+), fin AS (
+  SELECT event_type, registers_used,
+         CASE WHEN e_raw <= {2.5 * HLL_M} AND v > 0
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / v) ELSE e_raw END AS est
+  FROM est
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT f.event_type, f.registers_used,
+       ROUND(f.est, 4) AS est_distinct, ex.exact_distinct
+FROM fin f JOIN ex USING (event_type)
+"""
+
+
+@register("hll_distinct_users", HLL_ORACLE)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007) per event
+    type, audited against the exact distinct count: each user hash is
+    routed to one of m=64 registers by its low 6 bits; the register
+    keeps the MAX rank (leading-zero count + 1) of the remaining
+    54-bit suffix; the estimate is the bias-corrected harmonic mean
+    alpha_m * m^2 / sum(2^-M_j), with the standard linear-counting
+    fallback when the estimate is small and empty registers remain.
+    Completes the sketch family: linear counting (register bitmap),
+    KMV (order statistics), and now HLL (rank registers) — the one
+    production systems actually ship, because 64 registers summarize
+    any cardinality and two sketches merge by element-wise register
+    MAX.  Rank via length(bin(w)) — integer-exact in both engines, no
+    float log2 boundary.
+
+    Scale shape: no DISTINCT pass at all (duplicate hashes cannot
+    change a register MAX) — one groupBy (type, register) with
+    map-side partial MAX bounds every task's shuffle output at
+    |types| * 64 rows regardless of corpus size, then a |types|*64 →
+    |types| fold.  This is the textbook mergeable-sketch tree
+    aggregation; the exact COUNT(DISTINCT) rides along only as the
+    accuracy reference."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_bigint(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    w = F.shiftright(F.col("h"), HLL_P)
+    rank = F.lit(55) - F.when(w == 0, 0).otherwise(F.length(F.bin(w)))
+    rr = ev.select("event_type", h.alias("h")).select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("reg"),
+        rank.alias("rank"),
+    )
+    m = rr.groupBy("event_type", "reg").agg(F.max("rank").alias("mr"))
+    agg = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        F.sum(
+            F.round(F.pow(F.lit(2.0), -F.col("mr")), 18).cast(
+                "decimal(38,18)"
+            )
+        )
+        .cast("double")
+        .alias("s_present"),
+    )
+    v = F.lit(HLL_M) - F.col("registers_used")
+    e_raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        / (F.col("s_present") + v.cast("double"))
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return agg.join(ex, "event_type").select(
+        "event_type",
+        "registers_used",
+        F.round(est, 4).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+LDIV_ORACLE = """
+WITH cls AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY ALL
+), term AS (
+  SELECT c_nationkey, bal_band, n,
+         CAST(ROUND(
+           -(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY c_nationkey, bal_band))
+            * ln(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY c_nationkey, bal_band))
+            / ln(2.0), 6) AS DECIMAL(18,6)) AS h
+  FROM cls
+), per AS (
+  SELECT c_nationkey, bal_band,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct,
+         ROUND(CAST(SUM(h) AS DOUBLE), 6) AS ent_bits
+  FROM term
+  GROUP BY c_nationkey, bal_band
+)
+SELECT l_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       ROUND(MIN(ent_bits), 6) AS min_entropy_bits,
+       ROUND(MAX(ent_bits), 6) AS max_entropy_bits
+FROM per GROUP BY l_distinct ORDER BY l_distinct
+"""
+
+
+@register("l_diversity_audit", LDIV_ORACLE)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    successor: a QI equivalence class (nation, balance band) with k
+    rows is still unsafe if the SENSITIVE attribute (market segment)
+    is homogeneous inside it.  Reports, per distinct-l level, how many
+    classes sit at that diversity and their entropy-l bounds
+    (min/max Shannon entropy of the in-class sensitive distribution in
+    bits) — entropy-l-diversity holds at level l when every class has
+    entropy >= log2(l).  Per-term rounding + DECIMAL summation makes
+    the entropy reduction order-independent across engines (the
+    proven unigram-scorer pattern).
+
+    Scale shape: one groupBy over (QI, sensitive) — bounded by the
+    attribute-domain product, not the row count — then two bounded
+    folds; the fact table is touched exactly once."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias(
+            "bal_band"
+        ),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wcls = Window.partitionBy("c_nationkey", "bal_band")
+    p = F.col("n").cast("double") / F.sum("n").over(wcls)
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 6).cast("decimal(18,6)")
+    per = (
+        cls.select("c_nationkey", "bal_band", "n", term.alias("h"))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+            F.round(F.sum("h").cast("double"), 6).alias("ent_bits"),
+        )
+    )
+    return (
+        per.groupBy("l_distinct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.round(F.min("ent_bits"), 6).alias("min_entropy_bits"),
+            F.round(F.max("ent_bits"), 6).alias("max_entropy_bits"),
+        )
+        .orderBy("l_distinct")
+    )
+
+
+GKF_K = 5
+
+GKF_ORACLE = f"""
+WITH f AS (
+  SELECT user_id, event_type,
+         {_dk_hex("'gkf:'||CAST(user_id AS VARCHAR)")} % {GKF_K} AS fold
+  FROM events
+), per AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM f GROUP BY fold
+), leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_fold_users FROM (
+    SELECT user_id FROM f GROUP BY user_id HAVING COUNT(DISTINCT fold) > 1
+  )
+)
+SELECT CAST(per.fold AS BIGINT) AS fold, per.n_events, per.n_users,
+       per.n_types, leak.n_multi_fold_users
+FROM per, leak ORDER BY fold
+"""
+
+
+@register("group_kfold_assignment", GKF_ORACLE)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment (scikit-learn's GroupKFold
+    semantics, hash-partitioned): every event lands in the fold of its
+    USER, so no user's activity spans a train/validation boundary —
+    the group-leakage failure that inflates CV scores when rows from
+    one entity appear on both sides.  Deterministic fold =
+    hash(user_id) % k, so the split is stable across runs, machines,
+    and incremental re-ingests (the same property train_val_test_split
+    pins for the 3-way split).  The n_multi_fold_users audit column is
+    the invariant — it must be 0 by construction — and per-fold
+    event/user/type counts expose the balance a reviewer checks before
+    trusting the CV.
+
+    Scale shape: fold assignment is a stateless row-local hash (no
+    shuffle); the audit is one groupBy(fold) with map-side combine
+    plus one groupBy(user) whose HAVING>1 arm is empty by
+    construction.  The scalar audit joins back as a 1-row broadcast."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        "user_id",
+        "event_type",
+        (
+            md5_bigint(
+                F.concat(F.lit("gkf:"), F.col("user_id").cast("string"))
+            )
+            % GKF_K
+        ).alias("fold"),
+    )
+    per = f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+    )
+    leak = (
+        f.groupBy("user_id")
+        .agg(F.count_distinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_multi_fold_users"))
+    )
+    return (
+        per.crossJoin(F.broadcast(leak))
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_events",
+            "n_users",
+            "n_types",
+            "n_multi_fold_users",
+        )
+        .orderBy("fold")
+    )
+
+
+TEMP_ALPHA = 0.3  # XLM-R / mBERT multilingual sampling exponent
+
+TEMP_MIX_ORACLE = f"""
+WITH n AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_dk_toks('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), p AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p
+  FROM n
+), z AS (
+  SELECT CAST(SUM(CAST(ROUND(pow(p, {TEMP_ALPHA}), 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS z
+  FROM p
+)
+SELECT p.lang, p.n_docs, p.n_tokens,
+       ROUND(p.p, 6) AS p_natural,
+       ROUND(pow(p.p, {TEMP_ALPHA}) / z.z, 6) AS p_sampled,
+       ROUND(ROUND(pow(p.p, {TEMP_ALPHA}) / z.z, 6) / ROUND(p.p, 6), 6)
+         AS upsample_factor
+FROM p, z ORDER BY lang
+"""
+
+
+@register("temperature_mixture_weights", TEMP_MIX_ORACLE)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights (the alpha=0.3
+    exponentiated-smoothing rule from multilingual pretraining — mBERT,
+    XLM-R): the natural token share p_l is flattened to
+    q_l = p_l^alpha / sum(p^alpha), up-sampling low-resource languages
+    so they are not drowned out, without the uniform-mixture extreme
+    that starves the head.  Emits per language the natural share, the
+    sampled share, and the up/down-sampling factor q_l/p_l a data
+    loader applies as its epoch multiplier — composing with
+    mixture_sample_by_lang (which consumes per-lang rates) and
+    source_mixture_kl (which audits the realized mixture).
+
+    Scale shape: per-lang token totals are one map-side-combined
+    groupBy; the normalizers (total tokens, sum p^alpha) are a |langs|-
+    row aggregate cross-joined back as a 1-row broadcast — the scalar-
+    normalizer shape the plan-shape test whitelists.  The corpus is
+    scanned once; everything after is |langs|-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(TX.tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = n.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+    )
+    withp = n.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_tokens").cast("double") / F.col("total_tokens")
+    )
+    z = withp.agg(
+        F.sum(
+            F.round(F.pow(F.col("p"), F.lit(TEMP_ALPHA)), 12).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("z")
+    )
+    w = withp.crossJoin(F.broadcast(z))
+    p_sampled = F.pow(F.col("p"), F.lit(TEMP_ALPHA)) / F.col("z")
+    return w.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("p"), 6).alias("p_natural"),
+        F.round(p_sampled, 6).alias("p_sampled"),
+        F.round(
+            F.round(p_sampled, 6) / F.round(F.col("p"), 6), 6
+        ).alias("upsample_factor"),
+    ).orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

@@ -140,6 +140,8 @@ _SCALAR_CROSS_OK = {
     "vocab_growth_by_corpus_slice",  # 1-row (min,max) doc_id bounds
     "range_partition_bounds_value",  # 1-row count + 15-row bound idx
     "split_lang_independence_chi2",  # 1-row grand total
+    "group_kfold_assignment",        # 1-row leakage-audit scalar
+    "temperature_mixture_weights",   # 1-row total-tokens + 1-row Z normalizer
 }
 
 # Streaming queries execute a real job on invocation — planning them
