@@ -10889,6 +10889,426 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), d AS (
+  SELECT cents // CAST(pow(10, length(CAST(cents AS VARCHAR)) - 1) AS BIGINT)
+           AS digit
+  FROM c
+), obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+), sp AS (
+  SELECT unnest(generate_series(1, 9)) AS digit
+), full_ AS (
+  SELECT sp.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+         SUM(COALESCE(obs.n_obs, 0)) OVER () AS total,
+         log10(1.0 + 1.0 / sp.digit) AS exp_share
+  FROM sp LEFT JOIN obs ON sp.digit = obs.digit
+)
+SELECT CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(total * exp_share, 4) AS exp_n,
+       ROUND(CAST(n_obs AS DOUBLE) / total, 6) AS obs_share,
+       ROUND(exp_share, 6) AS exp_share,
+       ROUND(pow(n_obs - total * exp_share, 2) / (total * exp_share), 4)
+         AS chi2_contrib
+FROM full_ ORDER BY digit
+"""
+
+
+@register("benford_first_digit_audit", BENFORD_ORACLE)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    forensic-accounting data-quality check: organically generated
+    amounts follow P(d) = log10(1 + 1/d), and a synthetic, truncated,
+    or fabricated feed shows up as per-digit chi-square spikes long
+    before summary stats move.  The first digit is extracted in exact
+    integer arithmetic (cents // 10^(digits-1) with decimal digit
+    counting) — no float log10 boundary on the data path; log10 is
+    used only on the nine constant expected shares.
+
+    Scale shape: one map-side-combined groupBy collapses the fact
+    table to <= 9 rows; the expected-share spine is a 9-row literal
+    left-join and the total is a window over those 9 rows.  Output is
+    fixed at 9 rows at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d = orders.select(cents.alias("cents")).select(
+        F.expr(
+            "cents DIV CAST(pow(10, length(CAST(cents AS STRING)) - 1)"
+            " AS BIGINT)"
+        ).alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    full = spine.join(obs, "digit", "left").select(
+        "digit",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")).alias("exp_share"),
+    )
+    wall = Window.partitionBy()  # 9-row frame: bounded by construction
+    full = full.withColumn("total", F.sum("n_obs").over(wall))
+    exp_n_raw = F.col("total") * F.col("exp_share")
+    return full.select(
+        F.col("digit").cast("bigint").alias("digit"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(exp_n_raw, 4).alias("exp_n"),
+        F.round(F.col("n_obs").cast("double") / F.col("total"), 6).alias(
+            "obs_share"
+        ),
+        F.round("exp_share", 6).alias("exp_share"),
+        F.round(
+            F.pow(F.col("n_obs") - exp_n_raw, F.lit(2.0)) / exp_n_raw, 4
+        ).alias("chi2_contrib"),
+    ).orderBy("digit")
+
+
+WOE_BAND = 50000.0
+
+WOE_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / {WOE_BAND}) AS BIGINT) AS band,
+         CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS pos
+  FROM orders
+), per AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+  FROM b GROUP BY band
+), tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS pos_tot,
+         CAST(SUM(n_neg) AS BIGINT) AS neg_tot,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM per
+), w AS (
+  SELECT per.band, per.n, per.n_pos, per.n_neg,
+         (per.n_pos + 0.5) / (tot.pos_tot + 0.5 * tot.k) AS sp,
+         (per.n_neg + 0.5) / (tot.neg_tot + 0.5 * tot.k) AS sn
+  FROM per, tot
+), woe AS (
+  SELECT band, n, n_pos, n_neg,
+         ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+         ROUND(ln(sp / sn), 6) AS woe,
+         (sp - sn) * ln(sp / sn) AS contrib
+  FROM w
+), iv AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(contrib, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE), 6) AS iv_total
+  FROM woe
+)
+SELECT woe.band, woe.n, woe.n_pos, woe.n_neg, woe.pos_rate, woe.woe,
+       ROUND(woe.contrib, 6) AS iv_contrib, iv.iv_total
+FROM woe, iv ORDER BY band
+"""
+
+
+@register("woe_iv_price_bands", WOE_ORACLE)
+def woe_iv_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning (the credit-
+    scoring feature-engineering standard, Siddiqi 2006): order totals
+    are bucketed into fixed price bands and each band's WOE =
+    ln(P(band|urgent) / P(band|non-urgent)) measures how strongly the
+    band separates the urgent-priority class; IV = sum((sp-sn)*WOE)
+    grades the whole feature (rule of thumb: <0.02 useless, >0.3
+    strong).  Laplace-smoothed (+0.5 per band) so empty cells cannot
+    produce infinite WOE; per-band IV contributions are decimal-
+    rounded before the IV sum so the reduction is order-independent.
+
+    Scale shape: stateless band assignment (no sort — equal-WIDTH
+    bins avoid the global rank an equal-frequency binner needs), one
+    map-side-combined groupBy to |bands| rows, then two 1-row scalar
+    broadcasts (class totals, IV) over the bounded band table."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.floor(F.col("o_totalprice") / WOE_BAND).cast("bigint").alias("band"),
+        F.when(F.col("o_orderpriority").startswith("1"), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    per = b.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("bigint").alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("bigint").alias("pos_tot"),
+        F.sum("n_neg").cast("bigint").alias("neg_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w = per.crossJoin(F.broadcast(tot))
+    sp = (F.col("n_pos") + 0.5) / (F.col("pos_tot") + 0.5 * F.col("k"))
+    sn = (F.col("n_neg") + 0.5) / (F.col("neg_tot") + 0.5 * F.col("k"))
+    woe = w.select(
+        "band",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias(
+            "pos_rate"
+        ),
+        F.round(F.log(sp / sn), 6).alias("woe"),
+        ((sp - sn) * F.log(sp / sn)).alias("contrib"),
+    )
+    iv = woe.agg(
+        F.round(
+            F.sum(F.round(F.col("contrib"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("iv_total")
+    )
+    return (
+        woe.crossJoin(F.broadcast(iv))
+        .select(
+            "band",
+            "n",
+            "n_pos",
+            "n_neg",
+            "pos_rate",
+            "woe",
+            F.round("contrib", 6).alias("iv_contrib"),
+            "iv_total",
+        )
+        .orderBy("band")
+    )
+
+
+CDC_MASK = 16  # boundary when token-hash % 16 == 0 -> ~16-token chunks
+
+CDC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_dk_toks('text')} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM t
+), marked AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN pos = 1
+                OR {_dk_hex("'cdc:'||tok")} % {CDC_MASK} = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM pos
+), chunked AS (
+  SELECT doc_id, tok, pos,
+         SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM marked
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+  FROM chunked GROUP BY doc_id, chunk_id
+), share AS (
+  SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM chunks GROUP BY fp
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       ROUND(CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS shared_ratio
+FROM chunks c JOIN share s USING (fp)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
+@register("cdc_chunk_dedup", CDC_ORACLE)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen et al. 2001, LBFS —
+    the rsync/storage-dedup family): chunk boundaries are placed where
+    a per-token hash hits 0 mod 16, so boundaries are determined by
+    CONTENT, not position — an insertion near the head of a document
+    shifts byte offsets but leaves every downstream chunk fingerprint
+    intact, which fixed-size blocking cannot do.  Each doc reports how
+    many of its chunks also appear verbatim in other docs — the
+    passage-level copy detector that complements MinHash (whole-doc
+    similarity) and exact_dup_spans (aligned n-gram runs).
+
+    Scale shape: tokenize + boundary-hash are stateless projections;
+    the running boundary count is a per-doc window (partition = doc,
+    never global); chunk fingerprints reduce by (doc, chunk) with
+    map-side combine, and cross-doc sharing is one groupBy(fp) whose
+    join back is fingerprint-bucketed — candidates scale with shared
+    content, not with the corpus square."""
+    docs = load_table(spark, sf_dir, "documents")
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(TX.tokens("text")).alias("pos0", "tok"),
+    ).select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    boundary = F.when(
+        (F.col("pos") == 1)
+        | (md5_bigint(F.concat(F.lit("cdc:"), F.col("tok"))) % CDC_MASK == 0),
+        1,
+    ).otherwise(0)
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = pos.withColumn("chunk_id", F.sum(boundary).over(wdoc))
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda x: x.tok,
+                    ),
+                )
+            ).alias("fp")
+        )
+    )
+    share = chunks.groupBy("fp").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        chunks.join(share, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(shared).cast("bigint").alias("n_shared_chunks"),
+            F.round(
+                F.sum(shared).cast("double") / F.count(F.lit(1)), 6
+            ).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOOT_B = 40  # replicates; ranks 2 and 39 bracket a ~90% empirical CI
+
+BOOT_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         unnest(generate_series(0, {BOOT_B - 1})) AS b
+  FROM events
+), wgt AS (
+  SELECT event_type, b, value,
+         CASE WHEN h < 3 THEN 0 WHEN h < 6 THEN 1 WHEN h = 6 THEN 2
+              ELSE 3 END AS w
+  FROM (
+    SELECT event_type, b, value,
+           {_dk_hex("'boot'||CAST(b AS VARCHAR)||':'||CAST(event_id AS VARCHAR)")}
+             % 8 AS h
+    FROM r
+  )
+), rep AS (
+  SELECT event_type, b,
+         CAST(SUM(CAST(ROUND(w * value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / SUM(w) AS m
+  FROM wgt GROUP BY event_type, b
+), ranked AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, b) AS rn
+  FROM rep
+), ci AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = 2 THEN m END) AS lo,
+         MAX(CASE WHEN rn = {BOOT_B - 1} THEN m END) AS hi
+  FROM ranked GROUP BY event_type
+), base AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS mean_v
+  FROM events GROUP BY event_type
+)
+SELECT base.event_type, base.n_events,
+       ROUND(base.mean_v, 6) AS mean_value,
+       ROUND(ci.lo, 6) AS ci_lo, ROUND(ci.hi, 6) AS ci_hi
+FROM base JOIN ci USING (event_type) ORDER BY event_type
+"""
+
+
+@register("bootstrap_ci_mean_value", BOOT_ORACLE)
+def bootstrap_ci_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy et al. 2012, "the
+    Poisson bootstrap for massive data") confidence interval for the
+    mean event value per type: each of B=40 replicates reweights every
+    row by a hash-derived integer from {0,1,2,3} with mean 1 and
+    variance 1 (the two-moment match to Poisson(1)), so resampling
+    needs NO random state and NO n-sized draw — the classic trick that
+    makes bootstrap embarrassingly parallel on a cluster.  The CI is
+    the empirical [rank 2, rank B-1] bracket of the replicate means
+    (~90%); hash-seeded weights make the whole statistic reproducible
+    across runs and engines.
+
+    Scale shape: the B-fold explode is a stateless flatMap (B*n rows,
+    streamed, never materialized); replicate sums reduce by (type, b)
+    with map-side combine to a B*|types| table, and ranking happens on
+    that bounded table only.  Weighted sums are decimal-rounded per
+    row so the reduction is order-independent."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    h = (
+        md5_bigint(
+            F.concat(
+                F.lit("boot"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        % 8
+    )
+    w = (
+        F.when(h < 3, 0).when(h < 6, 1).when(h == 6, 2).otherwise(3)
+    )
+    rep = (
+        r.select("event_type", "b", "value", w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("w") * F.col("value"), 6).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.sum("w")
+            ).alias("m")
+        )
+    )
+    wrank = Window.partitionBy("event_type").orderBy("m", "b")
+    ranked = rep.withColumn("rn", F.row_number().over(wrank))
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("hi"),
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_v"),
+    )
+    return (
+        base.join(ci, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round("mean_v", 6).alias("mean_value"),
+            F.round("lo", 6).alias("ci_lo"),
+            F.round("hi", 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

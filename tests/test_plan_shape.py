@@ -142,6 +142,7 @@ _SCALAR_CROSS_OK = {
     "split_lang_independence_chi2",  # 1-row grand total
     "group_kfold_assignment",        # 1-row leakage-audit scalar
     "temperature_mixture_weights",   # 1-row total-tokens + 1-row Z normalizer
+    "woe_iv_price_bands",            # 1-row class totals + 1-row IV scalar
 }
 
 # Streaming queries execute a real job on invocation — planning them
