@@ -642,3 +642,55 @@ def _bpe_train(
         )
 
     return results, cur
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen et al. 2001, LBFS):
+    split each document's token stream at positions where the token's
+    hash hits 0 mod ``mask`` (expected chunk length = ``mask`` tokens),
+    so chunk boundaries depend on CONTENT, not position — inserting or
+    deleting tokens near the head re-synchronizes within one chunk and
+    leaves every later chunk fingerprint unchanged (the property
+    ``tests/test_approx.py::test_cdc_chunks_shift_invariant`` pins).
+
+    Returns (id, chunk_id, fp) — one md5 fingerprint per chunk.
+
+    Scale shape: tokenize + boundary hash are stateless projections;
+    the running boundary count is a window PARTITIONED BY document
+    (never global), and fingerprints reduce by (doc, chunk) with
+    map-side combine.
+    """
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+    from pyspark.sql import Window
+
+    pos = df.select(
+        id_col,
+        F.posexplode(tokens(text_col)).alias("pos0", "tok"),
+    ).select(id_col, "tok", (F.col("pos0") + 1).alias("pos"))
+    boundary = F.when(
+        (F.col("pos") == 1)
+        | (md5_bigint(F.concat(F.lit("cdc:"), F.col("tok"))) % mask == 0),
+        1,
+    ).otherwise(0)
+    wdoc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = pos.withColumn("chunk_id", F.sum(boundary).over(wdoc))
+    return chunked.groupBy(id_col, "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x.tok,
+                ),
+            )
+        ).alias("fp")
+    )

@@ -11131,39 +11131,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back is fingerprint-bucketed — candidates scale with shared
     content, not with the corpus square."""
     docs = load_table(spark, sf_dir, "documents")
-    from aws_pandas_etl_spark.functions.hashing import md5_bigint
-
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(TX.tokens("text")).alias("pos0", "tok"),
-    ).select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
-    boundary = F.when(
-        (F.col("pos") == 1)
-        | (md5_bigint(F.concat(F.lit("cdc:"), F.col("tok"))) % CDC_MASK == 0),
-        1,
-    ).otherwise(0)
-    wdoc = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    chunked = pos.withColumn("chunk_id", F.sum(boundary).over(wdoc))
-    chunks = (
-        chunked.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "tok"))
-                        ),
-                        lambda x: x.tok,
-                    ),
-                )
-            ).alias("fp")
-        )
-    )
+    chunks = TX.cdc_chunks(docs, "doc_id", "text", CDC_MASK)
     share = chunks.groupBy("fp").agg(
         F.count_distinct("doc_id").cast("bigint").alias("n_docs")
     )

@@ -165,3 +165,68 @@ def test_knn_graph_recall_vs_exact(spark):
     mean_recall = sum(recalls) / len(recalls)
     # measured on this fixture: 0.711 with k=8, p=2 — floor with slack
     assert mean_recall >= 0.55, mean_recall
+
+
+def test_register_hll_estimate_accuracy(spark):
+    """The registry's register-based HLL (m=64 -> ~13% std error) must
+    land within 3 sigma of the exact distinct count per event type —
+    a tripwire for a register-routing or rank-extraction regression
+    that would still pass structural checks."""
+    from aws_pandas_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["hll_distinct_users"](spark, SF).collect()
+    assert rows, "no event types"
+    for r in rows:
+        tol = max(5.0, 0.40 * r["exact_distinct"])
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= tol, dict(r.asDict())
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV with k=64 has ~12.6% std error; 3-sigma tolerance."""
+    from aws_pandas_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["approx_distinct_users_kmv"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        tol = max(5.0, 0.40 * r["exact_distinct"])
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= tol, dict(r.asDict())
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """The Poisson-bootstrap CI must bracket the full-sample mean and
+    be properly ordered (deterministic data + hash-seeded weights, so
+    this pins forever once true)."""
+    from aws_pandas_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["bootstrap_ci_mean_value"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] < r["ci_hi"], dict(r.asDict())
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], dict(r.asDict())
+
+
+def test_cdc_chunks_shift_invariant(spark):
+    """THE content-defined-chunking property: prepending tokens to a
+    document shifts every token position, but all chunk fingerprints
+    after the first boundary re-sync must be preserved.  A fixed-size
+    chunker fails this (every chunk shifts); CDC passes by design."""
+    from aws_pandas_etl_spark.operators.text import cdc_chunks
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five "
+        "six seven eight nine ten eleven twelve thirteen fourteen fifteen"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted prefix tokens here " + base)],
+        ["doc_id", "text"],
+    )
+    fp = cdc_chunks(df, "doc_id", "text", mask=8).collect()
+    fps1 = {r["fp"] for r in fp if r["doc_id"] == 1}
+    fps2 = {r["fp"] for r in fp if r["doc_id"] == 2}
+    shared = fps1 & fps2
+    # every base chunk except the head chunk containing the splice
+    # point must survive the prefix insertion verbatim
+    assert len(shared) >= len(fps1) - 1, (len(shared), len(fps1), len(fps2))
+    assert len(shared) >= 1
