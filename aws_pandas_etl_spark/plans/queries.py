@@ -11277,6 +11277,420 @@ def bootstrap_ci_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_ORACLE = """
+WITH u AS (
+  SELECT event_type, value, epoch_us(ts) AS t FROM events
+), bounds AS (
+  SELECT event_type,
+         (MIN(t) + MAX(t)) // 2 AS mid
+  FROM u GROUP BY event_type
+), sided AS (
+  SELECT u.event_type, u.value,
+         CASE WHEN u.t < b.mid THEN 1 ELSE 0 END AS is_a
+  FROM u JOIN bounds b USING (event_type)
+), g AS (
+  SELECT event_type, value,
+         CAST(SUM(is_a) AS BIGINT) AS na,
+         CAST(SUM(1 - is_a) AS BIGINT) AS nb
+  FROM sided GROUP BY event_type, value
+), cum AS (
+  SELECT event_type, value,
+         SUM(na) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(nb) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cb,
+         SUM(na) OVER (PARTITION BY event_type) AS ta,
+         SUM(nb) OVER (PARTITION BY event_type) AS tb
+  FROM g
+), d AS (
+  SELECT event_type, CAST(ta AS BIGINT) AS n_first, CAST(tb AS BIGINT) AS n_second,
+         MAX(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)) AS ks
+  FROM cum GROUP BY event_type, ta, tb
+)
+SELECT event_type, n_first, n_second,
+       ROUND(ks, 6) AS ks_d,
+       ROUND(2.0 * exp(-2.0 * ks * ks
+             * (CAST(n_first AS DOUBLE) * n_second / (n_first + n_second))), 6)
+         AS p_approx
+FROM d ORDER BY event_type
+"""
+
+
+@register("ks_drift_split_halves", KS_ORACLE)
+def ks_drift_split_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type: the
+    event stream is split at its temporal midpoint and the KS statistic
+    D = max |F_first(x) - F_second(x)| compares the value distributions
+    of the two halves — the standard nonparametric data-drift monitor
+    (no binning choice, sensitive to any distributional change), with
+    the asymptotic p ~ 2*exp(-2*m*D^2) attached.  All cumulative counts
+    are exact integers; the only float ops are per-row divisions by the
+    two totals, identical in both engines, folded by order-independent
+    MAX.
+
+    Scale shape: one groupBy collapses the stream to (type, distinct
+    value) cells; the CDF sweep is a per-type window over those cells
+    (the sort IS the algorithm — same cost class as any per-key
+    quantile), and the half-assignment join broadcasts a |types|-row
+    bounds table."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("event_type", "value", F.unix_micros("ts").alias("t"))
+    bounds = u.groupBy("event_type").agg(
+        F.expr("(MIN(t) + MAX(t)) DIV 2").alias("mid")
+    )
+    sided = u.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.when(F.col("t") < F.col("mid"), 1).otherwise(0).alias("is_a"),
+    )
+    g = sided.groupBy("event_type", "value").agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("nb"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        F.sum("na").over(wcum).alias("ca"),
+        F.sum("nb").over(wcum).alias("cb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+    )
+    d = cum.groupBy("event_type", "ta", "tb").agg(
+        F.max(
+            F.abs(
+                F.col("ca").cast("double") / F.col("ta")
+                - F.col("cb").cast("double") / F.col("tb")
+            )
+        ).alias("ks")
+    )
+    m = (
+        F.col("ta").cast("double")
+        * F.col("tb")
+        / (F.col("ta") + F.col("tb"))
+    )
+    return d.select(
+        "event_type",
+        F.col("ta").cast("bigint").alias("n_first"),
+        F.col("tb").cast("bigint").alias("n_second"),
+        F.round("ks", 6).alias("ks_d"),
+        F.round(
+            F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("ks") * F.col("ks") * m), 6
+        ).alias("p_approx"),
+    ).orderBy("event_type")
+
+
+PSI_BIN = 10.0
+
+PSI_ORACLE = f"""
+WITH u AS (
+  SELECT event_type, CAST(floor(value / {PSI_BIN}) AS BIGINT) AS bin,
+         epoch_us(ts) AS t
+  FROM events
+), bounds AS (
+  SELECT event_type, (MIN(t) + MAX(t)) // 2 AS mid
+  FROM u GROUP BY event_type
+), g AS (
+  SELECT u.event_type, u.bin,
+         CAST(SUM(CASE WHEN u.t < b.mid THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN u.t < b.mid THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM u JOIN bounds b USING (event_type)
+  GROUP BY u.event_type, u.bin
+), sh AS (
+  SELECT event_type, bin, na, nb,
+         SUM(na) OVER (PARTITION BY event_type) AS ta,
+         SUM(nb) OVER (PARTITION BY event_type) AS tb,
+         COUNT(*) OVER (PARTITION BY event_type) AS k
+  FROM g
+), term AS (
+  SELECT event_type, CAST(ta AS BIGINT) AS n_first, CAST(tb AS BIGINT) AS n_second,
+         CAST(k AS BIGINT) AS n_bins,
+         CAST(ROUND(
+           ((na + 0.5) / (ta + 0.5 * k) - (nb + 0.5) / (tb + 0.5 * k))
+           * ln(((na + 0.5) / (ta + 0.5 * k)) / ((nb + 0.5) / (tb + 0.5 * k))),
+           8) AS DECIMAL(18,8)) AS h
+  FROM sh
+)
+SELECT event_type, n_bins, n_first, n_second,
+       ROUND(CAST(SUM(h) AS DOUBLE), 6) AS psi
+FROM term GROUP BY event_type, n_bins, n_first, n_second
+ORDER BY event_type
+"""
+
+
+@register("psi_value_drift", PSI_ORACLE)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type — the model-monitoring
+    companion to the KS test: fixed-width value bins, PSI =
+    sum((p_first - p_second) * ln(p_first / p_second)) between the two
+    temporal halves of the stream (rule of thumb: <0.1 stable, >0.25
+    shifted enough to retrain).  Laplace +0.5 smoothing keeps empty
+    bins finite; per-bin terms are decimal-rounded before the sum so
+    the reduction is order-independent.  PSI is exactly the symmetrized
+    information-value statistic, sharing machinery with
+    woe_iv_price_bands.
+
+    Scale shape: stateless binning, one groupBy to (type, bin) cells
+    (bounded by the bin grid), windows only over that bounded cell
+    table, and a |types|-row broadcast for the temporal midpoint."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "event_type",
+        F.floor(F.col("value") / PSI_BIN).cast("bigint").alias("bin"),
+        F.unix_micros("ts").alias("t"),
+    )
+    bounds = u.groupBy("event_type").agg(
+        F.expr("(MIN(t) + MAX(t)) DIV 2").alias("mid")
+    )
+    g = (
+        u.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("t") < F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("na"),
+            F.sum(F.when(F.col("t") < F.col("mid"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("nb"),
+        )
+    )
+    wall = Window.partitionBy("event_type")
+    sh = g.select(
+        "event_type",
+        "na",
+        "nb",
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    )
+    pa = (F.col("na") + 0.5) / (F.col("ta") + 0.5 * F.col("k"))
+    pb = (F.col("nb") + 0.5) / (F.col("tb") + 0.5 * F.col("k"))
+    term = sh.select(
+        "event_type",
+        F.col("ta").cast("bigint").alias("n_first"),
+        F.col("tb").cast("bigint").alias("n_second"),
+        F.col("k").cast("bigint").alias("n_bins"),
+        F.round((pa - pb) * F.log(pa / pb), 8)
+        .cast("decimal(18,8)")
+        .alias("h"),
+    )
+    return (
+        term.groupBy("event_type", "n_bins", "n_first", "n_second")
+        .agg(F.round(F.sum("h").cast("double"), 6).alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+ZIPF_TOP = 500
+
+ZIPF_ORACLE = f"""
+WITH occ AS (
+  SELECT unnest({_dk_toks('text')}) AS token FROM documents
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ GROUP BY token
+  ORDER BY c DESC, token LIMIT {ZIPF_TOP}
+), xy AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r, c FROM freq
+), t AS (
+  SELECT CAST(ROUND(ln(r), 12) AS DECIMAL(28,12)) AS x,
+         CAST(ROUND(ln(c), 12) AS DECIMAL(28,12)) AS y,
+         CAST(ROUND(ln(r) * ln(c), 12) AS DECIMAL(28,12)) AS xy,
+         CAST(ROUND(ln(r) * ln(r), 12) AS DECIMAL(28,12)) AS xx,
+         CAST(ROUND(ln(c) * ln(c), 12) AS DECIMAL(28,12)) AS yy
+  FROM xy
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+         CAST(SUM(yy) AS DOUBLE) AS syy
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+         AS intercept,
+       ROUND(pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+FROM s
+"""
+
+
+@register("zipf_slope_tokens", ZIPF_ORACLE)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-500 token frequencies: OLS slope of
+    ln(freq) on ln(rank) — natural language sits near slope -1
+    (Zipf 1949), and a corpus whose slope drifts far from that is a
+    red flag for boilerplate floods (flatter head) or template spam
+    (steeper head); r^2 reports how law-like the head is.  The
+    regression is the closed-form normal equation over decimal-rounded
+    terms, so the five sums are order-independent and both engines see
+    identical doubles.
+
+    Scale shape: one map-side-combined token count, a top-500 TAKE
+    (rank window only over 500 survivors), and a 5-sum fold to a
+    single row.  The corpus is touched once."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    freq = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(ZIPF_TOP)
+    )
+    wr = Window.orderBy(F.col("c").desc(), "token")  # 500-row frame
+    xy = freq.select(F.row_number().over(wr).alias("r"), "c")
+    lx, ly = F.log(F.col("r").cast("double")), F.log(F.col("c").cast("double"))
+
+    def dec(col: F.Column) -> F.Column:
+        return F.round(col, 12).cast("decimal(28,12)")
+
+    t = xy.select(
+        dec(lx).alias("x"),
+        dec(ly).alias("y"),
+        dec(lx * ly).alias("xy"),
+        dec(lx * lx).alias("xx"),
+        dec(ly * ly).alias("yy"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(num, F.lit(2.0))
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            4,
+        ).alias("r2"),
+    )
+
+
+CUSUM_ORACLE = """
+WITH hr AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, hour
+), st AS (
+  SELECT event_type, hour, x,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(x) OVER (PARTITION BY event_type) AS sx,
+         SUM(x * x) OVER (PARTITION BY event_type) AS sxx
+  FROM hr
+), dev AS (
+  SELECT event_type, hour, n, sx, sxx,
+         SUM(n * x - sx) OVER (PARTITION BY event_type ORDER BY hour
+                               ROWS UNBOUNDED PRECEDING) AS c
+  FROM st
+), s AS (
+  SELECT event_type, hour, n, sx, sxx, c,
+         c - LEAST(0, COALESCE(MIN(c) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS stat
+  FROM dev
+), pick AS (
+  SELECT event_type, hour, n, sx, sxx, stat,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY stat DESC, hour) AS rn
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours, hour AS peak_hour,
+       ROUND(CAST(stat AS DOUBLE) / n, 4) AS max_dev,
+       ROUND(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  / (CAST(n AS DOUBLE) * (n - 1))), 4) AS sigma_hourly,
+       CAST(CASE WHEN CAST(stat AS DOUBLE) / n
+                      > 3.0 * sqrt((n * CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * sx)
+                                   / (CAST(n AS DOUBLE) * (n - 1)))
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM pick WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@register("cusum_changepoint_hourly", CUSUM_ORACLE)
+def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan (Page 1954) over hourly event rates: the
+    one-sided cumulative-sum statistic S_t = C_t - min_{j<t} C_j with
+    C = cumsum(x - mean) peaks at the hour where the rate regime
+    shifts; a peak above 3 sigma of the hourly counts flags a
+    changepoint.  The recursion is rewritten as its prefix-min closed
+    form (two windows: running sum + running min), and everything on
+    the data path is EXACT integer arithmetic — deviations are scaled
+    by n (n*x - sum_x) so no float enters until the final unscaling —
+    which is what makes the sequential-looking statistic both
+    distributable and engine-portable.
+
+    Scale shape: the stream collapses to (type, hour) cells first;
+    all windows run on that bounded cell table partitioned by type.
+    Variance comes from exact integer sums (n*sxx - sx^2), never a
+    float stddev fold."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wall = Window.partitionBy("event_type")
+    st = hr.select(
+        "event_type",
+        "hour",
+        "x",
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(wall).alias("sxx"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dev = st.withColumn(
+        "c", F.sum(F.col("n") * F.col("x") - F.col("sx")).over(wcum)
+    )
+    s = dev.withColumn(
+        "stat",
+        F.col("c")
+        - F.least(F.lit(0), F.coalesce(F.min("c").over(wprev), F.lit(0))),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.col("stat").desc(), "hour"
+    )
+    pick = s.withColumn("rn", F.row_number().over(wpick)).filter(
+        F.col("rn") == 1
+    )
+    var = (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    max_dev = F.col("stat").cast("double") / F.col("n")
+    return pick.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.col("hour").alias("peak_hour"),
+        F.round(max_dev, 4).alias("max_dev"),
+        F.round(F.sqrt(var), 4).alias("sigma_hourly"),
+        (max_dev > F.lit(3.0) * F.sqrt(var)).cast("bigint").alias("flagged"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
