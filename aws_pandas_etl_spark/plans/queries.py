@@ -11691,6 +11691,342 @@ def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+AUC_ORACLE = f"""
+WITH lab AS (
+  SELECT d.doc_id, d.q AS score,
+         CASE WHEN c.n > 1 THEN 1 ELSE 0 END AS pos
+  FROM (
+    SELECT doc_id, md5(text) AS h,
+           CAST(len({_dk_toks('text')}) AS DOUBLE) AS q
+    FROM documents
+  ) d
+  JOIN (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY h) c
+    USING (h)
+), g AS (
+  SELECT score,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS np
+  FROM lab GROUP BY score
+), cum AS (
+  SELECT score, n, np,
+         SUM(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cn
+  FROM g
+), s AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(n - np) AS BIGINT) AS n_neg,
+         CAST(SUM(np * ((cn - n + 1) + cn)) AS BIGINT) AS two_r
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE ROUND(CAST(two_r - n_pos * (n_pos + 1) AS DOUBLE)
+                       / (2.0 * n_pos * n_neg), 6) END AS auc
+FROM s
+"""
+
+
+@register("auc_quality_vs_exact_dup", AUC_ORACLE)
+def auc_quality_vs_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of a scoring rule against a binary label, computed exactly
+    by the Mann-Whitney rank-sum identity — here: does document token
+    length (the simplest quality signal) predict exact-duplicate
+    membership?  AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) with
+    midrank tie handling, kept in INTEGER arithmetic until the single
+    final division (2R is summed as exact bigints), so both engines
+    agree bit-for-bit — the pattern any offline model-eval harness at
+    scale wants, since naive pairwise AUC is O(n^2) while the
+    rank-sum form is a sort plus one pass.
+
+    Scale shape: label assignment is a hash-groupBy self-semi-join on
+    md5(text); ranks come from ONE window over the distinct-score
+    table (|distinct scores| rows, far smaller than the corpus); the
+    AUC fold is a 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(TX.tokens("text")).cast("double").alias("score"),
+    )
+    c = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lab = d.join(c, "h").select(
+        "score", F.when(F.col("n") > 1, 1).otherwise(0).alias("pos")
+    )
+    g = lab.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    wcum = Window.orderBy("score").rowsBetween(  # |distinct scores| rows
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.withColumn("cn", F.sum("n").over(wcum))
+    s = cum.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("np") * ((F.col("cn") - F.col("n") + 1) + F.col("cn"))
+        )
+        .cast("bigint")
+        .alias("two_r"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (
+                    F.col("two_r") - F.col("n_pos") * (F.col("n_pos") + 1)
+                ).cast("double")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+RUNS_ORACLE = f"""
+WITH o AS (
+  SELECT source,
+         {_dk_hex("'shuf:'||CAST(doc_id AS VARCHAR)")} AS k, doc_id
+  FROM documents
+), seq AS (
+  SELECT source,
+         LAG(source) OVER (ORDER BY k, doc_id) AS prev
+  FROM o
+), runs AS (
+  SELECT CAST(SUM(CASE WHEN prev IS NULL OR prev <> source
+                       THEN 1 ELSE 0 END) AS BIGINT) AS r,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq
+), comp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source)
+)
+SELECT runs.n AS n_docs, comp.n_sources, runs.r AS runs_observed,
+       ROUND(1.0 + (CAST(runs.n AS DOUBLE) * runs.n - comp.ss) / runs.n, 4)
+         AS runs_expected,
+       ROUND(runs.r / (1.0 + (CAST(runs.n AS DOUBLE) * runs.n - comp.ss)
+                             / runs.n), 4) AS ratio
+FROM runs, comp
+"""
+
+
+@register("shuffle_run_test_sources", RUNS_ORACLE)
+def shuffle_run_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit for training order (Wald-Wolfowitz runs
+    test, multi-category form): order the corpus by the deterministic
+    hash permutation a data loader would use as its epoch shuffle and
+    count RUNS of consecutive same-source documents; a well-mixed
+    shuffle should land near the expected 1 + (n^2 - sum n_s^2)/n runs
+    (ratio ~ 1).  Too few runs = source-clumped batches (gradient
+    correlation); the audit catches a broken shuffle key long before
+    training curves do.  Counts are exact integers; the two scalar
+    frames meet in a 1-row join.
+
+    Scale shape: the global order is the audit's subject (an epoch
+    shuffle IS a global permutation), so the lag runs over the
+    hash-sorted corpus — Spark's range-partitioned sort; at shard
+    granularity the same statistic decomposes per shard with +/-1
+    boundary error per shard, which is the production path for 100 TB
+    (documented, not needed at this table's size)."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.select(
+        "source",
+        md5_bigint(
+            F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+        "doc_id",
+    )
+    wseq = Window.orderBy("k", "doc_id")  # the epoch-shuffle permutation
+    seq = o.select(
+        "source", F.lag("source").over(wseq).alias("prev")
+    )
+    runs = seq.agg(
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("source")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    comp = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        )
+    )
+    exp_runs = F.lit(1.0) + (
+        F.col("n").cast("double") * F.col("n") - F.col("ss")
+    ) / F.col("n")
+    return runs.crossJoin(F.broadcast(comp)).select(
+        F.col("n").alias("n_docs"),
+        "n_sources",
+        F.col("r").alias("runs_observed"),
+        F.round(exp_runs, 4).alias("runs_expected"),
+        F.round(F.col("r") / exp_runs, 4).alias("ratio"),
+    )
+
+
+BURST_TOP = 20
+
+BURST_ORACLE = f"""
+WITH dc AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({_dk_toks('text')}) AS token FROM documents)
+  GROUP BY doc_id, token
+), top AS (
+  SELECT token, CAST(SUM(c) AS BIGINT) AS total_occ,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_present,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM dc GROUP BY token
+  ORDER BY total_occ DESC, token LIMIT {BURST_TOP}
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents
+)
+SELECT t.token, t.n_docs_present, t.total_occ,
+       ROUND(CAST(t.total_occ AS DOUBLE) / nd.nn, 6) AS mean_per_doc,
+       ROUND(((t.sum_c2 - CAST(t.total_occ AS DOUBLE) * t.total_occ / nd.nn)
+              / (nd.nn - 1))
+             / (CAST(t.total_occ AS DOUBLE) / nd.nn), 4) AS vmr
+FROM top t, nd ORDER BY t.token
+"""
+
+
+@register("token_burstiness_top20", BURST_ORACLE)
+def token_burstiness_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale 1995): variance-to-mean ratio
+    of per-document counts for the top-20 tokens.  VMR ~ 1 means the
+    token arrives Poisson-like (function words); VMR >> 1 means it
+    clumps in few documents (content/topic words — and, in a training
+    corpus, template spam shows up as extreme VMR).  Absent documents
+    contribute zero counts through the exact-sum identity
+    var = (sum c^2 - (sum c)^2/N) / (N-1) — no per-doc densification,
+    all integer sums until the final two divisions.
+
+    Scale shape: one (doc, token) groupBy with map-side combine, a
+    top-20 take on the token aggregate, and a 1-row corpus-size
+    broadcast.  The zero-count trick is what makes this scale: the
+    naive dense (doc x token) frame would be |docs| * 20 rows for the
+    variance; the identity needs only the 20 aggregate rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    dc = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = (
+        dc.groupBy("token")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_occ"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_present"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+        )
+        .orderBy(F.col("total_occ").desc(), "token")
+        .limit(BURST_TOP)
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
+    j = top.crossJoin(F.broadcast(nd))
+    mean = F.col("total_occ").cast("double") / F.col("nn")
+    var = (
+        F.col("sum_c2")
+        - F.col("total_occ").cast("double") * F.col("total_occ") / F.col("nn")
+    ) / (F.col("nn") - 1)
+    return j.select(
+        "token",
+        "n_docs_present",
+        "total_occ",
+        F.round(mean, 6).alias("mean_per_doc"),
+        F.round(var / mean, 4).alias("vmr"),
+    ).orderBy("token")
+
+
+LOGNORM_ORACLE = f"""
+WITH l AS (
+  SELECT CAST(len({_dk_toks('text')}) AS BIGINT) AS n_tok FROM documents
+), nz AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_zero FROM l WHERE n_tok = 0
+), t AS (
+  SELECT n_tok,
+         CAST(ROUND(ln(n_tok), 12) AS DECIMAL(28,12)) AS x,
+         CAST(ROUND(ln(n_tok) * ln(n_tok), 12) AS DECIMAL(28,12)) AS xx
+  FROM l WHERE n_tok > 0
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_tok) AS BIGINT) AS st,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(xx) AS DOUBLE) AS sxx
+  FROM t
+)
+SELECT s.n AS n_docs, nz.n_zero,
+       ROUND(sx / n, 4) AS mu,
+       ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS sigma,
+       ROUND(exp(sx / n), 4) AS implied_median_len,
+       ROUND(exp(sx / n + ((sxx - sx * sx / n) / (n - 1)) / 2.0), 4)
+         AS implied_mean_len,
+       ROUND(CAST(st AS DOUBLE) / n, 4) AS actual_mean_len
+FROM s, nz
+"""
+
+
+@register("doc_length_lognormal_fit", LOGNORM_ORACLE)
+def doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit of the document-length distribution (method of
+    moments on ln(length)) — corpus length profiles are classically
+    lognormal, and the fit is the one-line sanity dashboard: when the
+    implied mean exp(mu + sigma^2/2) diverges from the actual mean,
+    the corpus has a heavy tail or truncation artifact the scalar
+    average hides (e.g. a crawler cap at N tokens).  ln terms are
+    decimal-rounded before summation (order-independent), counts and
+    token totals stay integer.
+
+    Scale shape: a single stateless projection (token count, ln) and
+    one global fold to a 1-row summary; the zero-length arm is a
+    predicate-pushdown count.  Nothing is quadratic anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    ln = docs.select(F.size(TX.tokens("text")).cast("bigint").alias("n_tok"))
+    nz = ln.filter(F.col("n_tok") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_zero")
+    )
+    lx = F.log(F.col("n_tok").cast("double"))
+    t = ln.filter(F.col("n_tok") > 0).select(
+        "n_tok",
+        F.round(lx, 12).cast("decimal(28,12)").alias("x"),
+        F.round(lx * lx, 12).cast("decimal(28,12)").alias("xx"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_tok").cast("bigint").alias("st"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return s.crossJoin(F.broadcast(nz)).select(
+        F.col("n").alias("n_docs"),
+        "n_zero",
+        F.round(mu, 4).alias("mu"),
+        F.round(F.sqrt(var), 4).alias("sigma"),
+        F.round(F.exp(mu), 4).alias("implied_median_len"),
+        F.round(F.exp(mu + var / F.lit(2.0)), 4).alias("implied_mean_len"),
+        F.round(F.col("st").cast("double") / F.col("n"), 4).alias(
+            "actual_mean_len"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

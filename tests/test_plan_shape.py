@@ -143,6 +143,9 @@ _SCALAR_CROSS_OK = {
     "group_kfold_assignment",        # 1-row leakage-audit scalar
     "temperature_mixture_weights",   # 1-row total-tokens + 1-row Z normalizer
     "woe_iv_price_bands",            # 1-row class totals + 1-row IV scalar
+    "shuffle_run_test_sources",      # 1-row runs x 1-row composition scalars
+    "token_burstiness_top20",        # 1-row corpus-size denominator
+    "doc_length_lognormal_fit",      # 1-row zero-length count
 }
 
 # Streaming queries execute a real job on invocation — planning them
