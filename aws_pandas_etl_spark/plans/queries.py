@@ -12027,6 +12027,55 @@ def doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         {_dk_hex("'hll:'||CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+), rr AS (
+  SELECT event_type, h % {HLL_M} AS reg,
+         55 - (CASE WHEN h // {HLL_M} = 0 THEN 0
+                    ELSE length(bin(h // {HLL_M})) END) AS rank
+  FROM h
+), m AS (
+  SELECT event_type, reg, MAX(rank) AS mr FROM rr GROUP BY event_type, reg
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS registers_used,
+         CAST(SUM(CAST(ROUND(pow(2.0, -mr), 18) AS DECIMAL(38,18)))
+              AS DOUBLE) AS s_present
+  FROM m GROUP BY event_type
+), est AS (
+  SELECT event_type, registers_used,
+         {HLL_M} - registers_used AS v,
+         {HLL_ALPHA} * {HLL_M} * {HLL_M}
+           / (s_present + ({HLL_M} - registers_used)) AS e_raw
+  FROM agg
+)
+SELECT event_type, registers_used,
+       ROUND(CASE WHEN e_raw <= {2.5 * HLL_M} AND v > 0
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / v) ELSE e_raw END, 4)
+         AS est_distinct
+FROM est ORDER BY event_type
+"""
+
+
+@register("streaming_hll_distinct", STREAM_HLL_ORACLE)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of hll_distinct_users: the stream dedups on
+    (type, register, rank) — a BOUNDED domain (|types| * 64 * 55), so
+    state never grows and no watermark is needed; the register MAX and
+    harmonic-mean estimate fold batch-side over the sink output and
+    equal the batch sketch exactly (max of distinct ranks == max of
+    the raw stream — the HLL merge identity).  The oracle replays the
+    batch twin, making this one of the strongest streaming checks in
+    the registry: an exact-value gate on a stateful stream."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_streaming_hll,
+    )
+
+    return run_streaming_hll(spark, sf_dir, p=HLL_P)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

@@ -757,3 +757,66 @@ def run_streaming_heavy_hitters(
         .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("total")))
         .select("token", "cnt")
     )
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    sf_dir: str,
+    p: int = 6,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Streaming HyperLogLog with BOUNDED state by construction: each
+    user hash routes to one of m=2^p registers and the stream dedups
+    on (event_type, register, rank) — a domain of at most
+    |types| * m * 55 distinct triples, so the state store is bounded
+    for the LIFETIME of the stream with no watermark, and append mode
+    is exact (a triple is emitted once, ever).  The register MAX and
+    the bias-corrected harmonic-mean estimate run batch-side over the
+    sink output and must equal the batch sketch
+    (plans/queries.py::hll_distinct_users) bit-for-bit, because
+    max(rank) == max over the emitted distinct ranks — the HLL merge
+    identity in streaming form.  The oracle replays the batch twin."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    m = 1 << p
+    h = md5_bigint(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    w = F.shiftright(F.col("h"), p)
+    rank = F.lit(55) - F.when(w == 0, 0).otherwise(F.length(F.bin(w)))
+    stream = (
+        events_stream(spark, sf_dir, with_watermark=None)
+        .select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            (F.col("h") % m).alias("reg"),
+            rank.alias("rank"),
+        )
+    )
+    back = _run_to_parquet_sink(
+        spark,
+        stream.dropDuplicates(["event_type", "reg", "rank"]),
+        "hllsketch",
+        timeout_sec,
+    )
+    regs = back.groupBy("event_type", "reg").agg(F.max("rank").alias("mr"))
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        F.sum(
+            F.round(F.pow(F.lit(2.0), -F.col("mr")), 18).cast(
+                "decimal(38,18)"
+            )
+        )
+        .cast("double")
+        .alias("s_present"),
+    )
+    alpha = 0.709  # alpha_64; callers changing p must supply alpha_m
+    v = F.lit(m) - F.col("registers_used")
+    e_raw = F.lit(alpha * m * m) / (F.col("s_present") + v.cast("double"))
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        "event_type",
+        "registers_used",
+        F.round(est, 4).alias("est_distinct"),
+    )

@@ -159,6 +159,7 @@ _SKIP_EXECUTING = {
     "streaming_static_join_enrich",
     "streaming_range_join_errors_clicks",
     "streaming_approx_distinct_linear",
+    "streaming_hll_distinct",
     "streaming_foreach_batch_merge",
     "streaming_heavy_hitters",
 }
