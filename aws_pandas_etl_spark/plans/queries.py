@@ -12076,6 +12076,153 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_hll(spark, sf_dir, p=HLL_P)
 
 
+KMVX_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT event_type AS t,
+         {_dk_hex("'kmv:'||CAST(user_id AS VARCHAR)")} AS h, user_id
+  FROM events
+), pairs AS (
+  SELECT a.t AS ta, b.t AS tb
+  FROM (SELECT DISTINCT t FROM d) a JOIN (SELECT DISTINCT t FROM d) b
+    ON a.t < b.t
+), pd AS (
+  SELECT p.ta, p.tb, d.h,
+         MAX(CASE WHEN d.t = p.ta THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN d.t = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN d ON d.t = p.ta OR d.t = p.tb
+  GROUP BY p.ta, p.tb, d.h
+), rk AS (
+  SELECT ta, tb, h, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+  FROM pd
+), sk AS (
+  SELECT ta, tb,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS k_inter
+  FROM rk WHERE rn <= {KMV_K} GROUP BY ta, tb
+), est AS (
+  SELECT ta, tb, k_used, k_inter,
+         CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+              ELSE 63.0 / (CAST(kth AS DOUBLE) / {_TWO60}) END AS union_est
+  FROM sk
+), ex AS (
+  SELECT p.ta, p.tb, CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM pairs p
+  JOIN (SELECT DISTINCT t, user_id FROM d) a ON a.t = p.ta
+  JOIN (SELECT DISTINCT t, user_id FROM d) b
+    ON b.t = p.tb AND b.user_id = a.user_id
+  GROUP BY p.ta, p.tb
+)
+SELECT e.ta AS type_a, e.tb AS type_b, e.k_used, e.k_inter,
+       ROUND(e.union_est, 4) AS union_est,
+       ROUND(CAST(e.k_inter AS DOUBLE) / e.k_used * e.union_est, 4)
+         AS inter_est,
+       COALESCE(x.exact_inter, 0) AS exact_inter
+FROM est e LEFT JOIN ex x ON x.ta = e.ta AND x.tb = e.tb
+ORDER BY type_a, type_b
+"""
+
+
+@register("kmv_overlap_event_types", KMVX_ORACLE)
+def kmv_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set intersection (Dasgupta et al. 2016, the
+    DataSketches theta algebra) built on KMV: for every pair of event
+    types, merge the two k=64 KMV sketches (k smallest of the union),
+    estimate Jaccard as the fraction of merged-sketch members present
+    in BOTH sides, and scale by the union estimate (k-1)/u_(k) to get
+    the audience-overlap count — the sketch identity that answers
+    "how many users do segments A and B share?" from two 64-value
+    summaries instead of a user-level join.  The exact intersection
+    rides along as the accuracy reference.
+
+    Scale shape: the (type, user-hash) DISTINCT collapses the stream
+    once (map-side deduped); pair expansion multiplies by at most
+    |types|-1, never by users; sketch ranking windows run per pair on
+    that deduped table, and at production k the per-pair survivor set
+    is k rows — the whole pairwise overlap matrix costs one shuffle
+    of the deduped hashes.  The exact-join audit is the only
+    user-cardinality join, and it exists to grade the sketch."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("event_type").alias("t"),
+        md5_bigint(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+        "user_id",
+    ).distinct()
+    types = d.select("t").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    pd_ = (
+        pairs.join(
+            d, (d["t"] == pairs["ta"]) | (d["t"] == pairs["tb"])
+        )
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max(F.when(F.col("t") == F.col("ta"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("t") == F.col("tb"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    wrk = Window.partitionBy("ta", "tb").orderBy("h")
+    rk = pd_.withColumn("rn", F.row_number().over(wrk)).filter(
+        F.col("rn") <= KMV_K
+    )
+    sk = rk.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("k_inter"),
+    )
+    union_est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(F.lit(63.0) / (F.col("kth").cast("double") / F.lit(_TWO60)))
+    est = sk.select(
+        "ta",
+        "tb",
+        "k_used",
+        "k_inter",
+        union_est.alias("union_est"),
+    )
+    du = d.select("t", "user_id").distinct()
+    ex = (
+        pairs.join(du.alias("ua"), F.col("ua.t") == F.col("ta"))
+        .join(
+            du.alias("ub"),
+            (F.col("ub.t") == F.col("tb"))
+            & (F.col("ub.user_id") == F.col("ua.user_id")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    return (
+        est.join(ex, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "k_used",
+            "k_inter",
+            F.round("union_est", 4).alias("union_est"),
+            F.round(
+                F.col("k_inter").cast("double")
+                / F.col("k_used")
+                * F.col("union_est"),
+                4,
+            ).alias("inter_est"),
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

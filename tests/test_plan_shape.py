@@ -146,6 +146,7 @@ _SCALAR_CROSS_OK = {
     "shuffle_run_test_sources",      # 1-row runs x 1-row composition scalars
     "token_burstiness_top20",        # 1-row corpus-size denominator
     "doc_length_lognormal_fit",      # 1-row zero-length count
+    "kmv_overlap_event_types",       # |types|^2 pair spine (<=25 rows) + OR-join
 }
 
 # Streaming queries execute a real job on invocation — planning them
