@@ -12223,6 +12223,199 @@ def kmv_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEAS_ORACLE = """
+WITH hr AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, hour
+), ma AS (
+  SELECT event_type, hour, x,
+         SUM(x) OVER w AS sw,
+         COUNT(*) OVER w AS cw
+  FROM hr
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+), term AS (
+  SELECT event_type, CAST(hour(hour) AS BIGINT) AS hour_of_day,
+         CAST(ROUND(CAST(cw * x - sw AS DOUBLE) / cw, 8)
+              AS DECIMAL(20,8)) AS dt
+  FROM ma
+)
+SELECT event_type, hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(CAST(SUM(dt) AS DOUBLE) / COUNT(*), 6) AS seasonal_factor
+FROM term GROUP BY event_type, hour_of_day
+ORDER BY event_type, hour_of_day
+"""
+
+
+@register("seasonal_decomposition_hourly", SEAS_ORACLE)
+def seasonal_decomposition_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average step of
+    STL): per event type, the hourly series is detrended by a centered
+    24-hour moving average and the residuals are averaged by
+    hour-of-day — the seasonal profile (which hours run hot/cold once
+    the multi-day trend is removed).  seasonal_hour_anomalies z-scores
+    raw hour-of-day buckets; this one removes TREND first, so a
+    corpus-wide traffic ramp doesn't masquerade as seasonality.
+    Detrended terms stay exact (cw*x - sw over integer counts) until
+    one per-row division, then decimal-round-sum.
+
+    Scale shape: the stream collapses to (type, hour) cells; the
+    moving average is a bounded ROWS frame over that cell table
+    partitioned by type; the seasonal fold is a 24-row-per-type
+    groupBy.  Nothing touches raw events after the first groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-12, 11)
+    )
+    ma = hr.select(
+        "event_type",
+        "hour",
+        "x",
+        F.sum("x").over(wma).alias("sw"),
+        F.count(F.lit(1)).over(wma).alias("cw"),
+    )
+    term = ma.select(
+        "event_type",
+        F.hour("hour").cast("bigint").alias("hour_of_day"),
+        F.round(
+            (F.col("cw") * F.col("x") - F.col("sw")).cast("double")
+            / F.col("cw"),
+            8,
+        )
+        .cast("decimal(20,8)")
+        .alias("dt"),
+    )
+    return (
+        term.groupBy("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.round(
+                F.sum("dt").cast("double") / F.count(F.lit(1)), 6
+            ).alias("seasonal_factor"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+KL_TOP_V = 200
+
+KLSRC_ORACLE = f"""
+WITH occ AS (
+  SELECT source, unnest({_dk_toks('text')}) AS token FROM documents
+), vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cq
+  FROM occ GROUP BY token ORDER BY cq DESC, token LIMIT {KL_TOP_V}
+), srcs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_occ_all FROM occ GROUP BY source
+), cs AS (
+  SELECT occ.source, occ.token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ JOIN vocab USING (token) GROUP BY occ.source, occ.token
+), spine AS (
+  SELECT s.source, s.n_occ_all, v.token, v.cq, COALESCE(cs.c, 0) AS c
+  FROM srcs s CROSS JOIN vocab v
+  LEFT JOIN cs ON cs.source = s.source AND cs.token = v.token
+), nrm AS (
+  SELECT source, n_occ_all, token,
+         (c + 0.5) / SUM(c + 0.5) OVER (PARTITION BY source) AS p,
+         (cq + 0.5)
+           / (SELECT SUM(cq + 0.5) FROM vocab) AS q
+  FROM spine
+), term AS (
+  SELECT source, n_occ_all,
+         CAST(ROUND(p * ln(p / q) / ln(2.0), 8) AS DECIMAL(20,8)) AS h
+  FROM nrm
+)
+SELECT source, n_occ_all AS n_tokens,
+       ROUND(CAST(SUM(h) AS DOUBLE), 6) AS kl_bits
+FROM term GROUP BY source, n_occ_all ORDER BY source
+"""
+
+
+@register("unigram_kl_by_source", KLSRC_ORACLE)
+def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution divergence: KL(P_source ||
+    P_corpus) in bits over the corpus top-200 vocabulary, Laplace
+    +0.5 smoothed and renormalized on that closed vocabulary — the
+    corpus-mixture diagnostic one level deeper than
+    source_mixture_kl's share-of-documents view: it catches a source
+    whose VOLUME share is fine but whose CONTENT is off-distribution
+    (template spam, wrong domain, machine-generated filler).  Terms
+    are decimal-rounded before the per-source sum.
+
+    Scale shape: the vocabulary is capped at 200 by construction, so
+    the dense (source x token) spine is |sources| * 200 rows no matter
+    the corpus size — the closed-vocab trick that keeps smoothing's
+    absent-token mass exact without a corpus-sized densification.
+    Token counting is one map-side-combined groupBy; everything after
+    runs on bounded frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
+        .orderBy(F.col("cq").desc(), "token")
+        .limit(KL_TOP_V)
+    )
+    srcs = occ.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ_all")
+    )
+    cs = (
+        occ.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    spine = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(cs, ["source", "token"], "left")
+        .select(
+            "source",
+            "n_occ_all",
+            "token",
+            "cq",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    qden = vocab.agg(
+        F.sum(F.col("cq") + F.lit(0.5)).alias("qd")
+    )
+    wsrc = Window.partitionBy("source")
+    nrm = spine.crossJoin(F.broadcast(qden)).select(
+        "source",
+        "n_occ_all",
+        (
+            (F.col("c") + 0.5) / F.sum(F.col("c") + 0.5).over(wsrc)
+        ).alias("p"),
+        ((F.col("cq") + 0.5) / F.col("qd")).alias("q"),
+    )
+    term = nrm.select(
+        "source",
+        "n_occ_all",
+        F.round(
+            F.col("p") * F.log(F.col("p") / F.col("q")) / F.log(F.lit(2.0)),
+            8,
+        )
+        .cast("decimal(20,8)")
+        .alias("h"),
+    )
+    return (
+        term.groupBy("source", "n_occ_all")
+        .agg(F.round(F.sum("h").cast("double"), 6).alias("kl_bits"))
+        .select(
+            "source",
+            F.col("n_occ_all").alias("n_tokens"),
+            "kl_bits",
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
