@@ -11154,7 +11154,9 @@ BOOT_B = 40  # replicates; ranks 2 and 39 bracket a ~90% empirical CI
 
 BOOT_ORACLE = f"""
 WITH r AS (
-  SELECT event_type, event_id, value,
+  SELECT event_type, value,
+         {_dk_hex("'boot0:'||CAST(event_id AS VARCHAR)")} AS h1,
+         {_dk_hex("'boot1:'||CAST(event_id AS VARCHAR)")} AS h2,
          unnest(generate_series(0, {BOOT_B - 1})) AS b
   FROM events
 ), wgt AS (
@@ -11163,8 +11165,8 @@ WITH r AS (
               ELSE 3 END AS w
   FROM (
     SELECT event_type, b, value,
-           {_dk_hex("'boot'||CAST(b AS VARCHAR)||':'||CAST(event_id AS VARCHAR)")}
-             % 8 AS h
+           ((CASE WHEN b < 20 THEN h1 ELSE h2 END)
+            // CAST(pow(8, b % 20) AS BIGINT)) % 8 AS h
     FROM r
   )
 ), rep AS (
@@ -11215,22 +11217,30 @@ def bootstrap_ci_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_pandas_etl_spark.functions.hashing import md5_bigint
 
     ev = load_table(spark, sf_dir, "events")
-    r = ev.select(
-        "event_type",
-        "event_id",
-        "value",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
-    )
-    h = (
-        md5_bigint(
-            F.concat(
-                F.lit("boot"),
-                F.col("b").cast("string"),
-                F.lit(":"),
-                F.col("event_id").cast("string"),
-            )
+    # spread the B-fold explode across the cluster: a single input file
+    # would otherwise serialize B*n weight computations on one task
+    r = (
+        ev.select("event_type", "value", "event_id")
+        # explicit count: AQE would coalesce the ~MB-sized shuffle to
+        # one partition and serialize the 40x explode's CPU on one task
+        .repartition(spark.sparkContext.defaultParallelism, "event_id")
+        .select(
+            "event_type",
+            "value",
+            md5_bigint(
+                F.concat(F.lit("boot0:"), F.col("event_id").cast("string"))
+            ).alias("h1"),
+            md5_bigint(
+                F.concat(F.lit("boot1:"), F.col("event_id").cast("string"))
+            ).alias("h2"),
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
         )
-        % 8
+    )
+    # two md5s per ROW, 3-bit weight fields per replicate: 8^j is a
+    # power of two, so pow->bigint is exact in both engines
+    h = F.expr(
+        "((CASE WHEN b < 20 THEN h1 ELSE h2 END)"
+        " DIV CAST(pow(8, b % 20) AS BIGINT)) % 8"
     )
     w = (
         F.when(h < 3, 0).when(h < 6, 1).when(h == 6, 2).otherwise(3)
