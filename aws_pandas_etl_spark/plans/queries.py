@@ -12426,6 +12426,182 @@ def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+XSRC_ORACLE = """
+WITH hs AS (
+  SELECT DISTINCT md5(text) AS h, source FROM documents
+), tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_texts FROM hs GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.n_shared_texts,
+       ta.n_texts AS n_texts_a, tb.n_texts AS n_texts_b,
+       ROUND(CAST(p.n_shared_texts AS DOUBLE)
+             / LEAST(ta.n_texts, tb.n_texts), 6) AS overlap_coeff
+FROM pairs p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register("cross_source_duplication_matrix", XSRC_ORACLE)
+def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources, how
+    many distinct texts appear verbatim in BOTH — the provenance
+    diagnostic that tells you WHICH feeds mirror each other (crawl
+    overlap, syndication, re-uploads), where dedup_rate_by_source only
+    says each source's internal rate.  The overlap coefficient
+    (shared / min side) is the standard containment normalization, so
+    a small feed fully contained in a big one scores 1.0.
+
+    Scale shape: texts collapse to distinct (md5, source) first, so
+    the self-join matches within hash buckets only — candidates are
+    bounded by duplicate-group sizes (|sources| per hash at worst),
+    never the corpus square; per-source totals broadcast back.  Only
+    pairs that actually share a text appear."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.select(F.md5("text").alias("h"), "source").distinct()
+    tot = hs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_texts")
+    )
+    pairs = (
+        hs.alias("a")
+        .join(
+            hs.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_texts"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tot).withColumnsRenamed(
+                {"source": "source_a", "n_texts": "n_texts_a"}
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(tot).withColumnsRenamed(
+                {"source": "source_b", "n_texts": "n_texts_b"}
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_texts",
+            "n_texts_a",
+            "n_texts_b",
+            F.round(
+                F.col("n_shared_texts").cast("double")
+                / F.least("n_texts_a", "n_texts_b"),
+                6,
+            ).alias("overlap_coeff"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+BCE_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_dk_toks('text')} AS toks FROM documents
+), bi AS (
+  SELECT source, a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM (
+    SELECT source,
+           unnest(toks[1:len(toks)-1]) AS a,
+           unnest(toks[2:len(toks)]) AS b
+    FROM t WHERE len(toks) >= 2
+  ) GROUP BY source, a, b
+), m AS (
+  SELECT source, a, b, c_ab,
+         SUM(c_ab) OVER (PARTITION BY source, a) AS c_a,
+         SUM(c_ab) OVER (PARTITION BY source) AS n
+  FROM bi
+), term AS (
+  SELECT source, n,
+         CAST(ROUND(-(CAST(c_ab AS DOUBLE) / n)
+                    * ln(CAST(c_ab AS DOUBLE) / c_a) / ln(2.0), 8)
+              AS DECIMAL(20,8)) AS h
+  FROM m
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(MAX(n) AS BIGINT) AS total_bigrams,
+       ROUND(CAST(SUM(h) AS DOUBLE), 6) AS cond_entropy_bits
+FROM term GROUP BY source ORDER BY source
+"""
+
+
+@register("bigram_conditional_entropy_by_source", BCE_ORACLE)
+def bigram_conditional_entropy_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditional entropy H(next | prev) of the token bigram model
+    per source, in bits — the entropy-rate estimate that exposes
+    TEMPLATED text: a source whose continuations are predictable
+    (boilerplate, form letters, machine-generated filler) scores far
+    below organic prose even when its unigram mix looks normal
+    (unigram_kl_by_source can miss it).  H = -sum p(a,b) log2
+    p(b|a) from exact bigram counts; terms decimal-round before the
+    per-source sum.
+
+    Scale shape: adjacent-pair extraction is a scan-side zip (no
+    self-join); counts collapse to (source, a, b) cells with map-side
+    combine; the two marginals are windows over that cell table.
+    Everything after the first groupBy is bigram-vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", TX.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = t.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("a"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("b"),
+            )
+        ).alias("p"),
+    ).select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bi = pairs.groupBy("source", "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    wa = Window.partitionBy("source", "a")
+    ws = Window.partitionBy("source")
+    m = bi.select(
+        "source",
+        "c_ab",
+        F.sum("c_ab").over(wa).alias("c_a"),
+        F.sum("c_ab").over(ws).alias("n"),
+    )
+    p_ab = F.col("c_ab").cast("double") / F.col("n")
+    p_b_a = F.col("c_ab").cast("double") / F.col("c_a")
+    term = m.select(
+        "source",
+        "n",
+        F.round(-p_ab * F.log(p_b_a) / F.log(F.lit(2.0)), 8)
+        .cast("decimal(20,8)")
+        .alias("h"),
+    )
+    return (
+        term.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+            F.max("n").cast("bigint").alias("total_bigrams"),
+            F.round(F.sum("h").cast("double"), 6).alias("cond_entropy_bits"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
