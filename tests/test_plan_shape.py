@@ -443,3 +443,32 @@ def test_range_bounds_window_runs_over_sampled_frame(spark):
         assert ("rbounds:" in sub) or ("count(1)" in sub and "Scan" in sub), (
             f"SinglePartition over an unsampled frame:\n{sub}"
         )
+
+
+def test_no_complex_typed_output_columns(spark):
+    """Driver-canonicalizability gate: the correctness driver's pandas
+    canonicalization (sort_values + hash) crashes on list/map/struct
+    cells ("unhashable type: list" — the round-7 inverted_index_terms
+    err).  Every registered query must emit only atomic columns;
+    posting lists and the like must be stringified
+    (concat_ws/sort_array) or exploded.  Schema inspection is
+    plan-only — nothing executes (streaming queries, which execute on
+    invocation, are skipped; their sink post-aggregates are atomic by
+    construction)."""
+    from pyspark.sql import types as T
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in _SKIP_EXECUTING:
+            continue
+        schema = fn(spark, SF).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"driver-uncanonicalizable columns: {offenders}"
