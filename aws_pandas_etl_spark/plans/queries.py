@@ -12602,6 +12602,143 @@ def bigram_conditional_entropy_by_source(
     )
 
 
+TCLOSE_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY ALL
+), bands AS (
+  SELECT DISTINCT band FROM c
+), cls AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(n) AS BIGINT) AS n_c
+  FROM c GROUP BY c_nationkey, c_mktsegment
+), gdist AS (
+  SELECT band, CAST(SUM(n) AS BIGINT) AS g FROM c GROUP BY band
+), gt AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS gtot,
+         CAST(COUNT(*) AS BIGINT) AS n_bands
+  FROM gdist
+), spine AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_c, b.band,
+         COALESCE(c.n, 0) AS n, gdist.g
+  FROM cls CROSS JOIN bands b
+  JOIN gdist ON gdist.band = b.band
+  LEFT JOIN c ON c.c_nationkey = cls.c_nationkey
+             AND c.c_mktsegment = cls.c_mktsegment AND c.band = b.band
+), cum AS (
+  SELECT c_nationkey, c_mktsegment, n_c, band,
+         SUM(n) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY band ROWS UNBOUNDED PRECEDING) AS cn,
+         SUM(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY band ROWS UNBOUNDED PRECEDING) AS cg
+  FROM spine
+), term AS (
+  SELECT c_nationkey, c_mktsegment, n_c,
+         CAST(ROUND(abs(CAST(gt.gtot * cn - n_c * cg AS DOUBLE))
+                    / (CAST(n_c AS DOUBLE) * gt.gtot), 8)
+              AS DECIMAL(20,8)) AS d,
+         gt.n_bands
+  FROM cum, gt
+)
+SELECT c_nationkey, c_mktsegment, n_c AS n_rows,
+       ROUND(CAST(SUM(d) AS DOUBLE) / (MAX(n_bands) - 1), 6) AS emd
+FROM term GROUP BY c_nationkey, c_mktsegment, n_c
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@register("t_closeness_audit", TCLOSE_ORACLE)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the privacy-release ladder after k-anonymity and
+    l-diversity: a QI class (nation, segment) leaks when the
+    DISTRIBUTION of the ordered sensitive attribute (balance band)
+    inside it sits far from the global distribution, measured by the
+    ordered earth-mover's distance = mean |CDF_class - CDF_global|.
+    The CDF gap is kept exact — (G*cum_n - n_c*cum_g) over integer
+    cumsums, one division per cell — then decimal-round-summed, so
+    both engines agree despite the nested normalizations.
+
+    Scale shape: one groupBy over the (QI x band) domain; the spine is
+    |classes| x |bands| (attribute-domain-sized); cumsums are windows
+    over that bounded spine.  The fact table is touched once."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias(
+            "band"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bands = c.select("band").distinct()
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("n_c")
+    )
+    glob = c.groupBy("band").agg(F.sum("n").cast("bigint").alias("g"))
+    gt = glob.agg(
+        F.sum("g").cast("bigint").alias("gtot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+    )
+    spine = (
+        cls.crossJoin(F.broadcast(bands))
+        .join(F.broadcast(glob), "band")
+        .join(c, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_c",
+            "band",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "g",
+        )
+    )
+    wcum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spine.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_c",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("g").over(wcum).alias("cg"),
+    )
+    term = cum.crossJoin(F.broadcast(gt)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_c",
+        "n_bands",
+        F.round(
+            F.abs(
+                (
+                    F.col("gtot") * F.col("cn") - F.col("n_c") * F.col("cg")
+                ).cast("double")
+            )
+            / (F.col("n_c").cast("double") * F.col("gtot")),
+            8,
+        )
+        .cast("decimal(20,8)")
+        .alias("d"),
+    )
+    return (
+        term.groupBy("c_nationkey", "c_mktsegment", "n_c")
+        .agg(
+            F.round(
+                F.sum("d").cast("double") / (F.max("n_bands") - 1), 6
+            ).alias("emd")
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_c").alias("n_rows"),
+            "emd",
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

@@ -148,6 +148,7 @@ _SCALAR_CROSS_OK = {
     "doc_length_lognormal_fit",      # 1-row zero-length count
     "kmv_overlap_event_types",       # |types|^2 pair spine (<=25 rows) + OR-join
     "unigram_kl_by_source",          # |sources| x top-200 closed-vocab spine
+    "t_closeness_audit",             # |classes| x |bands| attribute spine
 }
 
 # Streaming queries execute a real job on invocation — planning them
