@@ -12739,6 +12739,172 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT s.user_id, s.s_ts, MIN(epoch_us(e.ts)) AS p_ts
+  FROM s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) >= s.s_ts
+  GROUP BY s.user_id, s.s_ts
+), mx AS (
+  SELECT MAX(epoch_us(ts)) AS end_ts FROM events
+), obs AS (
+  SELECT s.user_id,
+         CASE WHEN p.p_ts IS NOT NULL
+              THEN (p.p_ts - s.s_ts) // 86400000000
+              ELSE (mx.end_ts - s.s_ts) // 86400000000 END AS t_day,
+         CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM s LEFT JOIN p ON p.user_id = s.user_id, mx
+), g AS (
+  SELECT t_day, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM obs GROUP BY t_day
+), rk AS (
+  SELECT t_day, d, c,
+         (SELECT COUNT(*) FROM obs)
+           - COALESCE(SUM(d + c) OVER (ORDER BY t_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM g
+), term AS (
+  SELECT t_day, d, c, n_risk,
+         CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(20,8))
+              WHEN d < n_risk THEN CAST(ROUND(
+                ln(1.0 - CAST(d AS DOUBLE) / n_risk), 8) AS DECIMAL(20,8))
+              ELSE NULL END AS lt,
+         CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS dead
+  FROM rk
+), cum AS (
+  SELECT t_day, d, c, n_risk,
+         SUM(lt) OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS cl,
+         MAX(dead) OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS anydead
+  FROM term
+)
+SELECT CAST(t_day AS BIGINT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_events, c AS n_censored,
+       CASE WHEN anydead = 1 THEN 0.0
+            ELSE ROUND(exp(CAST(cl AS DOUBLE)), 6) END AS survival
+FROM cum ORDER BY t_day
+"""
+
+
+@register("kaplan_meier_signup_to_purchase", KM_ORACLE)
+def kaplan_meier_signup_to_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival estimator (1958) for signup -> first
+    purchase, with RIGHT-CENSORING at the end of the observed stream:
+    conversion_funnel counts only completed conversions, silently
+    biased against recent signups; KM is the correct censored
+    estimator — at each day t, S(t) multiplies down by
+    (1 - d_t / n_t) where n_t is the at-risk set (users who have
+    neither converted nor been censored before t).  The product runs
+    as exp(cumsum(ln)) with decimal-rounded log terms (the engine-
+    portable product), day gaps and at-risk counts stay exact
+    integers, and a fully-consumed risk set pins survival to 0 from
+    that day on.
+
+    Scale shape: per-user first-signup/first-purchase are two
+    map-side-combined groupBys + one equi-join; the life table
+    collapses to |distinct days| rows and every window runs on that
+    bounded table (the single-partition window is over ~30 day rows,
+    not the stream).  The stream-end censor bound is a 1-row
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    s = (
+        u.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("s_ts"))
+    )
+    p = (
+        s.join(
+            u.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("t").alias("pt")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pt") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("pt").alias("p_ts"))
+    )
+    mx = u.agg(F.max("t").alias("end_ts"))
+    obs = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.expr("(p_ts - s_ts) DIV 86400000000"),
+            )
+            .otherwise(F.expr("(end_ts - s_ts) DIV 86400000000"))
+            .alias("t_day"),
+            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    g = obs.groupBy("t_day").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
+    )
+    ntot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("ntot"))
+    wprev = Window.orderBy("t_day").rowsBetween(  # |days| rows, bounded
+        Window.unboundedPreceding, -1
+    )
+    rk = (
+        g.crossJoin(F.broadcast(ntot))
+        .withColumn(
+            "n_risk",
+            F.col("ntot")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)
+            ),
+        )
+        .drop("ntot")
+    )
+    lt = (
+        F.when(F.col("d") == 0, F.lit(0.0).cast("decimal(20,8)"))
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk")
+                ),
+                8,
+            ).cast("decimal(20,8)"),
+        )
+        .otherwise(F.lit(None).cast("decimal(20,8)"))
+    )
+    dead = F.when(
+        (F.col("d") >= F.col("n_risk")) & (F.col("d") > 0), 1
+    ).otherwise(0)
+    term = rk.select(
+        "t_day", "d", "c", "n_risk", lt.alias("lt"), dead.alias("dead")
+    )
+    wcum = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = term.select(
+        "t_day",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("lt").over(wcum).alias("cl"),
+        F.max("dead").over(wcum).alias("anydead"),
+    )
+    return cum.select(
+        F.col("t_day").cast("bigint").alias("t_day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("anydead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cl").cast("double")), 6))
+        .alias("survival"),
+    ).orderBy("t_day")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

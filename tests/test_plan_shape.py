@@ -149,6 +149,7 @@ _SCALAR_CROSS_OK = {
     "kmv_overlap_event_types",       # |types|^2 pair spine (<=25 rows) + OR-join
     "unigram_kl_by_source",          # |sources| x top-200 closed-vocab spine
     "t_closeness_audit",             # |classes| x |bands| attribute spine
+    "kaplan_meier_signup_to_purchase",  # 1-row censor bound + 1-row N
 }
 
 # Streaming queries execute a real job on invocation — planning them
