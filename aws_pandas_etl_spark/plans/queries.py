@@ -12905,6 +12905,174 @@ def kaplan_meier_signup_to_purchase(
     ).orderBy("t_day")
 
 
+MK_ORACLE = """
+WITH day AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, d
+), idx AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+  FROM day
+), pr AS (
+  SELECT a.event_type,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+         CAST(b.x - a.x AS DOUBLE) / (b.i - a.i) AS slope,
+         a.i AS i1, b.i AS i2
+  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i
+), srt AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, i1, i2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM pr
+), med AS (
+  SELECT event_type,
+         AVG(CASE WHEN rn IN ((m + 1) // 2, m // 2 + 1) THEN slope END)
+           AS sen
+  FROM srt GROUP BY event_type
+), sagg AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s
+  FROM pr GROUP BY event_type
+), nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM day
+  GROUP BY event_type
+), ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tc
+  FROM (
+    SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+    FROM day GROUP BY event_type, x HAVING COUNT(*) > 1
+  ) GROUP BY event_type
+), z AS (
+  SELECT nn.event_type, nn.n, sagg.s,
+         (CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+               - COALESCE(ties.tc, 0) AS DOUBLE)) / 18.0 AS vs
+  FROM nn JOIN sagg USING (event_type)
+  LEFT JOIN ties ON ties.event_type = nn.event_type
+)
+SELECT z.event_type, z.n AS n_days, z.s AS s_stat,
+       ROUND(CASE WHEN z.s > 0 THEN (z.s - 1) / sqrt(z.vs)
+                  WHEN z.s < 0 THEN (z.s + 1) / sqrt(z.vs)
+                  ELSE 0.0 END, 4) AS z_score,
+       ROUND(med.sen, 4) AS sen_slope
+FROM z JOIN med USING (event_type) ORDER BY event_type
+"""
+
+
+@register("daily_trend_mann_kendall", MK_ORACLE)
+def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per event type over
+    daily rates — the nonparametric trend monitor (no normality or
+    linearity assumption, robust to outliers) that answers "is this
+    feed growing or decaying?" with a significance score: S sums
+    pairwise sign comparisons, the tie-corrected variance gives the
+    continuity-corrected z, and Theil-Sen is the median pairwise
+    slope (rank-selected with a deterministic tie-break, not a
+    percentile call).  Everything is integer-exact until z and the
+    slope divisions.
+
+    Scale shape: the stream collapses to (type, day) cells first; the
+    pairwise self-join runs on that bounded table (for D days, D^2/2
+    pairs per type — days are bounded by retention, not corpus size).
+    This is the one place a quadratic join is CORRECT at 100 TB:
+    the quadratic is over calendar days, never rows."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    widx = Window.partitionBy("event_type").orderBy("d")
+    idx = day.select(
+        "event_type", "x", F.row_number().over(widx).alias("i")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.i") < F.col("b.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.i") - F.col("a.i"))
+        ).alias("slope"),
+        F.col("a.i").alias("i1"),
+        F.col("b.i").alias("i2"),
+    )
+    wsrt = Window.partitionBy("event_type").orderBy("slope", "i1", "i2")
+    wm = Window.partitionBy("event_type")
+    srt = pr.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wsrt).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    med = srt.groupBy("event_type").agg(
+        F.avg(
+            F.when(
+                (F.col("rn") == F.expr("(m + 1) DIV 2"))
+                | (F.col("rn") == F.expr("m DIV 2 + 1")),
+                F.col("slope"),
+            )
+        ).alias("sen")
+    )
+    sagg = pr.groupBy("event_type").agg(
+        F.sum("sgn").cast("bigint").alias("s")
+    )
+    nn = day.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ties = (
+        day.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tc")
+        )
+    )
+    z = (
+        nn.join(sagg, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.coalesce("tc", F.lit(0))
+                ).cast("double")
+                / 18.0
+            ).alias("vs"),
+        )
+    )
+    zsc = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("vs")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("vs")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        z.join(med, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            F.round(zsc, 4).alias("z_score"),
+            F.round("sen", 4).alias("sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
