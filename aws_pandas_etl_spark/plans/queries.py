@@ -7871,52 +7871,97 @@ def pmi_bigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-INVIDX_DF_MIN, INVIDX_DF_MAX = 3, 40
+INVIDX_DF_MIN = 2          # hapax guard
+INVIDX_MAX_DF_FRAC = 0.05  # relative stopword ceiling (sklearn max_df style)
+INVIDX_MAX_DF_ABS = 100000  # absolute ceiling: no posting group out-sizes an executor
+INVIDX_POSTINGS_K = 20     # truncated posting prefix per term
 
 INVIDX_ORACLE = f"""
-WITH e AS (
-  SELECT DISTINCT doc_id, term
-  FROM (SELECT doc_id, unnest({_dk_toks('text')}) AS term FROM documents)
+WITH toks AS (
+  SELECT doc_id, {_dk_toks('text')} AS t FROM documents
+), e AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> t[i] || ' ' || t[i + 1])) AS term
+  FROM toks
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents
+), kept AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM e, n
+  GROUP BY term, nd
+  HAVING COUNT(*) BETWEEN {INVIDX_DF_MIN}
+     AND LEAST(CAST(CEIL({INVIDX_MAX_DF_FRAC} * nd) AS BIGINT),
+               {INVIDX_MAX_DF_ABS})
+), r AS (
+  SELECT e.term, e.doc_id,
+         row_number() OVER (PARTITION BY e.term ORDER BY e.doc_id) AS rn
+  FROM e JOIN kept USING (term)
 )
-SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-       array_to_string(list_sort(list(doc_id)), ',') AS postings
-FROM e GROUP BY term
-HAVING COUNT(*) BETWEEN {INVIDX_DF_MIN} AND {INVIDX_DF_MAX}
+SELECT k.term, k.df,
+       array_to_string(list_sort(list(r.doc_id)), ',') AS postings
+FROM r JOIN kept k USING (term)
+WHERE r.rn <= {INVIDX_POSTINGS_K}
+GROUP BY k.term, k.df
 """
 
 
 @register("inverted_index_terms", INVIDX_ORACLE)
 def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index construction: sorted posting list (doc ids) per
-    mid-frequency term (3 <= df <= 40) — the retrieval-index build
-    step, band-filtered the way search engines drop stopword-frequency
-    and hapax terms.  Postings sort inside each group
-    (sort_array(collect_list)), so no global ordering is required.
-    The posting list is emitted as a comma-joined string (not an
-    array column): the driver gate canonicalizes results via pandas
-    sort/hash, which cannot hash list-typed cells.
+    """Inverted-index construction over word-bigram terms: document
+    frequency plus a sorted TRUNCATED posting list (the first
+    {K} doc ids) per mid-frequency term — hapax terms (df < 2) and
+    stopword-frequency terms (df > min(5% of corpus, 100k)) band out
+    the way search-engine index builds drop them.  The df ceiling is
+    RELATIVE to corpus size so the band tracks any SF, with an
+    absolute cap as the executor-memory guard.  The posting list is
+    emitted as a comma-joined string (not an array column): the driver
+    gate canonicalizes results via pandas sort/hash, which cannot hash
+    list-typed cells.
 
-    Scale shape: one explode + distinct (map-side partial dedup), one
-    groupBy term.  Posting lists are bounded by the df ceiling, so no
-    group out-sizes an executor; at web scale the df band IS the
-    skew guard (the 'the'-posting-list never materializes)."""
+    Scale shape: df is a pure count aggregate (map-side partial, never
+    a list); posting lists materialize AFTER a row_number window keeps
+    only each term's first {K} doc ids, so collect_list groups are
+    K-bounded regardless of df.  The window partitions by banded terms
+    only (post-semi-join), each partition <= the df ceiling."""
     docs = load_table(spark, sf_dir, "documents")
-    e = docs.select(
-        "doc_id", F.explode(F.array_distinct(TX.tokens("text"))).alias("term")
+    t = docs.select("doc_id", TX.tokens("text").alias("t"))
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))
+        ),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
     )
-    return (
+    e = t.select("doc_id", F.explode(grams).alias("term")).distinct()
+    nd = docs.agg(F.count("*").cast("bigint").alias("nd"))
+    max_df = F.least(
+        F.ceil(F.lit(INVIDX_MAX_DF_FRAC) * F.col("nd")).cast("bigint"),
+        F.lit(INVIDX_MAX_DF_ABS),
+    )
+    kept = (
         e.groupBy("term")
-        .agg(
-            F.count("*").cast("bigint").alias("df"),
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda d: d.cast("string"),
-                ),
-                ",",
-            ).alias("postings"),
-        )
-        .filter(F.col("df").between(INVIDX_DF_MIN, INVIDX_DF_MAX))
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df").between(F.lit(INVIDX_DF_MIN), max_df))
+        .select("term", "df")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    r = (
+        e.join(kept, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= INVIDX_POSTINGS_K)
+    )
+    return r.groupBy("term", "df").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
     )
 
 

@@ -150,6 +150,7 @@ _SCALAR_CROSS_OK = {
     "unigram_kl_by_source",          # |sources| x top-200 closed-vocab spine
     "t_closeness_audit",             # |classes| x |bands| attribute spine
     "kaplan_meier_signup_to_purchase",  # 1-row censor bound + 1-row N
+    "inverted_index_terms",          # 1-row corpus-size df ceiling
 }
 
 # Streaming queries execute a real job on invocation — planning them
