@@ -18,6 +18,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.errors import AnalysisException
@@ -372,6 +373,39 @@ def run_streaming_dedup(
     return _run_to_parquet_sink(spark, stream.dropDuplicates(keys), "dedup", timeout_sec)
 
 
+def _write_ordered_splits(
+    df: DataFrame, order_cols: list[str], n_splits: int, base: str, src_dir: str
+) -> None:
+    """Arriving-batch scaffolding shared by the foreachBatch runners:
+    split ``df`` into ``n_splits`` time-ordered parquet files under
+    ``src_dir`` (batch_i.parquet) in ONE pass — ntile over the given
+    order, a single partitionBy write (the previous per-split filtered
+    writes re-scanned and re-sorted the frame n times), then renames
+    with explicitly ascending mtimes so the file stream delivers
+    batches in order regardless of filesystem timestamp granularity.
+    The ntile window's single partition only ever runs over the
+    harness fixture; it also guarantees exactly one file per split."""
+    from pyspark.sql import Window
+
+    splits = os.path.join(base, "splits")
+    q = df.withColumn(
+        "_q", F.ntile(n_splits).over(Window.orderBy(*order_cols))
+    )
+    q.write.partitionBy("_q").parquet(splits)
+    now = time.time()
+    for i in range(1, n_splits + 1):
+        part = os.path.join(splits, f"_q={i}")
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        if len(files) != 1:
+            raise RuntimeError(
+                f"expected exactly one file per split, got {files} in {part}"
+            )
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        os.rename(os.path.join(part, files[0]), dst)
+        os.utime(dst, (now + i, now + i))
+    shutil.rmtree(splits, ignore_errors=True)
+
+
 def run_foreach_batch_merge(
     spark: SparkSession,
     sf_dir: str,
@@ -394,8 +428,6 @@ def run_foreach_batch_merge(
     production uses Delta/Iceberg MERGE INTO keyed the same way); the
     time-ordered split is harness scaffolding standing in for an
     arriving CDC feed."""
-    from pyspark.sql import Window
-
     from aws_pandas_etl_spark.sources.readers import load_table
     from aws_pandas_etl_spark.sources.sinks import merge_load, read_back
 
@@ -410,15 +442,7 @@ def run_foreach_batch_merge(
         "user_id", "event_type", "event_id", "ts", "props"
     )
     # time-ordered split into n files = the arriving batch sequence
-    # (test scaffolding, not the operator: ntile's single-partition
-    # window only ever runs over the harness fixture here)
-    q = ev.withColumn("_q", F.ntile(n_splits).over(Window.orderBy("ts", "event_id")))
-    for i in range(1, n_splits + 1):
-        part = os.path.join(base, f"part{i}")
-        q.filter(F.col("_q") == i).drop("_q").coalesce(1).write.parquet(part)
-        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
-        os.rename(os.path.join(part, src), os.path.join(src_dir, f"batch_{i}.parquet"))
-        shutil.rmtree(part, ignore_errors=True)
+    _write_ordered_splits(ev, ["ts", "event_id"], n_splits, base, src_dir)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -695,8 +719,6 @@ def run_streaming_heavy_hitters(
         raise ValueError(
             f"counters={counters} cannot guarantee support phi={phi}"
         )
-    from pyspark.sql import Window
-
     name = f"hhstream_{uuid.uuid4().hex[:8]}"
     base = os.path.join(tempfile.gettempdir(), name)
     src_dir = os.path.join(base, "src")
@@ -706,13 +728,7 @@ def run_streaming_heavy_hitters(
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # doc_id-ordered split into n files = the arriving batch sequence
     # (harness scaffolding standing in for a Kafka topic)
-    q = docs.withColumn("_q", F.ntile(n_splits).over(Window.orderBy("doc_id")))
-    for i in range(1, n_splits + 1):
-        part = os.path.join(base, f"part{i}")
-        q.filter(F.col("_q") == i).drop("_q").coalesce(1).write.parquet(part)
-        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
-        os.rename(os.path.join(part, src), os.path.join(src_dir, f"batch_{i}.parquet"))
-        shutil.rmtree(part, ignore_errors=True)
+    _write_ordered_splits(docs, ["doc_id"], n_splits, base, src_dir)
 
     stream = (
         spark.readStream.schema(docs.schema)
