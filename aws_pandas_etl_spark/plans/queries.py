@@ -13252,6 +13252,100 @@ def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIANGLE_ORACLE = (
+    _knn_ctes()
+    + """
+, und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM knn
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM und p
+  JOIN und q ON p.v = q.u
+  JOIN und r ON r.u = p.u AND r.v = q.v
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+), wed AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), ecnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(CAST(3 * n_triangles AS DOUBLE)
+                       / CAST(n_wedges AS DOUBLE), 6)
+       END AS global_clustering
+FROM ecnt, tri, wed
+"""
+)
+
+
+@register("knn_graph_triangles", TRIANGLE_ORACLE)
+def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global clustering coefficient of the kNN
+    graph — the standard graph-topology readout (transitivity = how
+    much the neighborhood structure closes on itself; near-dup-heavy
+    corpora show high closure because duplicates are mutual
+    neighbors).  Triangles enumerate over the UNDIRECTED distinct edge
+    set ordered u < v, so each triangle counts exactly once
+    (u < v < w by construction); wedges are Σ d·(d−1)/2 over
+    undirected degrees, and transitivity = 3·triangles / wedges (one
+    exact-integer division, rounded).  Edges come from the shared
+    materialized artifact (_knn_edges); the oracle replays the same
+    clustering/blocking CTEs and the identical three-way join.
+
+    Scale shape: the edge table is k·n rows (k = 5 here), so degrees
+    are bounded by 2k after symmetrization and the two-hop join
+    enumerates at most (2k)² candidates per vertex — linear in n at
+    fixed k, the standard distributed triangle bound; both joins hash
+    on a vertex key (no broadcast of scaling frames).  The two 1-row
+    aggregates cross-join at the end (allowlisted scalar cross)."""
+    edges = _knn_edges(spark, sf_dir).select("a", "b")
+    und = edges.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    p = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    q = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    closing = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = (
+        p.join(q, "y")
+        .join(closing, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wed = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_wedges"),
+    )
+    ecnt = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        ecnt.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wed))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    (F.lit(3) * F.col("n_triangles")).cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                ),
+            ).alias("global_clustering"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

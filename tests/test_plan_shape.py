@@ -151,6 +151,7 @@ _SCALAR_CROSS_OK = {
     "t_closeness_audit",             # |classes| x |bands| attribute spine
     "kaplan_meier_signup_to_purchase",  # 1-row censor bound + 1-row N
     "inverted_index_terms",          # 1-row corpus-size df ceiling
+    "knn_graph_triangles",           # three 1-row topology aggregates
 }
 
 # Streaming queries execute a real job on invocation — planning them
