@@ -1116,3 +1116,50 @@ def test_artifact_sweep_removes_stale_file_artifacts(tmp_path, monkeypatch):
     monkeypatch.setattr(A, "_swept", False)
     A.artifact_root()
     assert not os.path.exists(stale)
+
+
+def test_pair_and_state_artifacts_reuse_and_invalidate(spark, tmp_path):
+    """The round-8 pair/state artifacts (_minhash_pairs, _bpe_state,
+    _semdedup_pairs) honor the same build-once contract as _knn_edges:
+    one artifact per corpus fingerprint, reused across calls, rebuilt
+    (under a new key, with identical deterministic results) when the
+    source identity changes."""
+    import glob
+    import os
+    import shutil
+
+    from aws_pandas_etl_spark.artifacts import artifact_path
+    from aws_pandas_etl_spark.plans import queries as Q
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    for t in ("documents", "embeddings"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.001/{t}.parquet",
+            os.path.join(sf_dir, f"{t}.parquet"),
+        )
+
+    cases = [
+        ("mh_pairs_*", "documents.parquet",
+         lambda: Q._minhash_pairs(spark, sf_dir)),
+        ("bpe_vocab_*", "documents.parquet",
+         lambda: Q._bpe_state(spark, sf_dir)[1]),
+        ("semdedup_pairs_*", "embeddings.parquet",
+         lambda: Q.QUERIES["semantic_dedup_pairs"](spark, sf_dir)),
+    ]
+    for pattern, src_name, run in cases:
+        pat = artifact_path(pattern)
+        src = os.path.join(sf_dir, src_name)
+        before = set(glob.glob(pat))
+        first = sorted(tuple(r) for r in run().collect())
+        run().collect()  # second call must NOT build another artifact
+        mid = set(glob.glob(pat))
+        assert len(mid - before) == 1, pattern
+        st = os.stat(src)
+        os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+        second = sorted(tuple(r) for r in run().collect())
+        after = set(glob.glob(pat))
+        assert len(after - mid) == 1, pattern  # rebuilt under a new key
+        assert second == first, pattern  # deterministic build
+        for p in after - before:
+            shutil.rmtree(p, ignore_errors=True)
