@@ -13252,6 +13252,113 @@ def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MARKOV_ITERS = 3
+
+
+def _markov_oracle(iters: int = MARKOV_ITERS) -> str:
+    """Unrolled power iteration (the pagerank/kmeans precedent): each
+    step rounds every product term to 12 decimals, casts DECIMAL, and
+    sums exactly — order-independent cross-engine."""
+    ctes = """
+WITH t AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), trans AS (
+  SELECT event_type AS f, next_type AS tt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE next_type IS NOT NULL GROUP BY f, tt
+), tot AS (
+  SELECT f, SUM(n) AS tn FROM trans GROUP BY f
+), p AS (
+  SELECT f, tt, ROUND(CAST(n AS DOUBLE) / tn, 6) AS p
+  FROM trans JOIN tot USING (f)
+), s AS (
+  SELECT DISTINCT f AS ty FROM trans
+), nt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k FROM s
+), v0 AS (
+  SELECT ty, CAST(ROUND(1.0 / k, 12) AS DECIMAL(20,12)) AS v FROM s, nt
+)"""
+    prev = "v0"
+    for i in range(1, iters + 1):
+        ctes += f""", m{i} AS (
+  SELECT p.tt AS ty,
+         SUM(CAST(ROUND(CAST({prev}.v AS DOUBLE) * p.p, 12)
+                  AS DECIMAL(20,12))) AS v
+  FROM p JOIN {prev} ON {prev}.ty = p.f GROUP BY p.tt
+), v{i} AS (
+  SELECT s.ty, COALESCE(m{i}.v, CAST(0 AS DECIMAL(20,12))) AS v
+  FROM s LEFT JOIN m{i} USING (ty)
+)"""
+        prev = f"v{i}"
+    return ctes + f"""
+SELECT ty AS event_type, ROUND(CAST(v AS DOUBLE), 8) AS p_stationary
+FROM {prev} ORDER BY event_type
+"""
+
+
+@register("markov_stationary_event_types", _markov_oracle())
+def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    — {MARKOV_ITERS} unrolled power-iteration steps from a uniform
+    start over the transition matrix event_transition_matrix exposes:
+    where user behavior settles if the observed dynamics persist, the
+    steady-state sibling of the one-step transition view.  Each step
+    rounds every v_i*p_ij product to 12 decimals and DECIMAL-sums
+    (order-independent, the pagerank recipe), transition probabilities
+    round to 6 at construction, and the oracle unrolls the identical
+    steps, so every intermediate vector is exact cross-engine.  Types
+    with no incoming transitions keep a 0 row via the type-spine left
+    join (mass is conserved up to the 6-decimal p rounding).
+
+    Scale shape: the chain state is |types| rows and the matrix
+    |types|^2 — both collapse from the corpus with one map-side-
+    combined groupBy; every iteration is a join+aggregate over those
+    bounded frames, so cost past the first scan is independent of
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = t.groupBy(
+        F.col("event_type").alias("f"), F.col("next_type").alias("tt")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = trans.groupBy("f").agg(F.sum("n").alias("tn"))
+    p = trans.join(tot, "f").select(
+        "f",
+        "tt",
+        F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("p"),
+    )
+    s = trans.select(F.col("f").alias("ty")).distinct()
+    k = s.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    v = s.crossJoin(F.broadcast(k)).select(
+        "ty",
+        F.round(F.lit(1.0) / F.col("k"), 12).cast("decimal(20,12)").alias("v"),
+    )
+    for _ in range(MARKOV_ITERS):
+        m = (
+            p.join(v, p["f"] == v["ty"])
+            .groupBy("tt")
+            .agg(
+                F.sum(
+                    F.round(F.col("v").cast("double") * F.col("p"), 12).cast(
+                        "decimal(20,12)"
+                    )
+                ).alias("mv")
+            )
+        )
+        v = s.join(m, s["ty"] == m["tt"], "left").select(
+            "ty",
+            F.coalesce(F.col("mv"), F.lit(0).cast("decimal(20,12)")).alias("v"),
+        )
+    return v.select(
+        F.col("ty").alias("event_type"),
+        F.round(F.col("v").cast("double"), 8).alias("p_stationary"),
+    ).orderBy("event_type")
+
+
 TRIANGLE_ORACLE = (
     _knn_ctes()
     + """

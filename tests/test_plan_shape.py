@@ -152,6 +152,7 @@ _SCALAR_CROSS_OK = {
     "kaplan_meier_signup_to_purchase",  # 1-row censor bound + 1-row N
     "inverted_index_terms",          # 1-row corpus-size df ceiling
     "knn_graph_triangles",           # three 1-row topology aggregates
+    "markov_stationary_event_types",  # 1-row |types| uniform-start scalar
 }
 
 # Streaming queries execute a real job on invocation — planning them
