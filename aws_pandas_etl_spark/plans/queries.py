@@ -13566,7 +13566,10 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bpe_fertility_by_lang, split_lang_independence_chi2,
 # matryoshka_truncation_quality; all exact-value-green in the local
 # sweep from birth, at sf0.001/0.01/0.1), which take seats in the
-# round-9 rotation.
+# round-9 rotation — together with the late-round-8 sketch/drift/
+# privacy/graph additions registered after this window was fixed
+# (through knn_graph_triangles and markov_stationary_event_types);
+# every one is exact-value-green in the local sweep from birth.
 _DRIVER_WINDOW = [
     # -- 43 never-driver-verified seats --
     "q11_important_stock",
