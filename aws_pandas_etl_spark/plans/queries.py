@@ -13252,6 +13252,108 @@ def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), es AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cand AS (
+  SELECT ps.l_partkey, ps.supplycost,
+         es.s_acctbal, es.s_name, es.n_name, p_brand
+  FROM ps
+  JOIN es ON ps.l_suppkey = es.s_suppkey
+  JOIN part ON p_partkey = ps.l_partkey
+  WHERE p_size <= 15 AND p_type = 'STANDARD'
+), mc AS (
+  SELECT l_partkey, MIN(supplycost) AS m FROM cand GROUP BY l_partkey
+)
+SELECT s_acctbal, s_name, n_name,
+       CAST(l_partkey AS BIGINT) AS p_partkey, p_brand,
+       supplycost
+FROM cand JOIN mc USING (l_partkey)
+WHERE supplycost = m
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the minimum-cost supplier per qualifying part
+    within a region — the classic correlated MIN subquery, decorrelated
+    into one per-part MIN aggregate joined back with an equality filter
+    (reference has no joins at all; this is the engine's demonstration
+    of subquery decorrelation, like Q17/Q21).  Deviations forced by
+    the harness schema: partsupp is DERIVED from lineitem with
+    supplycost = MIN(l_extendedprice / l_quantity) per (part, supplier)
+    — one IEEE division per row then an order-independent MIN, so the
+    derived cost is deterministic cross-engine and the min-cost
+    equality filter compares bit-identical doubles (emitted RAW, not
+    rounded: engine ROUND tie rules differ at exact half-decimals, and
+    the unrounded double is already identical); p_mfgr/address/
+    phone/comment columns don't exist (p_brand stands in).  The ORDER
+    BY is a total order ((supplier, part) is unique per row), so
+    LIMIT 100 is deterministic.
+
+    Scale shape: the ps derivation is one map-side-combined groupBy of
+    lineitem; region/nation prune suppliers before the fact join; the
+    per-part MIN decorrelation aggregates the candidate frame (already
+    part/type/size-pruned at the scan), not the corpus; final top-100
+    is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "supplycost"
+        )
+    )
+    es = (
+        sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .join(
+            reg.filter(F.col("r_name") == "EUROPE"),
+            nat["n_regionkey"] == reg["r_regionkey"],
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = part.filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    cand = (
+        ps.join(es, ps["l_suppkey"] == es["s_suppkey"])
+        .join(p, ps["l_partkey"] == p["p_partkey"])
+        .select(
+            "l_partkey", "supplycost", "s_acctbal", "s_name", "n_name",
+            "p_brand",
+        )
+    )
+    mc = cand.groupBy("l_partkey").agg(F.min("supplycost").alias("m"))
+    return (
+        cand.join(mc, "l_partkey")
+        .filter(F.col("supplycost") == F.col("m"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            "p_brand",
+            "supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
 MARKOV_ITERS = 3
 
 
