@@ -6129,7 +6129,8 @@ def _kmeans_cents(
 
 
 def _kmeans_ctes(
-    iters: int = KMEANS_ITERS, src: str = "embeddings", pre: str = ""
+    iters: int = KMEANS_ITERS, src: str = "embeddings", pre: str = "",
+    tag: str = "",
 ) -> tuple[str, str, str]:
     """DuckDB twin of operators.clustering.kmeans_lloyd as a reusable
     CTE prefix: identical init, distances as in-order list_sum folds
@@ -6139,53 +6140,55 @@ def _kmeans_ctes(
     dim, ties broken by cid.  Returns (WITH-prefix, final-assignment
     CTE name, final-distance CTE name) so composed oracles
     (kmeans_embeddings, semantic_dedup top-p blocking) can extend the
-    same clustering."""
+    same clustering.  ``tag`` namespaces every generated CTE so
+    several independent fits compose in one statement (the PQ
+    per-subspace codebooks)."""
     d2 = (
         "list_sum(list_transform(list_zip(e.embedding, c.cvec), "
         "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
         "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
     )
     parts = [
-        f"""WITH {pre}kk AS (
+        f"""WITH {pre}{tag}kk AS (
   SELECT GREATEST({KMEANS_K}, COUNT(*) // {KMEANS_DIV}) AS k FROM {src}
-), c0 AS (
+), {tag}c0 AS (
   SELECT CAST(rn - 1 AS INTEGER) AS cid, cvec FROM (
     SELECT row_number() OVER (ORDER BY vec_id) AS rn,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
     FROM {src}
-  ), kk WHERE rn <= kk.k
+  ), {tag}kk WHERE rn <= {tag}kk.k
 )"""
     ]
     for it in range(iters):
         parts.append(
-            f""", d{it} AS (
+            f""", {tag}d{it} AS (
   SELECT e.vec_id, c.cid, {d2} AS d2
-  FROM {src} e CROSS JOIN c{it} c
-), a{it} AS (
+  FROM {src} e CROSS JOIN {tag}c{it} c
+), {tag}a{it} AS (
   SELECT vec_id, cid AS cluster FROM (
     SELECT vec_id, cid,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-    FROM d{it}
+    FROM {tag}d{it}
   ) WHERE rn = 1
 )"""
         )
         if it < iters - 1:
             parts.append(
-                f""", u{it} AS (
+                f""", {tag}u{it} AS (
   SELECT a.cluster AS cid, ex.dim,
          CAST(SUM(CAST(CAST(ex.v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
            / COUNT(*) AS comp
-  FROM a{it} a JOIN (
+  FROM {tag}a{it} a JOIN (
     SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
            unnest(embedding) AS v
     FROM {src}
   ) ex USING (vec_id)
   GROUP BY a.cluster, ex.dim
-), c{it + 1} AS (
-  SELECT cid, array_agg(comp ORDER BY dim) AS cvec FROM u{it} GROUP BY cid
+), {tag}c{it + 1} AS (
+  SELECT cid, array_agg(comp ORDER BY dim) AS cvec FROM {tag}u{it} GROUP BY cid
 )"""
             )
-    return "".join(parts), f"a{iters - 1}", f"d{iters - 1}"
+    return "".join(parts), f"{tag}a{iters - 1}", f"{tag}d{iters - 1}"
 
 
 def _kmeans_oracle(iters: int = KMEANS_ITERS) -> str:
@@ -13250,6 +13253,148 @@ def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16  # 64-dim embeddings -> 4 blocks of 16
+
+
+def _pq_oracle() -> str:
+    """Four independent tag-namespaced k-means unrolls, one per
+    subspace slice, composed in a single statement."""
+    prefix = ""
+    picks = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        src = f"pqs{s}"
+        sub = (
+            f"{src} AS (SELECT vec_id, list_slice(embedding, {lo}, {hi}) "
+            f"AS embedding FROM embeddings), "
+        )
+        block, assign, dist = _kmeans_ctes(src=src, pre=sub, tag=f"pq{s}_")
+        prefix += block if s == 0 else ", " + block[len("WITH "):]
+        picks.append(
+            f", pick{s} AS (SELECT a.vec_id, a.cluster AS code_{s}, m.e_{s} "
+            f"FROM {assign} a JOIN (SELECT vec_id, MIN(d2) AS e_{s} "
+            f"FROM {dist} GROUP BY vec_id) m USING (vec_id))"
+        )
+    return (
+        prefix
+        + "".join(picks)
+        + f"""
+SELECT e.vec_id, e.label,
+       CAST(code_0 AS INTEGER) AS code_0, CAST(code_1 AS INTEGER) AS code_1,
+       CAST(code_2 AS INTEGER) AS code_2, CAST(code_3 AS INTEGER) AS code_3,
+       ROUND(((e_0 + e_1) + e_2) + e_3, 6) AS recon_err
+FROM embeddings e
+JOIN pick0 USING (vec_id) JOIN pick1 USING (vec_id)
+JOIN pick2 USING (vec_id) JOIN pick3 USING (vec_id)
+ORDER BY vec_id
+"""
+    )
+
+
+def _pq_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> list[list[tuple[int, list[float]]]]:
+    """Fit-once/encode-many PQ codebooks: one deterministic k-means
+    centroid list per subspace, cached as a tiny JSON artifact keyed
+    by the embeddings parquet identity + every dial (the _kmeans_cents
+    contract — the codebooks ARE the fitted model, and a deployment
+    trains them once per corpus snapshot then encodes everything
+    against the same fit)."""
+    import hashlib
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    from aws_pandas_etl_spark.operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _fit() -> list[list[tuple[int, list[float]]]]:
+        k = _kmeans_k(emb)
+        books = []
+        for s in range(PQ_SUBSPACES):
+            sub = F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            books.append(
+                kmeans_fit(
+                    emb.select("vec_id", sub.alias("embedding")),
+                    k=k,
+                    iters=KMEANS_ITERS,
+                )
+            )
+        return books
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return _fit()
+    ident = (
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|pq-v1|s={PQ_SUBSPACES}|d={PQ_SUBDIM}"
+        f"|kk={KMEANS_K}|kd={KMEANS_DIV}|ki={KMEANS_ITERS}"
+    )
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = artifact_path(f"pq_books_{tag}.json")
+    if os.path.isfile(path):
+        with open(path) as fh:
+            d = _json.load(fh)
+        return [[(c, v) for c, v in book] for book in d["books"]]
+    books = _fit()
+    tmp = f"{path}.__build_{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        _json.dump({"books": [[[c, v] for c, v in b] for b in books]}, fh)
+    os.replace(tmp, path)  # atomic on POSIX; losers overwrite identically
+    return books
+
+
+@register("pq_codebook_quantization", _pq_oracle())
+def pq_codebook_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., 2011): split each embedding
+    into {PQ_SUBSPACES} contiguous {PQ_SUBDIM}-dim subspaces, fit an
+    independent deterministic k-means codebook per subspace (the
+    family's standard dials), and emit each vector's code word per
+    subspace plus the total reconstruction error — the compression
+    behind billion-scale ANN indexes (a 64-dim float vector becomes
+    {PQ_SUBSPACES} small ints; distances against it use per-subspace
+    lookup tables).  Codes are integer-exact cross-engine (argmin with
+    cid tie-break, the kmeans_lloyd contract); the per-subspace errors
+    are the same in-order distance folds and sum in a fixed
+    left-associated order before the single rounding.  The oracle
+    composes four tag-namespaced unrolled k-means CTEs, one per
+    subspace.  Codebooks come from the fit-once JSON artifact
+    (_pq_codebooks, the _kmeans_cents contract).
+
+    Scale shape: each fit broadcasts k x {PQ_SUBDIM} doubles as
+    literals per iteration with a |k * dim|-row update shuffle
+    (corpus-size-independent past the scan); encoding is pure codegen
+    argmin over literal structs — one projection pass, no joins."""
+    from aws_pandas_etl_spark.operators.clustering import _dist_structs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    df = emb.select("vec_id", "label", "embedding")
+    for s, cents in enumerate(books):
+        sub = F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        df = df.withColumn(f"_sub{s}", sub)
+        best = F.array_min(_dist_structs(f"_sub{s}", cents))
+        df = df.withColumn(f"code_{s}", best.getField("cid")).withColumn(
+            f"_e{s}", best.getField("d2")
+        )
+    tot = (
+        (F.col("_e0") + F.col("_e1")) + F.col("_e2")
+    ) + F.col("_e3")
+    return df.select(
+        "vec_id",
+        "label",
+        "code_0",
+        "code_1",
+        "code_2",
+        "code_3",
+        F.round(tot, 6).alias("recon_err"),
+    ).orderBy("vec_id")
 
 
 Q2_ORACLE = """
