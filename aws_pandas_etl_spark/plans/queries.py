@@ -13259,10 +13259,15 @@ PQ_SUBSPACES = 4
 PQ_SUBDIM = 16  # 64-dim embeddings -> 4 blocks of 16
 
 
-def _pq_oracle() -> str:
+def _pq_ctes() -> tuple[str, list[str]]:
     """Four independent tag-namespaced k-means unrolls, one per
-    subspace slice, composed in a single statement."""
+    subspace slice, composed into a single WITH-prefix ending in
+    pick{{s}} CTEs (vec_id, code_s, e_s) — shared by the quantization
+    oracle and the ADC search oracle.  Also returns the final distance
+    CTE name per subspace (every vector's d2 to every codeword — the
+    query row's slice IS the ADC lookup table)."""
     prefix = ""
+    dists = []
     picks = []
     for s in range(PQ_SUBSPACES):
         lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
@@ -13273,14 +13278,19 @@ def _pq_oracle() -> str:
         )
         block, assign, dist = _kmeans_ctes(src=src, pre=sub, tag=f"pq{s}_")
         prefix += block if s == 0 else ", " + block[len("WITH "):]
+        dists.append(dist)
         picks.append(
             f", pick{s} AS (SELECT a.vec_id, a.cluster AS code_{s}, m.e_{s} "
             f"FROM {assign} a JOIN (SELECT vec_id, MIN(d2) AS e_{s} "
             f"FROM {dist} GROUP BY vec_id) m USING (vec_id))"
         )
+    return prefix + "".join(picks), dists
+
+
+def _pq_oracle() -> str:
+    prefix, _ = _pq_ctes()
     return (
         prefix
-        + "".join(picks)
         + f"""
 SELECT e.vec_id, e.label,
        CAST(code_0 AS INTEGER) AS code_0, CAST(code_1 AS INTEGER) AS code_1,
@@ -13371,30 +13381,151 @@ def pq_codebook_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals per iteration with a |k * dim|-row update shuffle
     (corpus-size-independent past the scan); encoding is pure codegen
     argmin over literal structs — one projection pass, no joins."""
-    from aws_pandas_etl_spark.operators.clustering import _dist_structs
+    return _pq_codes(spark, sf_dir).orderBy("vec_id")
 
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-once/search-many PQ code table (vec_id, label, code_0..3,
+    recon_err), materialized behind the same fingerprint-keyed atomic
+    publish as the other pair/state artifacts: the codes ARE the
+    compressed index a deployment builds once per corpus snapshot and
+    then serves every ADC query from."""
+    import hashlib
+    import os
+
+    from aws_pandas_etl_spark.operators.clustering import (
+        _dist_structs,
+        read_knn_graph,
+        write_knn_graph,
+    )
+
+    def _build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = _pq_codebooks(spark, sf_dir)
+        df = emb.select("vec_id", "label", "embedding")
+        for s, cents in enumerate(books):
+            sub = F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            df = df.withColumn(f"_sub{s}", sub)
+            best = F.array_min(_dist_structs(f"_sub{s}", cents))
+            df = df.withColumn(f"code_{s}", best.getField("cid")).withColumn(
+                f"_e{s}", best.getField("d2")
+            )
+        tot = ((F.col("_e0") + F.col("_e1")) + F.col("_e2")) + F.col("_e3")
+        return df.select(
+            "vec_id",
+            "label",
+            "code_0",
+            "code_1",
+            "code_2",
+            "code_3",
+            F.round(tot, 6).alias("recon_err"),
+        )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return _build()
+    ident = (
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|pqcodes-v1|s={PQ_SUBSPACES}|d={PQ_SUBDIM}"
+        f"|kk={KMEANS_K}|kd={KMEANS_DIV}|ki={KMEANS_ITERS}"
+    )
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = artifact_path(f"pq_codes_{tag}")
+    if not os.path.isdir(path):
+        write_knn_graph(_build(), path)  # generic atomic parquet publish
+    return read_knn_graph(spark, path)
+
+
+PQ_QUERY_VEC = 0  # the RRF_QUERY_DOC convention
+PQ_ADC_TOP = 10
+
+
+def _pq_adc_oracle() -> str:
+    prefix, dists = _pq_ctes()
+    lut_joins = ""
+    for s, dist in enumerate(dists):
+        lut_joins += (
+            f", lut{s} AS (SELECT cid, d2 AS q_{s} FROM {dist} "
+            f"WHERE vec_id = {PQ_QUERY_VEC})"
+        )
+    return (
+        prefix
+        + lut_joins
+        + f"""
+SELECT p0.vec_id,
+       ROUND(((lut0.q_0 + lut1.q_1) + lut2.q_2) + lut3.q_3, 6) AS adc
+FROM pick0 p0
+JOIN pick1 p1 USING (vec_id) JOIN pick2 p2 USING (vec_id)
+JOIN pick3 p3 USING (vec_id)
+JOIN lut0 ON lut0.cid = p0.code_0
+JOIN lut1 ON lut1.cid = p1.code_1
+JOIN lut2 ON lut2.cid = p2.code_2
+JOIN lut3 ON lut3.cid = p3.code_3
+WHERE p0.vec_id != {PQ_QUERY_VEC}
+ORDER BY ((lut0.q_0 + lut1.q_1) + lut2.q_2) + lut3.q_3, p0.vec_id
+LIMIT {PQ_ADC_TOP}
+"""
+    )
+
+
+@register("pq_adc_topk", _pq_adc_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the query path of
+    an IVF-PQ index: the query vector computes one small lookup table
+    per subspace (its distance to each codeword), and every database
+    vector's approximate distance is {PQ_SUBSPACES} table lookups on
+    its int codes summed in fixed order — NO stored vectors are
+    touched at query time, which is the whole reason PQ scales ANN to
+    billions of vectors (Jégou et al., 2011).  Codes and codebooks
+    come from the shared fit (_pq_codebooks); ordering ties break by
+    vec_id (total order), so the LIMIT is deterministic; the oracle
+    replays the same codebooks and joins the query row of each
+    subspace's distance table as the lookup.
+
+    Scale shape: the LUT builds on the DRIVER from the collected query
+    vector (one bounded 1-row collect; python float ops are the same
+    IEEE doubles in the same left-associated order as the engine fold,
+    so parity holds) and ships as {PQ_SUBSPACES} k-double literal
+    arrays; the scan side is codes + literal element_at lookups +
+    TakeOrderedAndProject — scan cost ∝ codes (ints), never raw
+    vectors, and nothing joins.  Codes come from the encode-once
+    artifact (_pq_codes) — search never re-touches embeddings except
+    for the query row itself."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = _pq_codebooks(spark, sf_dir)
-    df = emb.select("vec_id", "label", "embedding")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == PQ_QUERY_VEC)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    out = _pq_codes(spark, sf_dir).filter(
+        F.col("vec_id") != PQ_QUERY_VEC
+    )
+    terms = []
     for s, cents in enumerate(books):
-        sub = F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        df = df.withColumn(f"_sub{s}", sub)
-        best = F.array_min(_dist_structs(f"_sub{s}", cents))
-        df = df.withColumn(f"code_{s}", best.getField("cid")).withColumn(
-            f"_e{s}", best.getField("d2")
-        )
-    tot = (
-        (F.col("_e0") + F.col("_e1")) + F.col("_e2")
-    ) + F.col("_e3")
-    return df.select(
-        "vec_id",
-        "label",
-        "code_0",
-        "code_1",
-        "code_2",
-        "code_3",
-        F.round(tot, 6).alias("recon_err"),
-    ).orderBy("vec_id")
+        qs = qvec[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        # index the LUT by cid (empty clusters drop out of kmeans_fit,
+        # so cids may be non-contiguous; unassigned slots are never
+        # looked up — no code carries a dropped cid)
+        lut = [0.0] * (max(cid for cid, _ in cents) + 1)
+        for cid, cent in cents:
+            acc = 0.0
+            for x, c in zip(qs, cent):
+                d = x - float(c)
+                acc = acc + d * d
+            lut[cid] = acc
+        lut_lit = F.array(*[F.lit(v) for v in lut])
+        terms.append(F.element_at(lut_lit, F.col(f"code_{s}") + 1))
+    adc = ((terms[0] + terms[1]) + terms[2]) + terms[3]
+    return (
+        out.select("vec_id", F.round(adc, 6).alias("adc"), adc.alias("_o"))
+        .orderBy("_o", "vec_id")
+        .limit(PQ_ADC_TOP)
+        .select("vec_id", "adc")
+    )
 
 
 Q2_ORACLE = """
