@@ -230,3 +230,36 @@ def test_cdc_chunks_shift_invariant(spark):
     # point must survive the prefix insertion verbatim
     assert len(shared) >= len(fps1) - 1, (len(shared), len(fps1), len(fps2))
     assert len(shared) >= 1
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """Recall@10 of PQ asymmetric-distance search against exact
+    squared-L2 brute force for the registry's query vector.  PQ with
+    ~|corpus|/125 codewords per 16-dim subspace on the near-uniform
+    adversarial fixture measures 0.4 at sf0.01 (quantization noise is
+    the worst case when all distances are similar) — the floor is a
+    tripwire for a codebook/LUT regression silently nuking ranking
+    while the row count stays 10."""
+    from aws_pandas_etl_spark.plans.queries import PQ_QUERY_VEC, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["vec_id"] for r in QUERIES["pq_adc_topk"](spark, sf).collect()
+    }
+    assert len(got) == 10
+    emb = load_table(spark, sf, "embeddings").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb}
+    q = vecs[PQ_QUERY_VEC]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    exact = {
+        k
+        for _, k in sorted(
+            (l2(q, v), k) for k, v in vecs.items() if k != PQ_QUERY_VEC
+        )[:10]
+    }
+    recall = len(got & exact) / 10
+    print("PQ ADC recall@10:", recall)
+    assert recall >= 0.2, (sorted(got), sorted(exact))
