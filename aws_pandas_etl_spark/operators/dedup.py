@@ -495,6 +495,63 @@ def _bloom_pos(h: F.Column, seed: int, num_bits: int) -> F.Column:
     return F.pmod(h * F.lit(_BLOOM_MULT[seed]), F.lit(num_bits))
 
 
+def bloom_bitmap_words(
+    df: DataFrame,
+    benchmark_max_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+    distributed_bitmap: bool = True,
+) -> list[int]:
+    """Build the benchmark-side bloom bitmap as num_bits/64 signed
+    int64 words — the BUILD half of decontaminate_bloom, exposed so a
+    deployment (or the registry's artifact layer) can build the bitmap
+    once per benchmark snapshot and probe many corpora against it.
+    See decontaminate_bloom for the algorithm and determinism
+    contract."""
+    if num_hashes > len(_BLOOM_MULT):
+        raise ValueError(f"num_hashes capped at {len(_BLOOM_MULT)}")
+    bench = shingle_hash_table(
+        df.filter(F.col(id_col) < benchmark_max_id),
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+    ).select(F.explode("hashes").alias("h"))
+    pos = bench.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("h"), i, num_bits) for i in range(num_hashes)])
+        ).alias("p")
+    )
+    words = [0] * ((num_bits + 63) // 64)
+    if distributed_bitmap:
+        # positions -> (word index, single-bit word) -> bit_or agg: the
+        # partial aggregate ORs bits map-side, the shuffle carries at
+        # most num_bits/64 groups, and the collect is bounded by the
+        # bitmap width, never by |bench grams|.  shiftleft of a bigint
+        # by 63 wraps to Long.MIN_VALUE — exactly the signed two's-
+        # complement word the LongType literal needs, so no re-wrap.
+        word_rows = (
+            pos.groupBy(F.expr("shiftright(p, 6)").cast("int").alias("w"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int)))"
+                ).alias("bits")
+            )
+            .collect()
+        )
+        for r in word_rows:
+            words[r["w"]] = r["bits"]
+    else:
+        positions = {r["p"] for r in pos.distinct().collect()}
+        for p in positions:
+            words[p >> 6] |= 1 << (p & 63)
+        # wrap to signed int64 for LongType literals
+        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return words
+
+
 def decontaminate_bloom(
     df: DataFrame,
     benchmark_max_id: int,
@@ -504,6 +561,7 @@ def decontaminate_bloom(
     num_bits: int = 1 << 17,
     num_hashes: int = 3,
     distributed_bitmap: bool = True,
+    bitmap_words: list[int] | None = None,
 ) -> DataFrame:
     """Bloom-filter decontamination — the variant of ``decontaminate``
     for benchmark suites whose exact n-gram set is too large to
@@ -546,37 +604,20 @@ def decontaminate_bloom(
             F.col("doc_id"), F.explode("hashes").alias("h")
         )
 
-    bench = _grams(df.filter(F.col(id_col) < benchmark_max_id))
-    pos = bench.select(
-        F.explode(
-            F.array(*[_bloom_pos(F.col("h"), i, num_bits) for i in range(num_hashes)])
-        ).alias("p")
-    )
-    words = [0] * ((num_bits + 63) // 64)
-    if distributed_bitmap:
-        # positions -> (word index, single-bit word) -> bit_or agg: the
-        # partial aggregate ORs bits map-side, the shuffle carries at
-        # most num_bits/64 groups, and the collect is bounded by the
-        # bitmap width, never by |bench grams|.  shiftleft of a bigint
-        # by 63 wraps to Long.MIN_VALUE — exactly the signed two's-
-        # complement word the LongType literal needs, so no re-wrap.
-        word_rows = (
-            pos.groupBy(F.expr("shiftright(p, 6)").cast("int").alias("w"))
-            .agg(
-                F.expr(
-                    "bit_or(shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int)))"
-                ).alias("bits")
-            )
-            .collect()
+    words = (
+        bitmap_words
+        if bitmap_words is not None
+        else bloom_bitmap_words(
+            df,
+            benchmark_max_id,
+            id_col,
+            text_col,
+            shingle_n,
+            num_bits,
+            num_hashes,
+            distributed_bitmap,
         )
-        for r in word_rows:
-            words[r["w"]] = r["bits"]
-    else:
-        positions = {r["p"] for r in pos.distinct().collect()}
-        for p in positions:
-            words[p >> 6] |= 1 << (p & 63)
-        # wrap to signed int64 for LongType literals
-        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    )
 
     # ONE array Literal (constant object in codegen) — F.array(*lits)
     # would be a CreateArray re-evaluated per row: num_bits/64 element
