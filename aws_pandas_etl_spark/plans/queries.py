@@ -13484,6 +13484,136 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_knn_graph(spark, path)
 
 
+OLS_ORACLE = """
+WITH x AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS x1,
+         -- DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS x2,
+         value AS y
+  FROM events
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1,
+         CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(y * x1, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sy1,
+         CAST(SUM(CAST(ROUND(y * x2, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sy2
+  FROM x
+), b AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                               - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+          - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                  - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+          + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)
+                                  - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+           AS det,
+         (sy * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+          - CAST(s1 AS DOUBLE) * (sy1 * CAST(s22 AS DOUBLE)
+                                  - CAST(s12 AS DOUBLE) * sy2)
+          + CAST(s2 AS DOUBLE) * (sy1 * CAST(s12 AS DOUBLE)
+                                  - CAST(s11 AS DOUBLE) * sy2)) AS d0,
+         (CAST(n AS DOUBLE) * (sy1 * CAST(s22 AS DOUBLE)
+                               - CAST(s12 AS DOUBLE) * sy2)
+          - sy * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                  - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+          + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * sy2
+                                  - sy1 * CAST(s2 AS DOUBLE))) AS d1,
+         (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * sy2
+                               - sy1 * CAST(s12 AS DOUBLE))
+          - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * sy2
+                                  - sy1 * CAST(s2 AS DOUBLE))
+          + sy * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)
+                  - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS d2
+  FROM s
+)
+SELECT n,
+       ROUND(d0 / det, 8) AS beta_intercept,
+       ROUND(d1 / det, 8) AS beta_hour,
+       ROUND(d2 / det, 8) AS beta_dow
+FROM b
+"""
+
+
+@register("ols_value_on_time_features", OLS_ORACLE)
+def ols_value_on_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form distributed OLS: regress event value on
+    (1, hour-of-day, day-of-week) via the normal equations — the
+    one-pass trainable-model shape next to k-means/PCA/PQ: all of X'X
+    reduces to EXACT integer sums (the features are small ints), X'y
+    reduces with the round-then-DECIMAL recipe, and the 3x3 solve is
+    Cramer's rule written as one fixed-order expression tree that both
+    engines evaluate over identical 1-row aggregates — so the fitted
+    coefficients are deterministic cross-engine without any iterative
+    convergence question.
+
+    Scale shape: ONE map-side-combined aggregate pass over the corpus
+    produces 9 scalars; the solve is driver-free constant math in the
+    projection.  This is the textbook pattern for fitting any
+    small-feature GLM start / linear probe at 100 TB — sufficient
+    statistics, not data, cross the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        F.hour("ts").cast("bigint").alias("x1"),
+        (F.dayofweek("ts")).cast("bigint").alias("x2"),
+        F.col("value").alias("y"),
+    )
+    s = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.round(F.col("y"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(F.col("y") * F.col("x1"), 6).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("sy1"),
+        F.sum(F.round(F.col("y") * F.col("x2"), 6).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s11 = F.col("s11").cast("double")
+    s12 = F.col("s12").cast("double")
+    s22 = F.col("s22").cast("double")
+    sy, sy1, sy2 = F.col("sy"), F.col("sy1"), F.col("sy2")
+    det = (
+        nd * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    d0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (sy1 * s22 - s12 * sy2)
+        + s2 * (sy1 * s12 - s11 * sy2)
+    )
+    d1 = (
+        nd * (sy1 * s22 - s12 * sy2)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * sy2 - sy1 * s2)
+    )
+    d2 = (
+        nd * (s11 * sy2 - sy1 * s12)
+        - s1 * (s1 * sy2 - sy1 * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return s.select(
+        "n",
+        F.round(d0 / det, 8).alias("beta_intercept"),
+        F.round(d1 / det, 8).alias("beta_hour"),
+        F.round(d2 / det, 8).alias("beta_dow"),
+    )
+
+
 PQ_QUERY_VEC = 0  # the RRF_QUERY_DOC convention
 PQ_ADC_TOP = 10
 

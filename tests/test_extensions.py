@@ -1163,3 +1163,28 @@ def test_pair_and_state_artifacts_reuse_and_invalidate(spark, tmp_path):
         assert second == first, pattern  # deterministic build
         for p in after - before:
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_ols_betas_match_numpy_lstsq(spark):
+    """The OLS normal-equations solve must agree with an INDEPENDENT
+    solver (numpy lstsq) — the oracle twin replays the same Cramer
+    formulas, so a mirrored algebra mistake would pass the parity
+    gate; this pins the math itself."""
+    import numpy as np
+
+    from aws_pandas_etl_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    row = QUERIES["ols_value_on_time_features"](spark, sf).first()
+    import duckdb
+
+    X = duckdb.sql(
+        f"""SELECT CAST(hour(ts) AS BIGINT) x1,
+                   CAST(dayofweek(ts) + 1 AS BIGINT) x2, value y
+            FROM read_parquet('{sf}/events.parquet')"""
+    ).df()
+    A = np.column_stack([np.ones(len(X)), X.x1, X.x2])
+    beta, *_ = np.linalg.lstsq(A, X.y.to_numpy(), rcond=None)
+    assert abs(row["beta_intercept"] - beta[0]) < 1e-4
+    assert abs(row["beta_hour"] - beta[1]) < 1e-4
+    assert abs(row["beta_dow"] - beta[2]) < 1e-4
