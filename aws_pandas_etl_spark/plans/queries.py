@@ -13484,6 +13484,115 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_knn_graph(spark, path)
 
 
+STUMP_ORACLE = """
+WITH h AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DECIMAL(38,6))
+           AS s,
+         CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(24,6)))
+              AS DECIMAL(38,6)) AS ss
+  FROM events GROUP BY hr
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+         CAST(SUM(s) AS DECIMAL(38,6)) AS ts_,
+         CAST(SUM(ss) AS DECIMAL(38,6)) AS tss
+  FROM h
+), cum AS (
+  SELECT hr,
+         CAST(SUM(n) OVER w AS BIGINT) AS ln,
+         CAST(SUM(s) OVER w AS DECIMAL(38,6)) AS ls
+  FROM h WINDOW w AS (ORDER BY hr ROWS UNBOUNDED PRECEDING)
+), cand AS (
+  SELECT hr AS threshold, ln, ls, tn - ln AS rn, ts_ - ls AS rs,
+         (CAST(ls AS DOUBLE) * CAST(ls AS DOUBLE) / ln
+          + CAST(ts_ - ls AS DOUBLE) * CAST(ts_ - ls AS DOUBLE) / (tn - ln)
+          - CAST(ts_ AS DOUBLE) * CAST(ts_ AS DOUBLE) / tn) AS gain
+  FROM cum, tot
+  WHERE ln > 0 AND tn - ln > 0
+), best AS (
+  SELECT * FROM cand ORDER BY gain DESC, threshold LIMIT 1
+)
+SELECT threshold, ln AS n_left, rn AS n_right,
+       ROUND(CAST(ls AS DOUBLE) / ln, 6) AS mean_left,
+       ROUND(CAST(rs AS DOUBLE) / rn, 6) AS mean_right,
+       ROUND(gain, 6) AS sse_reduction
+FROM best
+"""
+
+
+@register("regression_stump_value_by_hour", STUMP_ORACLE)
+def regression_stump_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact regression-stump fit (the unit step of every
+    tree/GBM learner): the hour-of-day threshold that maximally
+    reduces SSE of event value, found from sufficient statistics only
+    — per-hour (n, Σy, Σy²) with the round-then-DECIMAL recipe, a
+    24-row cumulative window over ordered thresholds, and the variance
+    identity gain = ls²/ln + rs²/rn − ts²/tn (three fixed-order double
+    divisions from exact decimal sums; ties break to the smallest
+    threshold).  Completes the trainable-model trio next to k-means/
+    PCA/PQ (clustering, projections) and OLS (linear): trees.
+
+    Scale shape: the corpus collapses to |thresholds| sufficient-stat
+    rows in one map-side-combined pass; the split search is a
+    24-row window + TakeOrdered — the same sufficient-statistics
+    shape histogram-based GBM libraries (LightGBM) use at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.hour("ts").cast("bigint").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("s"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)")
+        )
+        .cast("decimal(38,6)")
+        .alias("ss"),
+    )
+    tot = h.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s").cast("decimal(38,6)").alias("ts_"),
+        F.sum("ss").cast("decimal(38,6)").alias("tss"),
+    )
+    w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "hr",
+        F.sum("n").over(w).cast("bigint").alias("ln"),
+        F.sum("s").over(w).cast("decimal(38,6)").alias("ls"),
+    )
+    c = cum.crossJoin(F.broadcast(tot))
+    ls_d = F.col("ls").cast("double")
+    rs_d = (F.col("ts_") - F.col("ls")).cast("double")
+    ts_d = F.col("ts_").cast("double")
+    gain = (
+        ls_d * ls_d / F.col("ln")
+        + rs_d * rs_d / (F.col("tn") - F.col("ln"))
+        - ts_d * ts_d / F.col("tn")
+    )
+    cand = c.filter(
+        (F.col("ln") > 0) & (F.col("tn") - F.col("ln") > 0)
+    ).select(
+        F.col("hr").alias("threshold"),
+        "ln",
+        (F.col("tn") - F.col("ln")).alias("rn"),
+        ls_d.alias("_lsd"),
+        rs_d.alias("_rsd"),
+        gain.alias("gain"),
+    )
+    return (
+        cand.orderBy(F.col("gain").desc(), "threshold")
+        .limit(1)
+        .select(
+            "threshold",
+            F.col("ln").alias("n_left"),
+            F.col("rn").alias("n_right"),
+            F.round(F.col("_lsd") / F.col("ln"), 6).alias("mean_left"),
+            F.round(F.col("_rsd") / F.col("rn"), 6).alias("mean_right"),
+            F.round("gain", 6).alias("sse_reduction"),
+        )
+    )
+
+
 OLS_ORACLE = """
 WITH x AS (
   SELECT CAST(hour(ts) AS BIGINT) AS x1,

@@ -1188,3 +1188,34 @@ def test_ols_betas_match_numpy_lstsq(spark):
     assert abs(row["beta_intercept"] - beta[0]) < 1e-4
     assert abs(row["beta_hour"] - beta[1]) < 1e-4
     assert abs(row["beta_dow"] - beta[2]) < 1e-4
+
+
+def test_regression_stump_matches_bruteforce_split(spark):
+    """The stump's sufficient-statistics split search must agree with
+    a brute-force python scan over raw rows (threshold AND gain) — the
+    oracle twin replays the same identity, so this pins the math
+    independently, like the OLS/numpy check."""
+    import duckdb
+
+    from aws_pandas_etl_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    row = QUERIES["regression_stump_value_by_hour"](spark, sf).first()
+    X = duckdb.sql(
+        f"""SELECT CAST(hour(ts) AS BIGINT) hr, value y
+            FROM read_parquet('{sf}/events.parquet')"""
+    ).fetchall()
+    best = None
+    ys = [y for _, y in X]
+    tn, ts = len(ys), sum(ys)
+    for t in range(0, 24):
+        left = [y for h, y in X if h <= t]
+        if not left or len(left) == tn:
+            continue
+        ls, ln = sum(left), len(left)
+        rs, rn = ts - ls, tn - ln
+        gain = ls * ls / ln + rs * rs / rn - ts * ts / tn
+        if best is None or gain > best[1] + 1e-9:
+            best = (t, gain)
+    assert row["threshold"] == best[0]
+    assert abs(row["sse_reduction"] - best[1]) < 1e-2

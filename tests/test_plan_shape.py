@@ -153,6 +153,7 @@ _SCALAR_CROSS_OK = {
     "inverted_index_terms",          # 1-row corpus-size df ceiling
     "knn_graph_triangles",           # three 1-row topology aggregates
     "markov_stationary_event_types",  # 1-row |types| uniform-start scalar
+    "regression_stump_value_by_hour",  # 1-row grand totals x 24 thresholds
 }
 
 # Streaming queries execute a real job on invocation — planning them
