@@ -14230,9 +14230,11 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # matryoshka_truncation_quality; all exact-value-green in the local
 # sweep from birth, at sf0.001/0.01/0.1), which take seats in the
 # round-9 rotation — together with the late-round-8 sketch/drift/
-# privacy/graph additions registered after this window was fixed
-# (through knn_graph_triangles and markov_stationary_event_types);
-# every one is exact-value-green in the local sweep from birth.
+# privacy/graph/ML additions registered after this window was fixed
+# (through knn_graph_triangles, markov_stationary_event_types,
+# q2_min_cost_supplier, the PQ pair, ols_value_on_time_features, and
+# regression_stump_value_by_hour); every one is exact-value-green in
+# the local sweep from birth.
 _DRIVER_WINDOW = [
     # -- 43 never-driver-verified seats --
     "q11_important_stock",
