@@ -13789,6 +13789,22 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _pq_codes(spark, sf_dir).filter(
         F.col("vec_id") != PQ_QUERY_VEC
     )
+    adc = _pq_adc_expr(books, qvec)
+    return (
+        out.select("vec_id", F.round(adc, 6).alias("adc"), adc.alias("_o"))
+        .orderBy("_o", "vec_id")
+        .limit(PQ_ADC_TOP)
+        .select("vec_id", "adc")
+    )
+
+
+def _pq_adc_expr(
+    books: list[list[tuple[int, list[float]]]], qvec: list[float]
+) -> F.Column:
+    """The ADC distance as a Column over code_0..3: per-subspace LUTs
+    built on the driver from the query vector (python float ops are
+    the same IEEE doubles in the same left-associated order as the
+    engine fold), looked up by code and summed in fixed order."""
     terms = []
     for s, cents in enumerate(books):
         qs = qvec[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
@@ -13804,9 +13820,125 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lut[cid] = acc
         lut_lit = F.array(*[F.lit(v) for v in lut])
         terms.append(F.element_at(lut_lit, F.col(f"code_{s}") + 1))
-    adc = ((terms[0] + terms[1]) + terms[2]) + terms[3]
+    return ((terms[0] + terms[1]) + terms[2]) + terms[3]
+
+
+IVFPQ_NPROBE = 2
+IVFPQ_CELLS = 16  # the ann_ivf_topk coarse quantizer (vec_id < 16)
+
+
+def _ivfpq_oracle() -> str:
+    prefix, dists = _pq_ctes()
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    luts = "".join(
+        f", lut{s} AS (SELECT cid, d2 AS q_{s} FROM {dist} "
+        f"WHERE vec_id = {PQ_QUERY_VEC})"
+        for s, dist in enumerate(dists)
+    )
     return (
-        out.select("vec_id", F.round(adc, 6).alias("adc"), adc.alias("_o"))
+        prefix
+        + f""", cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {IVFPQ_CELLS}
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {d2.format(a='e.embedding', b='c.cvec')}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {PQ_QUERY_VEC}
+), probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (
+             ORDER BY {d2.format(a='q.qv', b='c.cvec')}, c.cid) AS rn
+    FROM cents c, q
+  ) WHERE rn <= {IVFPQ_NPROBE}
+)"""
+        + luts
+        + f"""
+SELECT p0.vec_id,
+       ROUND(((lut0.q_0 + lut1.q_1) + lut2.q_2) + lut3.q_3, 6) AS adc
+FROM pick0 p0
+JOIN pick1 p1 USING (vec_id) JOIN pick2 p2 USING (vec_id)
+JOIN pick3 p3 USING (vec_id)
+JOIN assigned a USING (vec_id)
+JOIN lut0 ON lut0.cid = p0.code_0
+JOIN lut1 ON lut1.cid = p1.code_1
+JOIN lut2 ON lut2.cid = p2.code_2
+JOIN lut3 ON lut3.cid = p3.code_3
+WHERE p0.vec_id != {PQ_QUERY_VEC}
+  AND a.cell IN (SELECT cid FROM probe)
+ORDER BY ((lut0.q_0 + lut1.q_1) + lut2.q_2) + lut3.q_3, p0.vec_id
+LIMIT {PQ_ADC_TOP}
+"""
+    )
+
+
+@register("ivfpq_adc_topk", _ivfpq_oracle())
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production billion-scale ANN index, composed from
+    the engine's own parts: the IVF coarse quantizer (ann_ivf_topk's
+    deterministic vec_id<{IVFPQ_CELLS} centroids) prunes the search to
+    the query's {IVFPQ_NPROBE} nearest cells, and PQ asymmetric
+    distance (driver-built LUTs over the encode-once code artifact)
+    ranks only the surviving candidates — cells bound the scan, codes
+    bound the bytes, and stored vectors are never touched at query
+    time.  Probe cells are chosen on the driver with the identical
+    left-associated IEEE fold; ordering ties break by vec_id, so the
+    LIMIT is deterministic.  The oracle composes the PQ CTEs with the
+    IVF assignment CTEs and replays the same two-stage plan.
+
+    Scale shape: the cell filter is a partition-pruning predicate at
+    scale (cell = bucket column); ADC scores ints against literal
+    LUTs; top-k is TakeOrderedAndProject over the probed cells only."""
+    from aws_pandas_etl_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == PQ_QUERY_VEC)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    cents_rows = (
+        emb.filter(F.col("vec_id") < IVFPQ_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def _d2(a: list[float], b: list) -> float:
+        acc = 0.0
+        for x, c in zip(a, b):
+            d = x - float(c)
+            acc = acc + d * d
+        return acc
+
+    probe = [
+        cid
+        for _, cid in sorted(
+            (_d2(qvec, r["embedding"]), r["vec_id"]) for r in cents_rows
+        )[:IVFPQ_NPROBE]
+    ]
+    cents_df = emb.filter(F.col("vec_id") < IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned = SIM.ivf_assign(emb, cents_df).select("vec_id", "cell")
+    cand = (
+        _pq_codes(spark, sf_dir)
+        .filter(F.col("vec_id") != PQ_QUERY_VEC)
+        .join(assigned.filter(F.col("cell").isin(probe)), "vec_id")
+    )
+    adc = _pq_adc_expr(books, qvec)
+    return (
+        cand.select("vec_id", F.round(adc, 6).alias("adc"), adc.alias("_o"))
         .orderBy("_o", "vec_id")
         .limit(PQ_ADC_TOP)
         .select("vec_id", "adc")

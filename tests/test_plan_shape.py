@@ -154,6 +154,7 @@ _SCALAR_CROSS_OK = {
     "knn_graph_triangles",           # three 1-row topology aggregates
     "markov_stationary_event_types",  # 1-row |types| uniform-start scalar
     "regression_stump_value_by_hour",  # 1-row grand totals x 24 thresholds
+    "ivfpq_adc_topk",                # corpus x 16-row broadcast centroids
 }
 
 # Streaming queries execute a real job on invocation — planning them
