@@ -8043,6 +8043,7 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RARE_DF_CAP = 16
+RARE_JACCARD = 0.3
 
 RARE_BLOCK_ORACLE = f"""
 WITH raw AS (
@@ -8060,37 +8061,39 @@ WITH raw AS (
 ), df AS (
   SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY h
 ), blk AS (
-  SELECT doc_id, h AS rare_h FROM (
-    SELECT e.doc_id, e.h, df.df,
-           ROW_NUMBER() OVER (PARTITION BY e.doc_id
-                              ORDER BY df.df, e.h) AS rn
-    FROM e JOIN df USING (h)
-  ) WHERE rn = 1 AND df <= {RARE_DF_CAP}
+  SELECT e.doc_id, e.h
+  FROM e JOIN df USING (h)
+  WHERE df BETWEEN 2 AND {RARE_DF_CAP}
 ), cand AS (
-  SELECT x.doc_id AS a, y.doc_id AS b
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM blk x JOIN blk y
-    ON x.rare_h = y.rare_h AND x.doc_id < y.doc_id
+    ON x.h = y.h AND x.doc_id < y.doc_id
 )
-SELECT cand.a, cand.b,
-       ROUND(CAST(len(list_intersect(ta.g, tb.g)) AS DOUBLE)
-             / (len(ta.g) + len(tb.g)
-                - len(list_intersect(ta.g, tb.g))), 6) AS jaccard
-FROM cand JOIN t ta ON ta.doc_id = cand.a
-          JOIN t tb ON tb.doc_id = cand.b
+SELECT * FROM (
+  SELECT cand.a, cand.b,
+         ROUND(CAST(len(list_intersect(ta.g, tb.g)) AS DOUBLE)
+               / (len(ta.g) + len(tb.g)
+                  - len(list_intersect(ta.g, tb.g))), 6) AS jaccard
+  FROM cand JOIN t ta ON ta.doc_id = cand.a
+            JOIN t tb ON tb.doc_id = cand.b
+) WHERE jaccard >= {RARE_JACCARD}
 """
 
 
 @register("rare_token_blocked_pairs", RARE_BLOCK_ORACLE)
 def rare_token_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidates via rarest-shingle blocking (the
+    """Near-duplicate pairs via rare-shingle blocking (the
     prefix-filtering family, AllPairs/PPJoin's core idea): two docs
-    can only pair if they share the globally rarest 3-gram of at
-    least one of them — each doc blocks on its single rarest shingle
-    (ties to the lexicographically smallest), candidates equi-join on
-    that key, and every candidate's exact shingle-set Jaccard is
-    reported.  The deliberate contrast to MinHash-LSH: no signatures,
-    no bands — selectivity comes from the heavy tail of the shingle
-    distribution instead of hash-collision probability.
+    can only pair if they share a globally RARE 3-gram (document
+    frequency in [2, 16]), candidates equi-join on those rare
+    hashes and dedupe, and pairs whose exact shingle-set Jaccard
+    rescores >= 0.3 are reported.  The deliberate contrast to
+    MinHash-LSH: no signatures, no bands — selectivity comes from the
+    heavy tail of the shingle distribution instead of hash-collision
+    probability.  (An earlier draft blocked on each doc's SINGLE
+    rarest gram; on corpora where most grams are hapax no two docs
+    share their #1 rarest and the audit silently returned 0 rows —
+    rare-set blocking keeps the same asymptotics with real recall.)
 
     Scale shape: shingle extraction rides the Arrow-batched hashed
     table the LSH pipeline already proved ~10x faster than the
@@ -8112,18 +8115,17 @@ def rare_token_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = t.select("doc_id", F.explode("g").alias("h"))
     dfreq = e.groupBy("h").agg(F.count("*").cast("bigint").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "h")
     blk = (
         e.join(dfreq, "h")
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("df") <= RARE_DF_CAP))
-        .select("doc_id", F.col("h").alias("rare_gram"))
+        .filter(F.col("df").between(2, RARE_DF_CAP))
+        .select("doc_id", "h")
     )
     cand = (
         blk.alias("x")
-        .join(blk.alias("y"), "rare_gram")
+        .join(blk.alias("y"), "h")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
     )
     ta = t.select(F.col("doc_id").alias("a"), F.col("g").alias("ta"))
     tb = t.select(F.col("doc_id").alias("b"), F.col("g").alias("tb"))
@@ -8139,6 +8141,7 @@ def rare_token_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
+        .filter(F.col("jaccard") >= RARE_JACCARD)
     )
 
 
