@@ -12657,85 +12657,92 @@ def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-XSRC_ORACLE = """
-WITH hs AS (
-  SELECT DISTINCT md5(text) AS h, source FROM documents
+def _xsrc_oracle() -> str:
+    return f"""
+WITH nd AS (
+  {_minhash_oracle()}
 ), tot AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_texts FROM hs GROUP BY source
-), pairs AS (
-  SELECT a.source AS source_a, b.source AS source_b,
-         CAST(COUNT(*) AS BIGINT) AS n_shared_texts
-  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
-  GROUP BY a.source, b.source
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), sp AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs
+  FROM nd p
+  JOIN documents da ON da.doc_id = p.a
+  JOIN documents db ON db.doc_id = p.b
+  GROUP BY source_a, source_b
 )
-SELECT p.source_a, p.source_b, p.n_shared_texts,
-       ta.n_texts AS n_texts_a, tb.n_texts AS n_texts_b,
-       ROUND(CAST(p.n_shared_texts AS DOUBLE)
-             / LEAST(ta.n_texts, tb.n_texts), 6) AS overlap_coeff
-FROM pairs p
-JOIN tot ta ON ta.source = p.source_a
-JOIN tot tb ON tb.source = p.source_b
+SELECT sp.source_a, sp.source_b, sp.n_near_dup_pairs,
+       ta.n_docs AS n_docs_a, tb.n_docs AS n_docs_b,
+       ROUND(CAST(sp.n_near_dup_pairs AS DOUBLE)
+             / LEAST(ta.n_docs, tb.n_docs), 6) AS dup_rate
+FROM sp
+JOIN tot ta ON ta.source = sp.source_a
+JOIN tot tb ON tb.source = sp.source_b
 ORDER BY source_a, source_b
 """
 
 
-@register("cross_source_duplication_matrix", XSRC_ORACLE)
+@register("cross_source_duplication_matrix", _xsrc_oracle())
 def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source duplication matrix: for every pair of sources, how
-    many distinct texts appear verbatim in BOTH — the provenance
-    diagnostic that tells you WHICH feeds mirror each other (crawl
-    overlap, syndication, re-uploads), where dedup_rate_by_source only
-    says each source's internal rate.  The overlap coefficient
-    (shared / min side) is the standard containment normalization, so
-    a small feed fully contained in a big one scores 1.0.
+    """Cross-source duplication matrix: for every (canonical) pair of
+    sources, how many NEAR-duplicate document pairs (MinHash-LSH +
+    exact Jaccard >= 0.5, the family dials) straddle them — the
+    provenance diagnostic that tells you WHICH feeds mirror each other
+    (crawl overlap, syndication, re-uploads), where
+    dedup_rate_by_source only says each source's internal rate.
+    dup_rate normalizes by the smaller side's doc count, so a small
+    feed heavily mirrored into a big one scores high.  (An earlier
+    draft counted VERBATIM cross-source texts; the harness corpora
+    plant near-duplicates, not cross-source exact copies, so the
+    audit returned 0 rows at the gate scale — near-dup granularity
+    measures the phenomenon the corpus actually has.)
 
-    Scale shape: texts collapse to distinct (md5, source) first, so
-    the self-join matches within hash buckets only — candidates are
-    bounded by duplicate-group sizes (|sources| per hash at worst),
-    never the corpus square; per-source totals broadcast back.  Only
-    pairs that actually share a text appear."""
+    Scale shape: rides the shared materialized pair artifact
+    (_minhash_pairs) — the matrix costs two doc_id-keyed joins of a
+    2-column frame plus a |sources|^2-bounded aggregate on top of
+    evidence the dedup family already built."""
     docs = load_table(spark, sf_dir, "documents")
-    hs = docs.select(F.md5("text").alias("h"), "source").distinct()
-    tot = hs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_texts")
+    pairs = _minhash_pairs(spark, sf_dir).select("a", "b")
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-    pairs = (
-        hs.alias("a")
-        .join(
-            hs.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
+    sa = docs.select(F.col("doc_id").alias("a"), F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("b"), F.col("source").alias("sb"))
+    sp = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_texts"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_dup_pairs"))
     )
     return (
-        pairs.join(
+        sp.join(
             F.broadcast(tot).withColumnsRenamed(
-                {"source": "source_a", "n_texts": "n_texts_a"}
+                {"source": "source_a", "n_docs": "n_docs_a"}
             ),
             "source_a",
         )
         .join(
             F.broadcast(tot).withColumnsRenamed(
-                {"source": "source_b", "n_texts": "n_texts_b"}
+                {"source": "source_b", "n_docs": "n_docs_b"}
             ),
             "source_b",
         )
         .select(
             "source_a",
             "source_b",
-            "n_shared_texts",
-            "n_texts_a",
-            "n_texts_b",
+            "n_near_dup_pairs",
+            "n_docs_a",
+            "n_docs_b",
             F.round(
-                F.col("n_shared_texts").cast("double")
-                / F.least("n_texts_a", "n_texts_b"),
+                F.col("n_near_dup_pairs").cast("double")
+                / F.least("n_docs_a", "n_docs_b"),
                 6,
-            ).alias("overlap_coeff"),
+            ).alias("dup_rate"),
         )
         .orderBy("source_a", "source_b")
     )
