@@ -3208,17 +3208,24 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q22_ORACLE = """
+Q22_LAPSE_DAYS = 90
+
+Q22_ORACLE = f"""
 WITH avg_bal AS (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v
   FROM customer WHERE c_acctbal > 0
+), mx AS (
+  SELECT MAX(o_orderdate) AS m FROM orders
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders, mx
+  WHERE o_orderdate > m - INTERVAL {Q22_LAPSE_DAYS} DAY
 )
 SELECT c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS numcust,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > avg_bal.v
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
@@ -3227,9 +3234,15 @@ ORDER BY c_nationkey
 @register("q22_wealthy_inactive", Q22_ORACLE)
 def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar aggregate subquery (global average
-    balance) + anti join against orders.  The 1-row average is cross-
-    joined (broadcast) instead of re-evaluated per row; the anti join
-    build side is just the distinct customer keys of orders."""
+    balance) + anti join.  The 1-row average is cross-joined
+    (broadcast) instead of re-evaluated per row; the anti join build
+    side is the distinct customer keys with RECENT orders (no order in
+    the {Q22_LAPSE_DAYS} days before the corpus max date = "lapsed").
+    Deviation from spec, forced by the data: every customer here has
+    at least one order at every SF, so spec Q22's no-orders-ever
+    population is empty by construction — the time-scoped inactivity
+    window keeps the scalar-subquery + anti-join shape with a real
+    result set (the production "wealthy lapsed customers" report)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     avg_bal = (
@@ -3241,10 +3254,20 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v")
         )
     )
+    mx = orders.agg(F.max("o_orderdate").alias("m"))
+    recent = (
+        orders.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("o_orderdate")
+            > F.col("m") - F.expr(f"INTERVAL {Q22_LAPSE_DAYS} DAY")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("v"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count("*").cast("bigint").alias("numcust"),
