@@ -71,8 +71,61 @@ def artifact_root() -> str:
 
 
 def artifact_path(*parts: str) -> str:
-    """Join ``parts`` under the per-user artifact root."""
-    return os.path.join(artifact_root(), *parts)
+    """Join ``parts`` under the per-user artifact root.
+
+    A lookup that finds an existing artifact also refreshes the mtime
+    of its top-level entry: the staleness sweep keys on root-entry
+    mtime, and a reader that only ever opens files INSIDE a directory
+    artifact (a parquet part, say) would otherwise leave the entry
+    looking idle — a freshly started process could then sweep it out
+    from under a live lazy DataFrame mid-plan.  Touch-on-lookup makes
+    "actively consulted" and "not stale" the same thing.
+    """
+    root = artifact_root()
+    p = os.path.join(root, *parts)
+    if parts:
+        top = os.path.join(root, parts[0])
+        try:
+            os.utime(top)
+        except OSError:
+            pass  # not built yet, or racing a sweep — both fine
+    return p
+
+
+def source_ident(src: str) -> str | None:
+    """Identity string for a fingerprinted source path, or None if the
+    path cannot be stat'ed (remote / non-local sources build fresh).
+
+    For a plain file this is ``abspath|mtime_ns|size``.  For a
+    DIRECTORY — the standard Spark table layout is a directory of part
+    files — the top-level stat is not enough: rewriting a part file in
+    place changes neither the directory's mtime nor its size, so a
+    stale artifact would be silently served for a changed corpus.
+    Directories therefore fold the sorted ``(relpath, mtime_ns, size)``
+    of every contained file into a digest appended to the ident.
+    """
+    import hashlib
+
+    try:
+        st = os.stat(src)
+    except OSError:
+        return None
+    base = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    if not stat_mod.S_ISDIR(st.st_mode):
+        return base
+    entries = []
+    for dirpath, dirnames, filenames in os.walk(src):
+        dirnames.sort()
+        for name in sorted(filenames):
+            p = os.path.join(dirpath, name)
+            try:
+                fst = os.stat(p)
+            except OSError:
+                continue
+            rel = os.path.relpath(p, src)
+            entries.append(f"{rel}|{fst.st_mtime_ns}|{fst.st_size}")
+    digest = hashlib.md5("\n".join(entries).encode()).hexdigest()[:16]
+    return f"{base}|dir:{digest}"
 
 
 def _sweep_stale_once(root: str) -> None:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aws_pandas_etl_spark.artifacts import artifact_path
+from aws_pandas_etl_spark.artifacts import artifact_path, source_ident
 from aws_pandas_etl_spark.operators import dedup as D
 from aws_pandas_etl_spark.operators import multimodal as MM
 from aws_pandas_etl_spark.operators import similarity as SIM
@@ -876,12 +876,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return D.dedup_near_minhash(docs, threshold=0.5, shingle_n=3)
 
     src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:
+    src_id = source_ident(src)
+    if src_id is None:
         return _build()
     ident = (
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"{src_id}"
         f"|mhpairs-v1|thr=0.5|sh=3"
     )
     tag = hashlib.md5(ident.encode()).hexdigest()[:16]
@@ -3624,12 +3623,11 @@ def _bloom_words(spark: SparkSession, sf_dir: str) -> list[int]:
         )
 
     src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:
+    src_id = source_ident(src)
+    if src_id is None:
         return _build()
     ident = (
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"{src_id}"
         f"|bloom-v1|b={DECON_BENCH_MAX_ID}|n={DECON_SHINGLE_N}"
         f"|bits={BLOOM_BITS}|k={BLOOM_K}"
     )
@@ -4126,12 +4124,11 @@ def _cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         return D.connected_components(pairs)
 
     src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:
+    src_id = source_ident(src)
+    if src_id is None:
         return _build()
     ident = (
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"{src_id}"
         f"|cc-v1|thr=0.5|sh=3"
     )
     tag = hashlib.md5(ident.encode()).hexdigest()[:16]
@@ -6172,15 +6169,14 @@ def _kmeans_cents(
         return k, kmeans_fit(emb, k=k, iters=KMEANS_ITERS)
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:
+    src_id = source_ident(src)
+    if src_id is None:
         return _fit()
     split_tag = (
         f"|old%{INC_SPLIT_MOD}!{INC_SPLIT_REM}" if split_old else ""
     )
     ident = (
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"{src_id}"
         f"|kmc-v1{split_tag}|kk={KMEANS_K}|kd={KMEANS_DIV}|ki={KMEANS_ITERS}"
     )
     tag = hashlib.md5(ident.encode()).hexdigest()[:16]
@@ -6634,12 +6630,11 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:
+    src_id = source_ident(src)
+    if src_id is None:
         return _build()
     ident = (
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"{src_id}"
         f"|semdedup-v1|it={KMEANS_ITERS}|t={SEMDEDUP_T}|p={SEMDEDUP_PROBES}"
     )
     tag = hashlib.md5(ident.encode()).hexdigest()[:16]
@@ -6850,12 +6845,11 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:  # remote scheme — identity not stat-able, build fresh
+    src_id = source_ident(src)
+    if src_id is None:  # remote scheme — identity not stat-able, build fresh
         return _build()
     ident = (
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"{src_id}"
         f"|kn={KNN_GRAPH_K}|ki={KMEANS_ITERS}|p={SEMDEDUP_PROBES}"
     )
     tag = hashlib.md5(ident.encode()).hexdigest()[:16]
@@ -6961,10 +6955,12 @@ def knn_graph_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this operator exists to avoid (the _knn_edges precedent), so the
     # old graph caches exactly like the full-corpus artifact.
     src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
+    src_id = source_ident(src)
+    if src_id is None:  # remote scheme — build fresh
+        old_edges = _old_edges_build()
+    else:
         ident = (
-            f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+            f"{src_id}"
             f"|old%{INC_SPLIT_MOD}!{INC_SPLIT_REM}|kn={KNN_GRAPH_K}"
             f"|ki={KMEANS_ITERS}|p={SEMDEDUP_PROBES}"
         )
@@ -6973,8 +6969,6 @@ def knn_graph_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.isdir(path):
             write_knn_graph(_old_edges_build(), path)
         old_edges = read_knn_graph(spark, path)
-    except OSError:  # remote scheme — build fresh
-        old_edges = _old_edges_build()
     return knn_graph_extend(
         old_edges,
         old,
@@ -8027,14 +8021,21 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (post-semi-join), each partition <= the df ceiling."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", TX.tokens("text").alias("t"))
-    grams = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))
+    # Spark's sequence(1, 0) yields the DESCENDING [1, 0] (unlike
+    # DuckDB's empty generate_series), and element_at(t, 0) then
+    # throws — so docs with <2 tokens must short-circuit to an empty
+    # bigram array rather than rely on greatest() clamping.
+    grams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + 1),
+            ),
         ),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
-        ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     e = t.select("doc_id", F.explode(grams).alias("term")).distinct()
     nd = docs.agg(F.count("*").cast("bigint").alias("nd"))
     max_df = F.least(
@@ -8521,12 +8522,11 @@ def _bpe_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         return merges, cur
 
     src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:
+    src_id = source_ident(src)
+    if src_id is None:
         return _build()
     ident = (
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"{src_id}"
         f"|bpe-v1|iters={BPE_ITERS}"
     )
     tag = hashlib.md5(ident.encode()).hexdigest()[:16]
@@ -13416,12 +13416,11 @@ def _pq_codebooks(
         return books
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:
+    src_id = source_ident(src)
+    if src_id is None:
         return _fit()
     ident = (
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"{src_id}"
         f"|pq-v1|s={PQ_SUBSPACES}|d={PQ_SUBDIM}"
         f"|kk={KMEANS_K}|kd={KMEANS_DIV}|ki={KMEANS_ITERS}"
     )
@@ -13501,12 +13500,11 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-    except OSError:
+    src_id = source_ident(src)
+    if src_id is None:
         return _build()
     ident = (
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"{src_id}"
         f"|pqcodes-v1|s={PQ_SUBSPACES}|d={PQ_SUBDIM}"
         f"|kk={KMEANS_K}|kd={KMEANS_DIV}|ki={KMEANS_ITERS}"
     )
