@@ -195,33 +195,46 @@ def topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cents: list[tuple[int, list[float]]] | None = None,
+    iters: int = 2,
 ) -> DataFrame:
-    """X3 scale path (IVF flavor): coarse-quantize the table into
-    ``num_centroids`` cells, search only the query's ``nprobe`` nearest
-    cells with exact cosine.
+    """X3 scale path (IVF flavor): assign the table to k-means cells,
+    search only the query's ``nprobe`` nearest cells with exact cosine.
 
-    "Training" is deterministic — the first ``num_centroids`` vectors
-    by id serve as centroids (a k-means placeholder; real training
-    would run ``pyspark.ml.clustering.KMeans`` and break cross-engine
-    determinism).  At 100 TB: assignment is precomputed and the table
-    is partitioned by cell, so a query scans nprobe/num_centroids of
-    the data."""
-    cents = embeddings.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
-    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    ``cents`` pins an externally fitted (artifact-cached) clustering —
+    the fit-once/assign-many contract every IVF-family query shares;
+    None trains here with the same deterministic Lloyd's the
+    clustering operators use (id-ordered init, exact-decimal updates —
+    see operators/clustering.py for the determinism contract).  Probe
+    cells are chosen on the driver with the left-associated IEEE fold
+    over k*dim floats (plan-time metadata, the PQ-LUT precedent), so
+    the probed set is deterministic and cross-engine reproducible.
+
+    At 100 TB: assignment is precomputed and the table partitioned by
+    cell, so a query scans nprobe/num_centroids of the data; here the
+    argmin is a codegen projection against k*dim broadcast literals —
+    no join, no shuffle before the final top-k."""
+    # Lazy import: clustering imports l2sq/dot from this module.
+    from aws_pandas_etl_spark.operators.clustering import _assign, kmeans_fit
+
+    if cents is None:
+        cents = kmeans_fit(
+            embeddings, k=num_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    qd = [float(x) for x in query_vec]
+    ranked = []
+    for cid, cv in cents:
+        acc = 0.0
+        for x, c in zip(qd, cv):
+            d = x - float(c)
+            acc = acc + d * d
+        ranked.append((acc, cid))
+    probe = [cid for _, cid in sorted(ranked)[:nprobe]]
     qlit = _lit_array(query_vec)
-    probe_cells = (
-        cents.withColumn("qd2", l2sq(qlit, F.col("cvec")))
-        .orderBy("qd2", "cid")
-        .limit(nprobe)
-        .select("cid")
-    )
     sim = F.round(cosine(F.col(vec_col), qlit), round_digits)
     return (
-        assigned.join(
-            F.broadcast(probe_cells), assigned.cell == probe_cells.cid, "left_semi"
-        )
+        _assign(embeddings, vec_col, cents)
+        .filter(F.col("cluster").isin(probe))
         .select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)

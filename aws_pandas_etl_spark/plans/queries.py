@@ -1486,48 +1486,6 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.similarity_self_join(emb, threshold=0.3, num_planes=4, dims=EMB_DIMS)
 
 
-def _ivf_oracle() -> str:
-    d2 = (
-        "list_sum(list_transform(list_zip({a}, {b}), "
-        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
-    )
-    return f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
-), assigned AS (
-  SELECT vec_id, embedding, cell FROM (
-    SELECT e.vec_id, e.embedding, c.cid AS cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {d2.format(a='e.embedding', b='c.cvec')}, c.cid) AS rn
-    FROM embeddings e CROSS JOIN cents c
-  ) WHERE rn = 1
-), q AS (
-  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
-), probe AS (
-  SELECT cid FROM (
-    SELECT c.cid,
-           ROW_NUMBER() OVER (ORDER BY {d2.format(a='q.qv', b='c.cvec')}, c.cid) AS rn
-    FROM cents c, q
-  ) WHERE rn <= 2
-)
-SELECT a.vec_id,
-       ROUND({_dk_cos('a.embedding', 'q.qv')}, 6) AS cosine_sim
-FROM assigned a, q
-WHERE a.cell IN (SELECT cid FROM probe)
-ORDER BY cosine_sim DESC, a.vec_id
-LIMIT 10
-"""
-
-
-@register("ann_ivf_topk", _ivf_oracle())
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path, IVF flavor: coarse cells from deterministic
-    centroids (vec_id < 16), search the query's 2 nearest cells."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return SIM.topk_ivf(emb, [float(x) for x in q], k=10, num_centroids=16, nprobe=2)
-
-
 PCTL_ORACLE = """
 WITH r AS (
   SELECT event_type, value, event_id,
@@ -6284,6 +6242,50 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     k, cents = _kmeans_cents(spark, sf_dir)
     return kmeans_lloyd(emb, k=k, iters=KMEANS_ITERS, cents=cents)
+
+
+def _ivf_oracle() -> str:
+    prefix, final, _ = _kmeans_ctes()
+    cents_cte = f"c{KMEANS_ITERS - 1}"  # the fitted centroids the final
+    # assignment round uses — exactly what _kmeans_cents returns
+    d2q = (
+        "list_sum(list_transform(list_zip(q.qv, c.cvec), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""{prefix}, q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (ORDER BY {d2q}, c.cid) AS rn
+    FROM {cents_cte} c, q
+  ) WHERE rn <= 2
+)
+SELECT e.vec_id,
+       ROUND({_dk_cos('e.embedding', 'q.qv')}, 6) AS cosine_sim
+FROM embeddings e
+JOIN {final} a ON e.vec_id = a.vec_id
+CROSS JOIN q
+WHERE a.cluster IN (SELECT cid FROM probe)
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_ivf_topk", _ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path, IVF flavor: coarse cells from the fit-once
+    k-means artifact (_kmeans_cents — the SAME fitted quantizer behind
+    ivf_cell_balance, kmeans_embeddings, and the SemDeDup family),
+    searching the query's 2 nearest cells with exact cosine.  The
+    oracle replays the full Lloyd's fit via the shared unrolled CTEs
+    and picks probe cells with the identical d2 fold, so the probed
+    set — not just the final ranking — matches cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, cents = _kmeans_cents(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return SIM.topk_ivf(emb, [float(x) for x in q], k=10, nprobe=2, cents=cents)
 
 
 PCA_ITERS = 3
@@ -11404,6 +11406,89 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPACT_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id, ts, value,
+         CASE event_type WHEN 'signup' THEN 'c'
+                         WHEN 'error' THEN 'd'
+                         ELSE 'u' END AS op
+  FROM events
+), ranked AS (
+  SELECT user_id, event_id, value, op,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+           AS n_changes,
+         CAST(SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id) AS BIGINT) AS n_tombstones
+  FROM log
+)
+SELECT user_id, op AS last_op, event_id AS last_event_id,
+       value AS last_value, n_changes, n_tombstones
+FROM ranked WHERE rn = 1 AND op != 'd'
+ORDER BY user_id
+"""
+
+
+@register("cdc_log_compaction", COMPACT_ORACLE)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction over a change-data-capture stream — the
+    Kafka-compacted-topic / Debezium-snapshot semantics that complement
+    merge_load (sources/sinks.py:155, which APPLIES such a changelog to
+    a target): keep only each key's LATEST record, and drop the key
+    entirely when that record is a tombstone.  The events table stands
+    in as the changelog with a documented op mapping (signup -> 'c',
+    error -> 'd' tombstone, anything else -> 'u'); ordering within a
+    key is (ts, event_id) so concurrent-timestamp records compact
+    deterministically.  Per surviving key the compacted record carries
+    its latest payload plus how much log it absorbed (n_changes,
+    n_tombstones) — the compaction-ratio diagnostic an operator
+    watches.  (Distinct from cdc_chunk_dedup, whose CDC is
+    content-defined CHUNKING, not change-data-capture.)
+
+    Scale shape: one shuffle by key; the row_number and both per-key
+    stats share a single window sort (count/sum over the same
+    partition spec), so compaction is sort-once per key — exactly the
+    segment-merge a log-compacted store performs, and at 100 TB the
+    key-hash partitioning makes each partition's compaction
+    independent."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    log = ev.select("user_id", "event_id", "ts", "value", op.alias("op"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wk = Window.partitionBy("user_id")
+    ranked = log.select(
+        "user_id",
+        "event_id",
+        "value",
+        "op",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wk).cast("bigint").alias("n_changes"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0))
+        .over(wk)
+        .cast("bigint")
+        .alias("n_tombstones"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            "n_changes",
+            "n_tombstones",
+        )
+        .orderBy("user_id")
+    )
+
+
 BOOT_B = 40  # replicates; ranks 2 and 39 bracket a ~90% empirical CI
 
 BOOT_ORACLE = f"""
@@ -13855,7 +13940,7 @@ def _pq_adc_expr(
 
 
 IVFPQ_NPROBE = 2
-IVFPQ_CELLS = 16  # the ann_ivf_topk coarse quantizer (vec_id < 16)
+IVFPQ_CELLS = 16  # deterministic coarse quantizer (vec_id < 16)
 
 
 def _ivfpq_oracle() -> str:
@@ -13915,8 +14000,8 @@ LIMIT {PQ_ADC_TOP}
 @register("ivfpq_adc_topk", _ivfpq_oracle())
 def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the production billion-scale ANN index, composed from
-    the engine's own parts: the IVF coarse quantizer (ann_ivf_topk's
-    deterministic vec_id<{IVFPQ_CELLS} centroids) prunes the search to
+    the engine's own parts: a deterministic IVF coarse quantizer
+    (vec_id<{IVFPQ_CELLS} centroids) prunes the search to
     the query's {IVFPQ_NPROBE} nearest cells, and PQ asymmetric
     distance (driver-built LUTs over the encode-once code artifact)
     ranks only the surviving candidates — cells bound the scan, codes
@@ -14371,87 +14456,79 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # delete/idempotent/schema-evolution pipelines, UDAF, cume_dist,
 # incremental-knn, streaming-HH, leakage, bigram-LM, PCA, RRF) — all
 # exact-value-green in the local sweep from birth.
-# Round-8 rotation (the backlog-retiring round): after CORRECTNESS_r07
-# the cumulative driver-verified union is 149/192; exactly 43 registry
-# entries have never had a driver row.  All 43 take seats this round —
-# the 18 per-key scalar-stat variants deferred from r7, the 14 round-7
-# additions, q11/q20, the PCA pair, and the two seats r7 could not
-# green (inverted_index_terms, now emitting string postings for the
-# driver canonicalizer, and neyman_sample_by_lang, now allowlisted for
-# its 1-row scalar cross).  4 seats go to the four round-8 additions
-# (ngram_novelty_per_doc, source_mixture_kl,
-# vocab_growth_by_corpus_slice, write_shard_plan_by_date) so new
-# queries earn their driver row in the round they are born.  The
-# remaining 3 seats re-verify one driver-green representative per
-# family whose members are otherwise all rotated out or whose code
-# was touched this round: multimodal_frame_sample (X5's only query),
-# pipeline_merge_roundtrip (merge tiebreak_col hardening), and
-# decontaminate_benchmark.  A green r8 window makes the cumulative
-# union 196/201 — the five unseated entries are the later round-8
-# additions (range_partition_bounds_value, dedup_survivors_by_quality,
-# bpe_fertility_by_lang, split_lang_independence_chi2,
-# matryoshka_truncation_quality; all exact-value-green in the local
-# sweep from birth, at sf0.001/0.01/0.1), which take seats in the
-# round-9 rotation — together with the late-round-8 sketch/drift/
-# privacy/graph/ML additions registered after this window was fixed
-# (through knn_graph_triangles, markov_stationary_event_types,
-# q2_min_cost_supplier, the PQ pair, ols_value_on_time_features, and
-# regression_stump_value_by_hour); every one is exact-value-green in
-# the local sweep from birth.
+# Round-9 rotation (the backlog-RETIRING round): after CORRECTNESS_r08
+# the cumulative driver-verified union is 196/237; exactly 41 registry
+# entries have never had a driver row (all round-8 additions born
+# after the r8 window froze — the sketch/drift/privacy/PQ/model
+# families).  All 41 take seats, plus 2 re-seats for queries REWORKED
+# after their last green row (q22_wealthy_inactive: time-scoped
+# inactivity window; rare_token_blocked_pairs: rare-SET blocking) —
+# their old rows no longer certify the current semantics.  The 7
+# remaining seats: ann_ivf_topk (REWORKED this round onto the fitted
+# _kmeans_cents quantizer — must re-witness), cdc_log_compaction (born
+# this round), and one driver-green representative per family
+# (q1_pricing_summary flagship, pipeline_merge_roundtrip,
+# dedup_minhash_lsh, bpe_top_merges, multimodal_frame_sample;
+# streaming is represented by the never-seated streaming_hll_distinct
+# above).  A green r9 window makes the cumulative union 237/237 + the
+# 2 newcomers — every registry entry driver-witnessed on its CURRENT
+# semantics.  Every seat is exact-value-green in the local sweep at
+# sf0.001/0.01 before seating.
 _DRIVER_WINDOW = [
-    # -- 43 never-driver-verified seats --
-    "q11_important_stock",
-    "q20_part_promotion_suppliers",
-    "inverted_index_terms",
-    "hybrid_retrieval_rrf",
-    "vocab_coverage_topn",
-    "bigram_logprob_quality",
-    "bpe_apply_corpus_stats",
-    "token_length_moments",
-    "dedup_cluster_size_histogram",
-    "lsh_band_bucket_stats",
-    "cross_split_leakage_pairs",
-    "market_basket_part_lift",
-    "ivf_cell_balance",
-    "pca_top_component",
-    "pca_projection_by_label",
-    "knn_graph_incremental_batch",
-    "streaming_heavy_hitters",
-    "pipeline_idempotent_append",
-    "pipeline_delete_roundtrip",
-    "schema_evolution_ingest",
-    "expectations_report",
-    "join_size_forecast",
-    "udaf_weighted_mean_value",
-    "neyman_sample_by_lang",
-    "attribution_last_touch",
-    "event_transition_matrix",
-    "mode_event_type_per_user",
-    "multi_distinct_per_event_type",
-    "dow_event_totals",
-    "weekly_growth_by_type",
-    "hourly_spine_event_counts",
-    "peak_5min_event_rate",
-    "seasonal_hour_anomalies",
-    "twap_user_value",
-    "lag_features_per_user",
-    "grouped_minmax_normalize",
-    "trim_length_outliers",
-    "mad_outliers_per_event_type",
-    "value_decile_bins",
-    "value_histogram_fixed_bins",
-    "value_cume_dist_per_type",
-    "value_gini_per_event_type",
-    "props_entropy_per_event_type",
-    # -- 4 round-8 additions (driver row in their birth round) --
-    "ngram_novelty_per_doc",
-    "source_mixture_kl",
-    "vocab_growth_by_corpus_slice",
-    "write_shard_plan_by_date",
-    # -- 3 family-representative re-verify seats (all driver-green) --
-    "multimodal_frame_sample",
+    # -- 41 never-driver-verified seats --
+    "range_partition_bounds_value",
+    "dedup_survivors_by_quality",
+    "bpe_fertility_by_lang",
+    "split_lang_independence_chi2",
+    "matryoshka_truncation_quality",
+    "approx_distinct_users_kmv",
+    "countmin_token_frequencies",
+    "k_anonymity_audit",
+    "hll_distinct_users",
+    "l_diversity_audit",
+    "group_kfold_assignment",
+    "temperature_mixture_weights",
+    "benford_first_digit_audit",
+    "woe_iv_price_bands",
+    "cdc_chunk_dedup",
+    "bootstrap_ci_mean_value",
+    "ks_drift_split_halves",
+    "psi_value_drift",
+    "zipf_slope_tokens",
+    "cusum_changepoint_hourly",
+    "auc_quality_vs_exact_dup",
+    "shuffle_run_test_sources",
+    "token_burstiness_top20",
+    "doc_length_lognormal_fit",
+    "streaming_hll_distinct",
+    "kmv_overlap_event_types",
+    "seasonal_decomposition_hourly",
+    "unigram_kl_by_source",
+    "cross_source_duplication_matrix",
+    "bigram_conditional_entropy_by_source",
+    "t_closeness_audit",
+    "kaplan_meier_signup_to_purchase",
+    "daily_trend_mann_kendall",
+    "pq_codebook_quantization",
+    "regression_stump_value_by_hour",
+    "ols_value_on_time_features",
+    "pq_adc_topk",
+    "ivfpq_adc_topk",
+    "q2_min_cost_supplier",
+    "markov_stationary_event_types",
+    "knn_graph_triangles",
+    # -- 2 reworked-after-last-green re-seats --
+    "q22_wealthy_inactive",
+    "rare_token_blocked_pairs",
+    # -- 2 changed/born this round --
+    "ann_ivf_topk",
+    "cdc_log_compaction",
+    # -- 5 family-representative re-verify seats (all driver-green) --
+    "q1_pricing_summary",
     "pipeline_merge_roundtrip",
-    "decontaminate_benchmark",
+    "dedup_minhash_lsh",
+    "bpe_top_merges",
+    "multimodal_frame_sample",
 ]
 
 

@@ -116,14 +116,20 @@ def test_ann_recall_floor_vs_bruteforce(spark):
     assert lsh[0] <= lsh[1] <= lsh[2], lsh
     assert lsh[0] >= 0.10 and lsh[1] >= 0.30 and lsh[2] >= 0.60, lsh
 
+    from aws_pandas_etl_spark.operators.clustering import kmeans_fit
+
+    cents16 = kmeans_fit(emb, k=16, iters=2)  # fit once, probe thrice
     ivf = [
         mean_recall(
-            lambda v, np=np: SIM.topk_ivf(emb, v, k=10, num_centroids=16, nprobe=np)
+            lambda v, np=np: SIM.topk_ivf(emb, v, k=10, nprobe=np, cents=cents16)
         )
         for np in (1, 2, 4)
     ]
     assert ivf[0] <= ivf[1] <= ivf[2], ivf
-    assert ivf[0] >= 0.30 and ivf[2] >= 0.60, ivf
+    # measured with fitted centroids at sf0.1: 0.68 / 0.74 / 0.82
+    # (the first-16-by-id placeholder scored ~0.3 at nprobe=1 — the
+    # real fit is what makes single-probe search usable)
+    assert ivf[0] >= 0.50 and ivf[2] >= 0.70, ivf
     emb.unpersist()
 
 
@@ -856,7 +862,19 @@ def test_knn_graph_artifact_built_once_and_reused(spark):
     )
     paths = glob.glob(pattern)
     assert len(paths) == 1
-    mtime = os.path.getmtime(paths[0])
+
+    def _inner_state(root):
+        # a rebuild REPLACES the part files; artifact_path's
+        # touch-on-lookup (sweep-staleness guard) only refreshes the
+        # top-level directory mtime, so inner files are the rebuild
+        # tripwire
+        return sorted(
+            (os.path.join(d, f), os.path.getmtime(os.path.join(d, f)))
+            for d, _, fs in os.walk(root)
+            for f in fs
+        )
+
+    inner = _inner_state(paths[0])
     again = sorted(
         tuple(r) for r in Q.knn_graph_cosine(spark, sf_dir).collect()
     )
@@ -864,7 +882,7 @@ def test_knn_graph_artifact_built_once_and_reused(spark):
     # 2hop rides the same artifact — still no rebuild
     Q.knn_graph_2hop_reach(spark, sf_dir).count()
     assert glob.glob(pattern) == paths
-    assert os.path.getmtime(paths[0]) == mtime
+    assert _inner_state(paths[0]) == inner
 
 
 def test_write_knn_graph_atomic_publish_race(spark, tmp_path):

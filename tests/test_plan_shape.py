@@ -116,8 +116,6 @@ _SCALAR_CROSS_OK = {
     "tfidf_top_terms",               # 1-row corpus size
     "unigram_logprob_quality",       # 1-row corpus token total
     "stratified_sample_by_lang",     # n/a but CASE-rate may fold oddly
-    "ann_ivf_topk",                  # corpus x 16-row broadcast centroid
-                                     # table (IVF cell assignment)
     "nation_revenue_share",          # 1-row exact-decimal denominator
     "mixture_sample_by_lang",        # 1-row min(count/share) scale factor
     "heavy_hitter_tokens",           # 1-row corpus token total (threshold)
