@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Scaling-probe harness (BASELINE.md protocol, now committed instead
+of ad-hoc): time registry queries at 1x (sf0.1) and at an N x clone of
+sf0.1 built with offset ids, min-of-M each, and print a markdown table
+row per query ready to append to BASELINE.md.
+
+Clone protocol (identical to the r6-r8 probe sections):
+- fact tables (events, documents, orders, customer) are cloned N times
+  with every id column offset by ``clone_index * 10**9`` so keys stay
+  unique and clone-i facts join clone-i dimensions;
+- dimension-ish tables (region, nation, supplier, part, lineitem,
+  embeddings) are kept at 1x (copied verbatim);
+- timestamps are untouched, so calendar-bounded state (days, hours)
+  does not grow -- that is the point of probing those operators.
+
+Usage:
+    python tools/scale_probe.py ks_drift_split_halves psi_value_drift
+    python tools/scale_probe.py --factor 10 --repeats 2 <names...>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from aws_pandas_etl_spark.plans import queries as Q  # noqa: E402
+from aws_pandas_etl_spark.session import get_spark  # noqa: E402
+
+# fact table -> id columns to offset per clone
+CLONED = {
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+}
+KEPT = ("region", "nation", "supplier", "part", "lineitem", "embeddings")
+STRIDE = 10**9
+
+
+def build_clone(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in KEPT:
+        src = os.path.join(src_dir, f"{name}.parquet")
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy2(src, dst)
+    for name, id_cols in CLONED.items():
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        base = spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
+        clones = None
+        for i in range(factor):
+            ci = base
+            if i:
+                ci = ci.withColumns(
+                    {c: F.col(c) + F.lit(i * STRIDE) for c in id_cols}
+                )
+            clones = ci if clones is None else clones.unionByName(ci)
+        clones.write.mode("overwrite").parquet(dst)
+
+
+def time_query(spark, name: str, sf_dir: str, repeats: int) -> float:
+    fn = Q.QUERIES[name]
+    samples = []
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(time.monotonic() - t0)
+        spark.catalog.clearCache()
+    return min(samples)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--workdir", default="/tmp/spark_graft_probe")
+    args = ap.parse_args()
+
+    unknown = [n for n in args.names if n not in Q.QUERIES]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+
+    spark = get_spark(app_name="scale_probe")
+    clone_dir = os.path.join(args.workdir, f"x{args.factor}")
+    print(f"# building {args.factor}x clone at {clone_dir}", file=sys.stderr)
+    build_clone(spark, args.base, clone_dir, args.factor)
+
+    for name in args.names:
+        t1 = time_query(spark, name, args.base, args.repeats)
+        tn = time_query(spark, name, clone_dir, args.repeats)
+        ratio = tn / t1 if t1 > 0 else float("inf")
+        print(
+            f"| `{name}` | {t1:.1f} s | {tn:.1f} s ({ratio:.1f}x) |  |"
+        )
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
