@@ -14406,6 +14406,829 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZONEMAP_STEPS = 8
+
+ZONEMAP_ORACLE = f"""
+WITH shards AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         MIN(value) AS mn, MAX(value) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), g AS (
+  SELECT MIN(value) AS gmn, MAX(value) AS gmx,
+         CAST(COUNT(*) AS BIGINT) AS total_rows
+  FROM events
+), th AS (
+  SELECT gmn + i * (gmx - gmn) / {ZONEMAP_STEPS} AS c, total_rows
+  FROM g, generate_series(1, {ZONEMAP_STEPS - 1}) s(i)
+)
+SELECT ROUND(c, 6) AS threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_shards,
+       CAST(SUM(CASE WHEN mx <= c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shards_pruned,
+       ROUND(CAST(SUM(CASE WHEN mx > c THEN n ELSE 0 END) AS DOUBLE)
+             / MAX(total_rows) * 100, 6) AS pct_rows_scanned
+FROM th, shards
+GROUP BY c ORDER BY threshold
+"""
+
+
+@register("zone_map_pruning_stats", ZONEMAP_ORACLE)
+def zone_map_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit — the zone-map / min-max
+    statistics readout every columnar lakehouse (parquet row groups,
+    Delta/Iceberg file stats, ClickHouse marks) uses for partition
+    pruning: per daily shard, min/max of ``value``; for a ladder of
+    ``value > c`` predicates, how many shards a scan could SKIP
+    outright (shard max <= c) and what fraction of rows the surviving
+    shards force it to read.  Low pruning ratios at high thresholds
+    are the signal to re-cluster (z-order / sort) the table — this is
+    the measurement that justifies the layout job before anyone runs
+    it at 100 TB.
+
+    Scale shape: one groupBy day (map-side min/max/count partials, the
+    same exchange write_shard_plan_by_date uses), one 1-row global
+    aggregate, and a bounded |steps|x|days| cross of two aggregates —
+    the fact table is scanned twice and never joined."""
+    ev = load_table(spark, sf_dir, "events")
+    shards = ev.groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    g = ev.agg(
+        F.min("value").alias("gmn"),
+        F.max("value").alias("gmx"),
+        F.count(F.lit(1)).cast("bigint").alias("total_rows"),
+    )
+    th = g.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(ZONEMAP_STEPS - 1))
+        ).alias("i"),
+        "gmn",
+        "gmx",
+        "total_rows",
+    ).select(
+        (
+            F.col("gmn")
+            + F.col("i")
+            * (F.col("gmx") - F.col("gmn"))
+            / F.lit(float(ZONEMAP_STEPS))
+        ).alias("c"),
+        "total_rows",
+    )
+    return (
+        th.crossJoin(shards)  # bounded: |steps| x |days| aggregate rows
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum(F.when(F.col("mx") <= F.col("c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shards_pruned"),
+            F.round(
+                F.sum(
+                    F.when(F.col("mx") > F.col("c"), F.col("n")).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.max("total_rows")
+                * 100,
+                6,
+            ).alias("pct_rows_scanned"),
+        )
+        .select(
+            F.round("c", 6).alias("threshold"),
+            "n_shards",
+            "n_shards_pruned",
+            "pct_rows_scanned",
+        )
+        .orderBy("threshold")
+    )
+
+
+COMPACT_TARGET_ROWS = 2_000
+
+COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1, 2
+), packed AS (
+  SELECT d, event_type, n_rows,
+         COALESCE(SUM(n_rows) OVER (
+           ORDER BY d, event_type
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM files
+)
+SELECT CAST(cum_before // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       MIN(d) AS first_day, MAX(d) AS last_day
+FROM packed GROUP BY 1 ORDER BY bin
+"""
+
+
+@register("compaction_plan_small_files", COMPACT_ORACLE)
+def compaction_plan_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance job every
+    streaming-ingest lakehouse runs: (day, event_type) write groups
+    are the pseudo-files, and consecutive files (in day-then-type
+    order, preserving partition locality so compacted output stays
+    date-prunable) pack greedily into ~2k-row compaction bins
+    via an exclusive running sum — the OPTIMIZE bin-packing shape of
+    Delta/Iceberg, expressed as one window.  Output per bin: file
+    count, total rows, and the day span the rewrite touches.
+
+    Scale shape: the file inventory is an aggregate (|days| x |types|
+    rows), so the single ordered window runs over metadata, never
+    data — exactly how table-format compaction planners work (they
+    read the manifest, not the table).  The allowlisted global window
+    is over this bounded aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    w = (
+        Window.orderBy("d", "event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    )
+    return (
+        packed.groupBy(
+            F.expr(f"cum_before DIV {COMPACT_TARGET_ROWS}")
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.min("d").alias("first_day"),
+            F.max("d").alias("last_day"),
+        )
+        .orderBy("bin")
+    )
+
+
+HLL_CUM_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+), h AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         {_dk_hex("'hll:'||CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+), rr AS (
+  SELECT d, h % {HLL_M} AS reg,
+         55 - (CASE WHEN h // {HLL_M} = 0 THEN 0
+                    ELSE length(bin(h // {HLL_M})) END) AS rank
+  FROM h
+), m AS (
+  SELECT d, reg, MAX(rank) AS mr FROM rr GROUP BY d, reg
+), pref AS (
+  SELECT days.d, m.reg, MAX(m.mr) AS mr
+  FROM days JOIN m ON m.d <= days.d
+  GROUP BY days.d, m.reg
+), agg AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS registers_used,
+         CAST(SUM(CAST(ROUND(pow(2.0, -mr), 18) AS DECIMAL(38,18)))
+              AS DOUBLE) AS s_present
+  FROM pref GROUP BY d
+), est AS (
+  SELECT d, registers_used,
+         {HLL_M} - registers_used AS v,
+         {HLL_ALPHA} * {HLL_M} * {HLL_M}
+           / (s_present + ({HLL_M} - registers_used)) AS e_raw
+  FROM agg
+), fin AS (
+  SELECT d, registers_used,
+         CASE WHEN e_raw <= {2.5 * HLL_M} AND v > 0
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / v) ELSE e_raw END AS est
+  FROM est
+), fs AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_d
+  FROM events GROUP BY user_id
+), ex AS (
+  SELECT days.d, CAST(COUNT(*) AS BIGINT) AS exact_cum_distinct
+  FROM days JOIN fs ON fs.first_d <= days.d
+  GROUP BY days.d
+)
+SELECT f.d AS day, f.registers_used,
+       ROUND(f.est, 4) AS est_cum_distinct, ex.exact_cum_distinct
+FROM fin f JOIN ex ON ex.d = f.d
+ORDER BY day
+"""
+
+
+@register("hll_cumulative_daily_distinct", HLL_CUM_ORACLE)
+def hll_cumulative_daily_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative distinct-users-to-date curve via HLL register
+    prefix-union — THE property that justifies sketches in a pipeline:
+    per-day register states (the only thing a daily batch persists,
+    64 small ints) MERGE by element-wise MAX into the state for any
+    day range, so the to-date curve needs no re-scan of history.  The
+    exact cumulative count (first-seen-day fold) rides along as the
+    accuracy reference, exactly the hll_distinct_users contract
+    extended along the time axis.
+
+    Scale shape: one groupBy (day, register) with map-side partial MAX
+    bounds the shuffle at |days| x 64 rows; the prefix-union join is
+    |days|² x 64 over that AGGREGATE (calendar-bounded, the
+    Mann-Kendall precedent — days, not corpus, drive it); the exact
+    arm is a per-user MIN plus a |days|-bounded join.  No DISTINCT
+    pass over raw events anywhere."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    h = md5_bigint(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    w = F.shiftright(F.col("h"), HLL_P)
+    rank = F.lit(55) - F.when(w == 0, 0).otherwise(F.length(F.bin(w)))
+    rr = ev.select(F.to_date("ts").alias("d"), h.alias("h")).select(
+        "d", (F.col("h") % HLL_M).alias("reg"), rank.alias("rank")
+    )
+    m = rr.groupBy("d", "reg").agg(F.max("rank").alias("mr"))
+    pref = (
+        days.alias("g")
+        .join(m.alias("m"), F.col("m.d") <= F.col("g.d"))
+        .groupBy(F.col("g.d").alias("d"), "reg")
+        .agg(F.max("mr").alias("mr"))
+    )
+    agg = pref.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("registers_used"),
+        F.sum(
+            F.round(F.pow(F.lit(2.0), -F.col("mr")), 18).cast(
+                "decimal(38,18)"
+            )
+        )
+        .cast("double")
+        .alias("s_present"),
+    )
+    v = F.lit(HLL_M) - F.col("registers_used")
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        F.col("s_present") + v.cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    fin = agg.select(
+        "d", "registers_used", F.round(est, 4).alias("est_cum_distinct")
+    )
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_d"))
+    ex = (
+        days.alias("g")
+        .join(fs, F.col("first_d") <= F.col("g.d"))
+        .groupBy(F.col("g.d").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cum_distinct"))
+    )
+    return (
+        fin.join(ex, "d")
+        .select(
+            F.col("d").alias("day"),
+            "registers_used",
+            "est_cum_distinct",
+            "exact_cum_distinct",
+        )
+        .orderBy("day")
+    )
+
+
+ATTR_WINDOW_DAYS = 7
+ATTR_TOUCH_TYPES = ("view", "click")
+
+ATTR_POS_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT p.pid, e.event_id, e.event_type,
+         row_number() OVER (PARTITION BY p.pid ORDER BY e.ts, e.event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY p.pid) AS cnt
+  FROM p JOIN events e
+    ON e.user_id = p.user_id
+   AND e.event_type IN ('view', 'click')
+   AND e.ts <= p.pts
+   AND e.ts >= p.pts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+), credit AS (
+  SELECT event_type,
+         CASE WHEN cnt = 1 THEN 1.0
+              WHEN cnt = 2 THEN 0.5
+              WHEN rn = 1 OR rn = cnt THEN 0.4
+              ELSE 0.2 / (cnt - 2) END AS w
+  FROM t
+)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CAST(ROUND(w, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_credit
+FROM credit GROUP BY event_type ORDER BY channel
+"""
+
+
+@register("attribution_position_based", ATTR_POS_ORACLE)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    marketing-analytics complement to attribution_last_touch: every
+    view/click in the {W}-day window before a purchase earns credit,
+    40% to the first touch, 40% to the last, the middle 20% split
+    evenly among interior touches (degenerate paths: a single touch
+    takes 1.0, a pair splits 0.5/0.5).  Credit sums per channel.
+
+    Scale shape: the touch-to-purchase range join is user-bucketed
+    (equi-join on user_id with the time predicate pushed into the
+    join filter — the range_join_clicks_near_errors shape), so pair
+    enumeration is bounded by per-user event density, never global;
+    the position window partitions by purchase id over those bounded
+    per-purchase groups; per-row credit sums decimal-rounded
+    (order-independent) into one |channels|-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puid"),
+        F.col("ts").alias("pts"),
+    )
+    touches = ev.filter(
+        F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+    ).select("event_id", "user_id", "event_type", "ts")
+    j = p.join(
+        touches,
+        (F.col("user_id") == F.col("puid"))
+        & (F.col("ts") <= F.col("pts"))
+        & (
+            F.col("ts")
+            >= F.col("pts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        ),
+    )
+    wrn = Window.partitionBy("pid").orderBy("ts", "event_id")
+    wcnt = Window.partitionBy("pid")
+    t = j.select(
+        "event_type",
+        F.row_number().over(wrn).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("cnt"),
+    )
+    wcol = (
+        F.when(F.col("cnt") == 1, F.lit(1.0))
+        .when(F.col("cnt") == 2, F.lit(0.5))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("cnt")), F.lit(0.4)
+        )
+        .otherwise(F.lit(0.2) / (F.col("cnt") - 2))
+    )
+    return (
+        t.select(F.col("event_type").alias("channel"), wcol.alias("w"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.round(F.col("w"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+HEAPS_BINS = 10
+
+HEAPS_ORACLE = f"""
+WITH ids AS (
+  SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+), dt AS (
+  SELECT ((d.doc_id - ids.mn) * {HEAPS_BINS}) // (ids.mx - ids.mn + 1)
+           AS bin,
+         CAST(len({_dk_toks('d.text')}) AS BIGINT) AS n_tok
+  FROM documents d, ids
+), tokbin AS (
+  SELECT bin, CAST(SUM(n_tok) AS BIGINT) AS toks FROM dt GROUP BY bin
+), firstseen AS (
+  SELECT tok, MIN(doc_id) AS fd
+  FROM (SELECT doc_id, unnest({_dk_toks('text')}) AS tok FROM documents)
+  GROUP BY tok
+), vocbin AS (
+  SELECT ((f.fd - ids.mn) * {HEAPS_BINS}) // (ids.mx - ids.mn + 1) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS newv
+  FROM firstseen f, ids GROUP BY 1
+), pts AS (
+  SELECT t.bin,
+         SUM(t.toks) OVER (ORDER BY t.bin ROWS UNBOUNDED PRECEDING) AS n,
+         SUM(COALESCE(v.newv, 0)) OVER (ORDER BY t.bin
+           ROWS UNBOUNDED PRECEDING) AS vv
+  FROM tokbin t LEFT JOIN vocbin v USING (bin)
+), lg AS (
+  SELECT CAST(ROUND(ln(n), 12) AS DECIMAL(28,12)) AS x,
+         CAST(ROUND(ln(vv), 12) AS DECIMAL(28,12)) AS y,
+         CAST(ROUND(ln(n) * ln(n), 12) AS DECIMAL(28,12)) AS xx,
+         CAST(ROUND(ln(vv) * ln(vv), 12) AS DECIMAL(28,12)) AS yy,
+         CAST(ROUND(ln(n) * ln(vv), 12) AS DECIMAL(28,12)) AS xy
+  FROM pts WHERE n > 0 AND vv > 0
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xx) AS DOUBLE) AS sxx, CAST(SUM(yy) AS DOUBLE) AS syy,
+         CAST(SUM(xy) AS DOUBLE) AS sxy
+  FROM lg
+)
+SELECT k AS n_points,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS beta,
+       ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+         AS log_k,
+       ROUND((k * sxy - sx * sy) * (k * sxy - sx * sy)
+             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+@register("heaps_law_fit", HEAPS_ORACLE)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β of vocabulary growth — the
+    corpus-linguistics dual of zipf_slope_tokens and the capacity
+    question a tokenizer-training run asks first: how fast does the
+    corpus keep minting new types?  β near 1 flags synthetic/ID-heavy
+    text, β ≈ 0.4-0.6 is natural language.  Docs bucket into
+    {HEAPS_BINS} id-range slices (integer arithmetic, no percentile
+    pass); cumulative token and first-occurrence-vocabulary counts per
+    slice give the (n, V) curve; log-log OLS via sufficient statistics
+    fits β, log K, and r².
+
+    Scale shape: the vocabulary arm is the decontamination posture
+    (explode → per-token MIN, map-side partial); everything after the
+    two groupBys runs on a {HEAPS_BINS}-row aggregate — the windows
+    and the OLS fold never see the corpus.  Decimal-rounded log terms
+    make every sum order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    binexp = f"((doc_id - mn) * {HEAPS_BINS}) DIV (mx - mn + 1)"
+    dt = docs.crossJoin(F.broadcast(ids)).select(
+        F.expr(binexp).alias("bin"),
+        F.size(TX.tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    tokbin = dt.groupBy("bin").agg(F.sum("n_tok").cast("bigint").alias("toks"))
+    firstseen = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vocbin = (
+        firstseen.crossJoin(F.broadcast(ids))
+        .select(F.expr(f"((fd - mn) * {HEAPS_BINS}) DIV (mx - mn + 1)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("newv"))
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        tokbin.join(vocbin, "bin", "left")
+        .withColumn("n", F.sum("toks").over(wb))
+        .withColumn("vv", F.sum(F.coalesce("newv", F.lit(0))).over(wb))
+        .filter((F.col("n") > 0) & (F.col("vv") > 0))
+    )
+    def _dec(c: F.Column) -> F.Column:
+        return F.round(c, 12).cast("decimal(28,12)")
+
+    lx, ly = F.log(F.col("n").cast("double")), F.log(F.col("vv").cast("double"))
+    s = pts.select(
+        _dec(lx).alias("x"),
+        _dec(ly).alias("y"),
+        _dec(lx * lx).alias("xx"),
+        _dec(ly * ly).alias("yy"),
+        _dec(lx * ly).alias("xy"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round((F.col("sy") - beta * F.col("sx")) / F.col("k"), 6).alias(
+            "log_k"
+        ),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+ECE_BINS = 10
+
+ECE_ORACLE = f"""
+WITH lab AS (
+  SELECT d.q, CASE WHEN c.n > 1 THEN 1 ELSE 0 END AS pos
+  FROM (
+    SELECT md5(text) AS h, CAST(len({_dk_toks('text')}) AS BIGINT) AS q
+    FROM documents
+  ) d
+  JOIN (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY h) c
+    USING (h)
+), rng AS (
+  SELECT MIN(q) AS mn, MAX(q) AS mx, CAST(COUNT(*) AS BIGINT) AS total
+  FROM lab
+), binned AS (
+  SELECT ((lab.q - rng.mn) * {ECE_BINS}) // (rng.mx - rng.mn + 1) AS bin,
+         pos,
+         CAST(ROUND(CAST(lab.q - rng.mn AS DOUBLE)
+                    / (rng.mx - rng.mn), 6) AS DECIMAL(18,6)) AS conf,
+         total
+  FROM lab, rng
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS avg_label,
+       ROUND(CAST(SUM(conf) AS DOUBLE) / COUNT(*), 6) AS avg_conf,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(total)
+             * abs(CAST(SUM(pos) AS DOUBLE) / COUNT(*)
+                   - CAST(SUM(conf) AS DOUBLE) / COUNT(*)), 6)
+         AS ece_contrib
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+@register("ece_quality_calibration", ECE_ORACLE)
+def ece_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error diagram for a quality signal used as
+    a probability — the companion to auc_quality_vs_exact_dup: AUC
+    measures RANKING power, ECE measures whether the score's VALUE can
+    be trusted as P(label).  Same construction (score = token length,
+    label = exact-duplicate membership), min-max normalized to [0,1],
+    {ECE_BINS} equal-width bins; per bin the reliability-diagram row
+    (n, mean label, mean confidence) plus its weighted |gap|
+    contribution — ECE = Σ ece_contrib.  A filter threshold tuned on a
+    miscalibrated score silently shifts the kept-token budget; this is
+    the audit that catches it.
+
+    Scale shape: the dup-label join is the AUC query's hash-keyed
+    self-aggregate; binning is integer scan-side math against a
+    broadcast 1-row range; output is {ECE_BINS} rows of count/sum
+    aggregates (decimal-rounded confidence sums, order-independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.md5("text").alias("h"),
+        F.size(TX.tokens("text")).cast("bigint").alias("q"),
+    )
+    c = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lab = d.join(c, "h").select(
+        "q", F.when(F.col("n") > 1, 1).otherwise(0).alias("pos")
+    )
+    rng = lab.agg(
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+    )
+    binned = lab.crossJoin(F.broadcast(rng)).select(
+        F.expr(f"((q - mn) * {ECE_BINS}) DIV (mx - mn + 1)").alias("bin"),
+        "pos",
+        F.round(
+            (F.col("q") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("conf"),
+        "total",
+    )
+    acc = F.sum("pos").cast("double") / F.count(F.lit(1))
+    conf = F.sum("conf").cast("double") / F.count(F.lit(1))
+    return (
+        binned.groupBy(F.col("bin").cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(acc, 6).alias("avg_label"),
+            F.round(conf, 6).alias("avg_conf"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.max("total")
+                * F.abs(acc - conf),
+                6,
+            ).alias("ece_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+ISOTROPY_ORACLE = f"""
+WITH pairs AS (
+  SELECT CAST(ROUND({_dk_cos('a.embedding', 'b.embedding')}, 12)
+              AS DECIMAL(28,12)) AS c,
+         CAST(ROUND(abs({_dk_cos('a.embedding', 'b.embedding')}), 12)
+              AS DECIMAL(28,12)) AS ac
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+), pagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(c) AS DOUBLE) AS sc, CAST(SUM(ac) AS DOUBLE) AS sac
+  FROM pairs
+), norms AS (
+  SELECT CAST(ROUND(sqrt({_dk_dot('embedding', 'embedding')}), 12)
+              AS DECIMAL(28,12)) AS nrm,
+         CAST(ROUND({_dk_dot('embedding', 'embedding')}, 12)
+              AS DECIMAL(28,12)) AS nrm2
+  FROM embeddings
+), nagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(nrm) AS DOUBLE) AS sn, CAST(SUM(nrm2) AS DOUBLE) AS sn2
+  FROM norms
+)
+SELECT n_pairs,
+       ROUND(sc / n_pairs, 6) AS mean_cos,
+       ROUND(sac / n_pairs, 6) AS mean_abs_cos,
+       n_vecs,
+       ROUND(sn / n_vecs, 6) AS mean_norm,
+       ROUND(sqrt(greatest(sn2 / n_vecs - (sn / n_vecs) * (sn / n_vecs),
+                           0)), 6) AS std_norm
+FROM pagg, nagg
+"""
+
+
+@register("embedding_isotropy_probe", ISOTROPY_ORACLE)
+def embedding_isotropy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy diagnostics — the cheap pre-flight
+    before any cosine-based dedup/ANN run: anisotropic spaces (mean
+    pairwise cosine far from 0, the known failure of raw contextual
+    embeddings per Ethayarajh 2019) silently compress the cosine range
+    and make every similarity threshold corpus-specific.  Deterministic
+    adjacent-id pairs (vec_id, vec_id+1) estimate mean/|mean| pairwise
+    cosine — id assignment is content-independent, so adjacency is an
+    unbiased pair sample needing no RNG; norm mean/std ride along
+    (norm spread breaks dot-for-cosine shortcuts).
+
+    Scale shape: the pair arm is a 1-shift self equi-join on vec_id
+    (hash join on the id, no windows over raw data); both arms fold to
+    1-row aggregates with decimal-rounded terms; the final cross of
+    two 1-row frames is the allowlisted scalar cross."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("ia"), F.col("embedding").alias("eb")
+    )
+    cosv = SIM.cosine(F.col("ea"), F.col("eb"))
+
+    def _dec(c: F.Column) -> F.Column:
+        return F.round(c, 12).cast("decimal(28,12)")
+
+    pagg = (
+        a.join(b, "ia")
+        .select(_dec(cosv).alias("c"), _dec(F.abs(cosv)).alias("ac"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("c").cast("double").alias("sc"),
+            F.sum("ac").cast("double").alias("sac"),
+        )
+    )
+    nrm2 = SIM.dot(F.col("embedding"), F.col("embedding"))
+    nagg = emb.select(
+        _dec(F.sqrt(nrm2)).alias("nrm"), _dec(nrm2).alias("nrm2")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("nrm").cast("double").alias("sn"),
+        F.sum("nrm2").cast("double").alias("sn2"),
+    )
+    mean_norm = F.col("sn") / F.col("n_vecs")
+    return pagg.crossJoin(F.broadcast(nagg)).select(
+        "n_pairs",
+        F.round(F.col("sc") / F.col("n_pairs"), 6).alias("mean_cos"),
+        F.round(F.col("sac") / F.col("n_pairs"), 6).alias("mean_abs_cos"),
+        "n_vecs",
+        F.round(mean_norm, 6).alias("mean_norm"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("sn2") / F.col("n_vecs") - mean_norm * mean_norm,
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("std_norm"),
+    )
+
+
+DEGREE_POWERLAW_ORACLE = (
+    _knn_ctes()
+    + """
+, und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM knn
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+), hist AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d
+), lg AS (
+  SELECT CAST(ROUND(ln(d), 12) AS DECIMAL(28,12)) AS x,
+         CAST(ROUND(ln(c), 12) AS DECIMAL(28,12)) AS y,
+         CAST(ROUND(ln(d) * ln(d), 12) AS DECIMAL(28,12)) AS xx,
+         CAST(ROUND(ln(c) * ln(c), 12) AS DECIMAL(28,12)) AS yy,
+         CAST(ROUND(ln(d) * ln(c), 12) AS DECIMAL(28,12)) AS xy
+  FROM hist
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xx) AS DOUBLE) AS sxx, CAST(SUM(yy) AS DOUBLE) AS syy,
+         CAST(SUM(xy) AS DOUBLE) AS sxy
+  FROM lg
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+mx AS (SELECT CAST(MAX(d) AS BIGINT) AS max_degree FROM deg)
+SELECT n_nodes, max_degree, k AS n_degree_levels,
+       CASE WHEN k < 2 OR (k * sxx - sx * sx) = 0 THEN NULL
+            ELSE ROUND(-(k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+       END AS alpha,
+       CASE WHEN k < 2 OR (k * sxx - sx * sx) = 0
+                 OR (k * syy - sy * sy) = 0 THEN NULL
+            ELSE ROUND((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                       / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6)
+       END AS r2
+FROM s, nn, mx
+"""
+)
+
+
+@register("knn_graph_degree_powerlaw", DEGREE_POWERLAW_ORACLE)
+def knn_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit of the kNN graph — hub
+    detection on the similarity structure: a heavy-tailed degree
+    distribution (small alpha) means a few documents are near-dup
+    neighbors of everything (boilerplate/templates), the signal to
+    raise the dedup threshold or cap cluster sizes before training.
+    Undirected degrees → degree histogram → log-log OLS slope via the
+    same sufficient-statistics fold as heaps_law_fit; alpha is the
+    negated slope, NULL-guarded for degenerate graphs.
+
+    Scale shape: edges come from the shared _knn_edges artifact (k·n
+    rows); degrees are one groupBy, the histogram is |degree levels|
+    rows (≤ max degree, a graph invariant not a corpus scale), and
+    the fit folds that bounded frame to one row."""
+    edges = _knn_edges(spark, sf_dir).select("a", "b")
+    und = edges.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    def _dec(c: F.Column) -> F.Column:
+        return F.round(c, 12).cast("decimal(28,12)")
+
+    lx, ly = F.log(F.col("d").cast("double")), F.log(F.col("c").cast("double"))
+    s = hist.select(
+        _dec(lx).alias("x"),
+        _dec(ly).alias("y"),
+        _dec(lx * lx).alias("xx"),
+        _dec(ly * ly).alias("yy"),
+        _dec(lx * ly).alias("xy"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    mx = deg.agg(F.max("d").cast("bigint").alias("max_degree"))
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    deny = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "n_nodes",
+            "max_degree",
+            F.col("k").alias("n_degree_levels"),
+            F.when(
+                (F.col("k") >= 2) & (den != 0), F.round(-num / den, 6)
+            ).alias("alpha"),
+            F.when(
+                (F.col("k") >= 2) & (den != 0) & (deny != 0),
+                F.round(num * num / (den * deny), 6),
+            ).alias("r2"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

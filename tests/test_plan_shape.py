@@ -153,6 +153,12 @@ _SCALAR_CROSS_OK = {
     "markov_stationary_event_types",  # 1-row |types| uniform-start scalar
     "regression_stump_value_by_hour",  # 1-row grand totals x 24 thresholds
     "ivfpq_adc_topk",                # corpus x 16-row broadcast centroids
+    "zone_map_pruning_stats",        # |steps| x |days| aggregate cross
+    "hll_cumulative_daily_distinct",  # |days| x |days*64| register prefix join
+    "heaps_law_fit",                 # 1-row (min,max) doc_id bounds
+    "ece_quality_calibration",       # 1-row (min,max,total) score range
+    "embedding_isotropy_probe",      # 1-row x 1-row diagnostic fold
+    "knn_graph_degree_powerlaw",     # three 1-row fit/topology aggregates
 }
 
 # Streaming queries execute a real job on invocation — planning them
