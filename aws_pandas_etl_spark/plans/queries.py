@@ -15229,6 +15229,166 @@ def knn_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXACT_PCTS = (0.5, 0.95)
+PCT_BINS = 256
+
+_PCT_BIN = (
+    f"CAST(CASE WHEN mx = mn THEN 0 ELSE least({PCT_BINS - 1}, "
+    f"CAST(floor((value - mn) / (mx - mn) * {PCT_BINS}) AS BIGINT)) END "
+    f"AS BIGINT)"
+)
+
+EXACT_PCT_ORACLE = f"""
+WITH g AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+), ks AS (
+  SELECT p, CAST(floor((n - 1) * p) + 1 AS BIGINT) AS k
+  FROM g, (SELECT unnest({list(EXACT_PCTS)}) AS p)
+), b AS (
+  SELECT {_PCT_BIN} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events, g GROUP BY 1
+), cum AS (
+  SELECT bin, c,
+         COALESCE(SUM(c) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM b
+), cand AS (
+  SELECT ks.p, ks.k, cum.bin, cum.before
+  FROM ks JOIN cum ON ks.k > cum.before AND ks.k <= cum.before + cum.c
+), ranked AS (
+  SELECT cand.p, cand.k, cand.before, e.value,
+         row_number() OVER (PARTITION BY cand.p ORDER BY e.value) AS rn
+  FROM cand JOIN (SELECT value, {_PCT_BIN} AS bin FROM events, g) e
+    ON e.bin = cand.bin
+)
+SELECT p, k AS order_stat,
+       ROUND(MAX(CASE WHEN rn = k - before THEN value END), 6)
+         AS exact_value
+FROM ranked GROUP BY p, k ORDER BY p
+"""
+
+
+@register("exact_percentiles_histogram_refine", EXACT_PCT_ORACLE)
+def exact_percentiles_histogram_refine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global order statistics (p50/p95 of events.value) WITHOUT
+    a global sort — the two-phase histogram-refinement selection every
+    engine that has to rank 100 TB uses (a total sort is the single
+    most expensive distributed primitive; selection is not sorting):
+    phase 1 histograms the column into {PCT_BINS} fixed-width bins and
+    an exclusive cumsum over that BOUNDED aggregate locates, for each
+    requested percentile's order statistic k, the one candidate bin
+    holding it; phase 2 rescans only that bin's rows (~n/{PCT_BINS} of
+    the data per percentile) and picks element (k - rows_before) by an
+    in-bin rank.  Ties and duplicate values are handled exactly — the
+    k-th smallest is the k-th smallest whatever the distribution,
+    which percentile_approx explicitly is not.
+
+    Scale shape: two corpus scans, no global sort; the only windows
+    run over the {PCT_BINS}-row histogram and the per-percentile
+    candidate-bin subsets (each partitioned BY percentile, sized
+    ~n/{PCT_BINS} — at deeper scale you recurse another histogram
+    level instead of widening the window, same primitive).  The
+    1-row global stats broadcast to the scan side."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ks = g.select(
+        F.explode(F.array(*[F.lit(p) for p in EXACT_PCTS])).alias("p"), "n"
+    ).select(
+        "p",
+        (F.floor((F.col("n") - 1) * F.col("p")) + 1)
+        .cast("bigint")
+        .alias("k"),
+    )
+    binc = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(PCT_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * PCT_BINS
+                ).cast("bigint"),
+            )
+        )
+        .cast("bigint")
+    )
+    withbin = ev.crossJoin(F.broadcast(g)).select(
+        "value", binc.alias("bin")
+    )
+    b = withbin.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = b.withColumn(
+        "before", F.coalesce(F.sum("c").over(wcum), F.lit(0))
+    )
+    cand = ks.join(
+        cum,
+        (F.col("k") > F.col("before"))
+        & (F.col("k") <= F.col("before") + F.col("c")),
+    ).select("p", "k", "bin", "before")
+    wrank = Window.partitionBy("p").orderBy("value")
+    ranked = (
+        cand.join(withbin, "bin")
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+    )
+    return ranked.select(
+        "p",
+        F.col("k").alias("order_stat"),
+        F.round("value", 6).alias("exact_value"),
+    ).orderBy("p")
+
+
+SAMPLE_EXACT_K = 500
+
+UNIFORM_K_ORACLE = f"""
+SELECT event_id,
+       {_dk_hex("'samp:'||CAST(event_id AS VARCHAR)")} AS h
+FROM events
+ORDER BY h, event_id LIMIT {SAMPLE_EXACT_K}
+"""
+
+
+@register("uniform_sample_exact_k", UNIFORM_K_ORACLE)
+def uniform_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k uniform sample as a deterministic hash-rank top-k —
+    the fix for both classic sampling failure modes at scale:
+    Bernoulli sampling (sample(fraction)) returns a RANDOM-SIZED
+    sample and is irreproducible across retries, while a driver-side
+    reservoir serializes the stream.  Ranking rows by a keyed md5 and
+    keeping the k smallest is uniform over permutations, exactly k,
+    identically reproducible on any cluster/partitioning, and
+    composable (the union of two corpora re-ranks by the same hash —
+    mergeable like a sketch).
+
+    Scale shape: one scan + TakeOrderedAndProject(k) — each partition
+    forwards at most k rows, the driver merges p·k candidates; no
+    shuffle of the table, no RNG state anywhere."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            md5_bigint(
+                F.concat(F.lit("samp:"), F.col("event_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "event_id")
+        .limit(SAMPLE_EXACT_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

@@ -159,6 +159,7 @@ _SCALAR_CROSS_OK = {
     "ece_quality_calibration",       # 1-row (min,max,total) score range
     "embedding_isotropy_probe",      # 1-row x 1-row diagnostic fold
     "knn_graph_degree_powerlaw",     # three 1-row fit/topology aggregates
+    "exact_percentiles_histogram_refine",  # 1-row (min,max,n) stats broadcast
 }
 
 # Streaming queries execute a real job on invocation — planning them
