@@ -15389,6 +15389,247 @@ def uniform_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RAKE_ITERS = 4
+
+
+def _rake_oracle(iters: int = RAKE_ITERS) -> str:
+    decsum = (
+        "CAST(SUM(CAST(ROUND(w * frac, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+    )
+    parts = [
+        """WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+kk AS (
+  SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS kl,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS ks
+  FROM cells
+), w0 AS (
+  SELECT lang, source, n, CAST(n AS DOUBLE) / nn AS frac, 1.0 AS w,
+         kl, ks
+  FROM cells, tot, kk
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", lm{i} AS (
+  SELECT lang, {decsum} AS m FROM w{i} GROUP BY lang
+), wl{i} AS (
+  SELECT w.lang, w.source, w.n, w.frac,
+         ROUND(w.w * (1.0 / w.kl) / lm{i}.m, 12) AS w, w.kl, w.ks
+  FROM w{i} w JOIN lm{i} USING (lang)
+), sm{i} AS (
+  SELECT source, {decsum} AS m FROM wl{i} GROUP BY source
+), w{i + 1} AS (
+  SELECT w.lang, w.source, w.n, w.frac,
+         ROUND(w.w * (1.0 / w.ks) / sm{i}.m, 12) AS w, w.kl, w.ks
+  FROM wl{i} w JOIN sm{i} USING (source)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lang, source, n, ROUND(w, 6) AS weight,
+       ROUND(w * frac, 6) AS cell_share
+FROM w{iters} ORDER BY lang, source"""
+    )
+    return "".join(parts)
+
+
+@register("raking_weights_lang_source", _rake_oracle())
+def raking_weights_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming-Stephan 1940) of
+    per-(lang, source) sampling weights so the reweighted corpus hits
+    UNIFORM marginals on both axes simultaneously — the data-mixing
+    optimizer behind 'balance languages without destroying the source
+    mix': alternately scale rows to the language target and columns to
+    the source target; {iters} rounds converge for strictly positive
+    cells.  Output: per-cell weight and the achieved post-raking cell
+    share (lang marginals sum to ~1/|langs| each, source marginals to
+    ~1/|sources|).
+
+    Scale shape: the corpus is touched ONCE (the cell-count groupBy);
+    all {iters}x2 scaling rounds run on the |langs|x|sources| cell
+    AGGREGATE (~100 rows) with decimal-rounded marginal sums, so the
+    fit costs the same at 100 TB as at 100 MB — the sufficient-
+    statistics posture of the OLS/kmeans family applied to survey
+    calibration."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    kk = cells.agg(
+        F.countDistinct("lang").cast("bigint").alias("kl"),
+        F.countDistinct("source").cast("bigint").alias("ks"),
+    )
+    w = (
+        cells.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "lang",
+            "source",
+            "n",
+            (F.col("n").cast("double") / F.col("nn")).alias("frac"),
+            F.lit(1.0).alias("w"),
+            "kl",
+            "ks",
+        )
+    )
+
+    def _marg(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(key).agg(
+            F.sum(
+                F.round(F.col("w") * F.col("frac"), 12).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("m")
+        )
+
+    # Each scaling step references the running frame TWICE (marginal +
+    # join back), so a lazily-chained loop doubles the plan per step —
+    # 2^(2·iters) recomputations of the cell groupBy (measured: 28 s at
+    # sf0.1).  The frame is a bounded |langs|·|sources| aggregate, so
+    # truncate lineage per iteration with an eager localCheckpoint
+    # (~100 rows, no driver round-trip): 28 s → ~1 s, same results.
+    for _ in range(RAKE_ITERS):
+        w = (
+            w.join(_marg(w, "lang"), "lang")
+            .withColumn(
+                "w",
+                F.round(
+                    F.col("w") * (F.lit(1.0) / F.col("kl")) / F.col("m"),
+                    12,
+                ),
+            )
+            .drop("m")
+        )
+        w = (
+            w.join(_marg(w, "source"), "source")
+            .withColumn(
+                "w",
+                F.round(
+                    F.col("w") * (F.lit(1.0) / F.col("ks")) / F.col("m"),
+                    12,
+                ),
+            )
+            .drop("m")
+            .localCheckpoint(eager=True)
+        )
+    return w.select(
+        "lang",
+        "source",
+        "n",
+        F.round("w", 6).alias("weight"),
+        F.round(F.col("w") * F.col("frac"), 6).alias("cell_share"),
+    ).orderBy("lang", "source")
+
+
+def _hard_negative_oracle() -> str:
+    prefix, assign, _ = _kmeans_ctes()
+    return f"""{prefix}, lab AS (
+  SELECT a.vec_id, a.cluster, e.label, e.embedding AS v
+  FROM {assign} a JOIN embeddings e USING (vec_id)
+), labn AS (
+  SELECT vec_id, cluster, label, v,
+         sqrt({_dk_dot('v', 'v')}) AS nrm
+  FROM lab
+), pr AS (
+  SELECT x.vec_id AS anchor, y.vec_id AS neg,
+         x.label AS anchor_label, y.label AS neg_label,
+         ROUND({_dk_dot('x.v', 'y.v')} / (x.nrm * y.nrm), 12) AS cos
+  FROM labn x JOIN labn y
+    ON x.cluster = y.cluster AND x.label != y.label
+)
+SELECT anchor, neg AS hard_negative, anchor_label, neg_label,
+       ROUND(cos, 6) AS cosine_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor
+    ORDER BY cos DESC, neg) AS rn
+  FROM pr
+) WHERE rn = 1 ORDER BY anchor
+"""
+
+
+@register("hard_negative_mining", _hard_negative_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training — for every
+    anchor embedding, the most-similar vector with a DIFFERENT label
+    (the example a contrastive loss learns most from), found inside
+    the anchor's IVF/k-means cell rather than corpus-wide: the
+    SemDeDup blocking insight reused for negative mining, since a
+    hard negative is by definition nearby and nearby vectors land in
+    the same coarse cell.  Uses the SAME fitted _kmeans_cents
+    quantizer as the ANN/clustering family.
+
+    Scale shape: cell-blocked self-join (pair enumeration bounded by
+    cell occupancy, the measured ivf_cell_balance economics — never
+    corpus²), label filter inside the join, one per-anchor window
+    over those bounded cell groups.  Assignment is a codegen argmin
+    against k·dim broadcast literals."""
+    from aws_pandas_etl_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, cents = _kmeans_cents(spark, sf_dir)
+    assigned = kmeans_lloyd(emb, k=k, iters=KMEANS_ITERS, cents=cents)
+    # per-vector norm ONCE (1 fold/vector) so the pair projection is a
+    # single dot fold — cosine() would re-fold both self-norms per
+    # PAIR (3 folds/pair, measured 6.8 s -> ~2.5 s at sf0.1)
+    lab = assigned.join(emb, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "label",
+        "embedding",
+        F.sqrt(SIM.dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    x = lab.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("cluster").alias("cl"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    y = lab.select(
+        F.col("vec_id").alias("neg"),
+        F.col("cluster").alias("cl"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pr = (
+        x.join(y, "cl")
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor",
+            "neg",
+            "anchor_label",
+            "neg_label",
+            F.round(
+                SIM.dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                12,
+            ).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("anchor").orderBy(
+        F.col("cos").desc(), F.col("neg")
+    )
+    return (
+        pr.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("neg").alias("hard_negative"),
+            "anchor_label",
+            "neg_label",
+            F.round("cos", 6).alias("cosine_sim"),
+        )
+        .orderBy("anchor")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

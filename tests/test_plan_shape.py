@@ -160,6 +160,7 @@ _SCALAR_CROSS_OK = {
     "embedding_isotropy_probe",      # 1-row x 1-row diagnostic fold
     "knn_graph_degree_powerlaw",     # three 1-row fit/topology aggregates
     "exact_percentiles_histogram_refine",  # 1-row (min,max,n) stats broadcast
+    "raking_weights_lang_source",    # 1-row total + 1-row axis-cardinality
 }
 
 # Streaming queries execute a real job on invocation — planning them
