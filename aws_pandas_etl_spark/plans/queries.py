@@ -15630,6 +15630,164 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_N_CAND = 30
+MMR_K = 10
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle(n_cand: int = MMR_N_CAND, k: int = MMR_K) -> str:
+    lam = MMR_LAMBDA
+    parts = [
+        f"""WITH qv AS (
+  SELECT embedding AS q, sqrt({_dk_dot('embedding', 'embedding')}) AS qn
+  FROM embeddings WHERE vec_id = 0
+), base AS (
+  SELECT e.vec_id, e.embedding AS v,
+         sqrt({_dk_dot('e.embedding', 'e.embedding')}) AS nrm,
+         ROUND({_dk_dot('e.embedding', 'qv.q')} / (sqrt({_dk_dot('e.embedding', 'e.embedding')}) * qv.qn), 12) AS rel
+  FROM embeddings e, qv
+), cand AS MATERIALIZED (
+  SELECT vec_id, v, nrm, rel FROM base
+  ORDER BY rel DESC, vec_id LIMIT {n_cand}
+), ps AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         ROUND({_dk_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 12) AS s
+  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+), r0 AS MATERIALIZED (
+  SELECT vec_id, rel, 0.0 AS msim FROM cand
+)"""
+    ]
+    for t in range(1, k + 1):
+        parts.append(
+            f""", p{t} AS MATERIALIZED (
+  SELECT vec_id, rel, {lam} * rel - {1.0 - lam:.1f} * msim AS score
+  FROM r{t - 1}
+  ORDER BY score DESC, vec_id LIMIT 1
+), r{t} AS MATERIALIZED (
+  SELECT r.vec_id, r.rel,
+         greatest(r.msim, COALESCE(ps.s, -1.0)) AS msim
+  FROM r{t - 1} r
+  LEFT JOIN ps ON ps.i = r.vec_id AND ps.j = (SELECT vec_id FROM p{t})
+  WHERE r.vec_id != (SELECT vec_id FROM p{t})
+)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {t} AS rank, vec_id, rel, score FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+SELECT rank, vec_id, ROUND(rel, 6) AS relevance,
+       ROUND(score, 6) AS mmr_score
+FROM ({sel}) ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+@register("mmr_diversified_rerank", _mmr_oracle())
+def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass every RAG retrieval stack runs after
+    ANN: from the query's top-30 cosine candidates, greedily select
+    10 results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-selected, so near-duplicate passages don't crowd the
+    context window.  λ=0.7; ties break on vec_id.
+
+    Scale shape: the corpus is touched once (the candidate top-30
+    scan, a TakeOrdered like topk_bruteforce); everything after —
+    the 30² candidate-pair sims and the 10 sequential selection
+    steps — runs on 30-row frames.  Each greedy step references the
+    remaining-set twice (argmax + update), so the loop
+    localCheckpoints the ≤30-row frame per step (the raking lineage
+    lesson); selection stays fully in-plan, no driver collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.sqrt(SIM.dot("embedding", "embedding")).alias("qn"),
+    )
+    nrm = F.sqrt(SIM.dot("embedding", "embedding"))
+    base = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        nrm.alias("nrm"),
+        F.round(
+            SIM.dot("embedding", "qv") / (nrm * F.col("qn")), 12
+        ).alias("rel"),
+    )
+    cand = (
+        base.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_N_CAND)
+        .localCheckpoint(eager=True)
+    )
+    ps = (
+        cand.alias("a")
+        .join(cand.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            F.round(
+                SIM.dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                12,
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rem = cand.select("vec_id", "rel", F.lit(0.0).alias("msim"))
+    picks = []
+    for t in range(1, MMR_K + 1):
+        scored = rem.withColumn(
+            "score",
+            F.lit(MMR_LAMBDA) * F.col("rel")
+            - F.lit(round(1.0 - MMR_LAMBDA, 1)) * F.col("msim"),
+        )
+        top = (
+            scored.orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(
+            top.select(
+                F.lit(t).cast("bigint").alias("rank"),
+                "vec_id",
+                "rel",
+                "score",
+            )
+        )
+        pick1 = top.select(
+            F.col("vec_id").alias("j"), F.lit(1).alias("one")
+        )
+        rem = (
+            rem.join(
+                F.broadcast(pick1.select("j")),
+                F.col("vec_id") == F.col("j"),
+                "left_anti",
+            )
+            .join(
+                F.broadcast(ps.join(pick1, "j").select("i", "s")),
+                F.col("vec_id") == F.col("i"),
+                "left",
+            )
+            .select(
+                "vec_id",
+                "rel",
+                F.greatest(
+                    F.col("msim"), F.coalesce(F.col("s"), F.lit(-1.0))
+                ).alias("msim"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rank",
+        "vec_id",
+        F.round("rel", 6).alias("relevance"),
+        F.round("score", 6).alias("mmr_score"),
+    ).orderBy("rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

@@ -156,24 +156,26 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin one representative per family group that must never
-    # drift back out of the window (round-8 backlog-retiring rotation:
-    # 43 seats are the last never-driver-verified entries, 7 re-verify
-    # a driver-green representative per otherwise-vacated family)
+    # drift back out of the window (round-9 backlog-RETIRING rotation:
+    # 41 seats for the never-driver-verified r8 entries, 2 re-seats for
+    # queries reworked after their last green row, ann_ivf_topk (r9
+    # centroid rework) + cdc_log_compaction (r9-born), and 5
+    # driver-green family representatives)
     for must in [
-        "q11_important_stock",          # TPC-H-ish relational
-        "dedup_cluster_size_histogram", # dedup (LSH -> CC diagnostics)
-        "decontaminate_benchmark",      # benchmark decontamination
-        "streaming_heavy_hitters",      # streaming (mergeable MG)
-        "bigram_logprob_quality",       # text / LM quality
-        "pca_top_component",            # embeddings / spectral
-        "knn_graph_incremental_batch",  # graph over kNN edges
+        "q1_pricing_summary",           # TPC-H-ish relational flagship
+        "dedup_minhash_lsh",            # dedup (LSH pair artifact)
+        "rare_token_blocked_pairs",     # dedup (reworked -> re-witness)
+        "streaming_hll_distinct",       # streaming (mergeable sketch)
+        "bpe_top_merges",               # text / tokenizer training
+        "pq_adc_topk",                  # embeddings / PQ quantization
+        "ann_ivf_topk",                 # ANN (refit on _kmeans_cents)
+        "knn_graph_triangles",          # graph over kNN edges
         "multimodal_frame_sample",      # X5 multimodal
-        "pipeline_idempotent_append",   # K1 exactly-once sink
-        "neyman_sample_by_lang",        # deterministic sampling
-        "lag_features_per_user",        # temporal feature windows
-        "attribution_last_touch",       # behavioral analytics
-        "expectations_report",          # data-quality rules engine
-        "join_size_forecast",           # scale diagnostics
-        "inverted_index_terms",         # retrieval index build
+        "pipeline_merge_roundtrip",     # K2 CDC merge sink
+        "temperature_mixture_weights",  # deterministic sampling
+        "kaplan_meier_signup_to_purchase",  # statistical monitors
+        "t_closeness_audit",            # privacy audits
+        "cdc_log_compaction",           # CDC / changelog semantics
+        "q22_wealthy_inactive",         # reworked -> re-witness
     ]:
         assert must in Q._DRIVER_WINDOW, must
