@@ -15788,6 +15788,100 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+LPA_ITERS = 3
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    parts = [
+        _knn_ctes()
+        + """
+, und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM knn
+), nb AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v AS node, u AS nbr FROM und
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT node, node AS label FROM nb
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", cnt{t} AS MATERIALIZED (
+  SELECT nb.node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM nb JOIN l{t - 1} l ON l.node = nb.nbr
+  GROUP BY nb.node, l.label
+), l{t} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label)
+             AS rn
+    FROM cnt{t}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM l{iters} GROUP BY label ORDER BY n_nodes DESC, community"""
+    )
+    return "".join(parts)
+
+
+@register("lpa_communities_knn", _lpa_oracle())
+def lpa_communities_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the kNN similarity graph — the topic/near-dup-cluster
+    discovery step between per-pair dedup (CC components: connected =
+    same cluster) and global clustering (k-means: every vector forced
+    into k cells): LPA finds DENSELY-linked groups of any count with
+    no k to pick.  Synchronous updates, {LPA_ITERS} rounds (bounded,
+    the pagerank/kmeans unroll contract), label = mode of neighbor
+    labels with min-label tie-break — deterministic, so the DuckDB
+    twin replays it exactly.  Output: community size histogram.
+
+    Scale shape: each round is one hash join of the labels frame to
+    the k·n edge list + one (node, label) count + one per-node mode
+    window over ≤2k rows/node; labels localCheckpoint per round (the
+    raking/MMR lineage rule — linear here, but the checkpoint keeps
+    round N's shuffle from replaying rounds 1..N-1).  Edges come from
+    the shared _knn_edges artifact."""
+    edges = _knn_edges(spark, sf_dir).select("a", "b")
+    und = edges.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    nb = und.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    labels = nb.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        cnt = (
+            nb.join(
+                labels.select(
+                    F.col("node").alias("nbr"), "label"
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        wm = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label")
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "community")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
