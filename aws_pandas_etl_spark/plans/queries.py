@@ -15882,6 +15882,118 @@ def lpa_communities_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COGROUP_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id,
+       CAST(COUNT(v.ts) AS BIGINT) AS n_views_1h,
+       ROUND(CAST(SUM(CAST(ROUND(v.value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / NULLIF(COUNT(v.ts), 0), 6) AS mean_view_value
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.ts < p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""
+
+
+@register("cogroup_view_pressure_per_purchase", COGROUP_ORACLE)
+def cogroup_view_pressure_per_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cogrouped-map applyInPandas (``groupBy(...).cogroup(...)`` —
+    the one batch Arrow API the surface didn't yet exercise, next to
+    grouped-map and mapInPandas): purchases and views cogroup on
+    user_id, and per purchase the pandas side computes the preceding
+    hour's view count and decimal-rounded mean view value — the
+    feature shape a two-stream alignment (impressions x conversions)
+    needs when the per-user logic outgrows what a relational as-of
+    join expresses.  Here it IS relationally expressible, which is
+    the point: the DuckDB twin checks the Arrow path value-for-value.
+
+    Scale shape: ONE co-partitioned shuffle of both streams on
+    user_id (cogroup's contract — no row amplification before the
+    Python boundary, unlike the range join's pair enumeration); each
+    group callback is a vectorized searchsorted over that user's
+    sorted views.  Per-group pandas overhead is the applyInPandas
+    economics documented for EWMA — acceptable at |users| groups,
+    the cost of the general-logic escape hatch."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_views_1h", T.LongType()),
+            T.StructField("mean_view_value", T.DoubleType()),
+        ]
+    )
+
+    def _pressure(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_views_1h": pd.Series(dtype="int64"),
+                    "mean_view_value": pd.Series(dtype="float64"),
+                }
+            )
+        r = right.sort_values("ts")
+        vts = r["ts"].to_numpy()
+        # decimal-rounded cumulative sum: round each value to 6 like
+        # the oracle's DECIMAL(18,6) terms, sum in int64 micros so the
+        # prefix-difference is exact regardless of order
+        vmicros = np.floor(r["value"].to_numpy() * 1e6 + 0.5).astype(
+            "int64"
+        )
+        cum = np.concatenate(([0], np.cumsum(vmicros)))
+        pts = left["ts"].to_numpy()
+        hi = np.searchsorted(vts, pts, side="left")
+        lo = np.searchsorted(vts, pts - np.timedelta64(1, "h"), side="left")
+        n = (hi - lo).astype("int64")
+        sums = (cum[hi] - cum[lo]) / 1e6
+        mean = sums / np.maximum(n, 1)
+        mean6 = (
+            np.where(mean >= 0, 1.0, -1.0)
+            * np.floor(np.abs(mean) * 1e6 + 0.5)
+            / 1e6
+        )
+        # a purchase with no preceding views must surface as NULL (the
+        # oracle's LEFT JOIN mean), not float NaN — mask via the
+        # Arrow-nullable Float64 dtype
+        mean_col = pd.array(mean6, dtype="Float64")
+        mean_col[n == 0] = pd.NA
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(),
+                "user_id": left["user_id"].to_numpy(),
+                "n_views_1h": n,
+                "mean_view_value": mean_col,
+            }
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(v.groupBy("user_id"))
+        .applyInPandas(_pressure, schema=out_schema)
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
