@@ -16019,6 +16019,163 @@ def cogroup_view_pressure_per_purchase(
     )
 
 
+GC_DAILY = 7
+GC_WEEKLY = 4
+GC_MONTHLY = 12
+
+RETENTION_ORACLE = f"""
+WITH snaps AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+), mx AS (SELECT MAX(d) AS mxd FROM snaps),
+flags AS (
+  SELECT s.d,
+         date_diff('day', s.d, mx.mxd) < {GC_DAILY} AS is_daily,
+         row_number() OVER (
+           PARTITION BY date_trunc('week', s.d) ORDER BY s.d DESC) = 1
+           AS week_latest,
+         date_diff('week', date_trunc('week', s.d),
+                   date_trunc('week', mx.mxd)) < {GC_WEEKLY} AS in_weekly,
+         row_number() OVER (
+           PARTITION BY date_trunc('month', s.d) ORDER BY s.d DESC) = 1
+           AS month_latest,
+         date_diff('month', date_trunc('month', s.d),
+                   date_trunc('month', mx.mxd)) < {GC_MONTHLY}
+           AS in_monthly
+  FROM snaps s, mx
+)
+SELECT d AS snapshot_day,
+       CASE WHEN is_daily THEN 'daily'
+            WHEN week_latest AND in_weekly THEN 'weekly'
+            WHEN month_latest AND in_monthly THEN 'monthly'
+            ELSE 'expire' END AS keep_reason
+FROM flags ORDER BY snapshot_day
+"""
+
+
+@register("retention_gc_plan", RETENTION_ORACLE)
+def retention_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-retention GC planner — the third leg of the storage-
+    lifecycle trio (zone_map_pruning_stats reads, compaction_plan
+    writes, this one expires): grandfather-father-son rotation over
+    daily table snapshots, keeping the last {GC_DAILY} daily, the
+    latest-per-ISO-week of the last {GC_WEEKLY} weeks, and the
+    latest-per-month of the last {GC_MONTHLY} months relative to the
+    newest snapshot; everything else is the VACUUM/expire-snapshots
+    candidate list.  Pure calendar arithmetic, so a retention run is
+    reviewable (and oracle-checkable) before anything is deleted.
+
+    Scale shape: snapshots are a DISTINCT-day aggregate (|days| rows);
+    both row_number windows partition by week/month over that
+    aggregate.  The fact table is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    snaps = ev.select(F.to_date("ts").alias("d")).distinct()
+    mx = snaps.agg(F.max("d").alias("mxd"))
+    s = snaps.crossJoin(F.broadcast(mx))
+    wweek = Window.partitionBy(F.date_trunc("week", "d")).orderBy(
+        F.col("d").desc()
+    )
+    wmonth = Window.partitionBy(F.date_trunc("month", "d")).orderBy(
+        F.col("d").desc()
+    )
+    flags = s.select(
+        "d",
+        (F.datediff("mxd", "d") < GC_DAILY).alias("is_daily"),
+        (F.row_number().over(wweek) == 1).alias("week_latest"),
+        (
+            F.datediff(
+                F.date_trunc("week", "mxd"), F.date_trunc("week", "d")
+            )
+            / 7
+            < GC_WEEKLY
+        ).alias("in_weekly"),
+        (F.row_number().over(wmonth) == 1).alias("month_latest"),
+        (
+            F.months_between(
+                F.date_trunc("month", "mxd"), F.date_trunc("month", "d")
+            )
+            < GC_MONTHLY
+        ).alias("in_monthly"),
+    )
+    return flags.select(
+        F.col("d").alias("snapshot_day"),
+        F.when(F.col("is_daily"), F.lit("daily"))
+        .when(F.col("week_latest") & F.col("in_weekly"), F.lit("weekly"))
+        .when(F.col("month_latest") & F.col("in_monthly"), F.lit("monthly"))
+        .otherwise(F.lit("expire"))
+        .alias("keep_reason"),
+    ).orderBy("snapshot_day")
+
+
+FRESHNESS_ORACLE = """
+WITH g AS (SELECT MAX(ts) AS gmx FROM events),
+gaps AS (
+  SELECT event_type, ts,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(ts) AS latest_ts,
+       CAST(date_diff('second', MAX(ts), MAX(g.gmx)) AS BIGINT)
+         AS staleness_s,
+       ROUND(CAST(SUM(CAST(gap_s AS DECIMAL(18,2))) AS DOUBLE)
+             / NULLIF(COUNT(gap_s), 0), 2) AS avg_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM gaps, g
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("freshness_lag_by_type", FRESHNESS_ORACLE)
+def freshness_lag_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness / feed-liveness monitor — the first alert any
+    ingest SLA dashboard fires: per event type, how far its newest
+    record lags the globally newest one (staleness: a dead producer
+    shows a growing lag while the table keeps landing data), plus the
+    mean and worst inter-arrival gap (cadence: a rising max gap flags
+    an upstream stall that backfilled later).
+
+    Scale shape: staleness is a pure MAX aggregate against a 1-row
+    global MAX; inter-arrival gaps are one lag window per type
+    partition (the sessionize exchange) feeding map-side-combinable
+    aggregates.  Output is |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmx"))
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        "ts",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(wlag))
+        ).alias("gap_s"),
+    )
+    return (
+        gaps.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("ts").alias("latest_ts"),
+            (
+                F.unix_timestamp(F.max("gmx"))
+                - F.unix_timestamp(F.max("ts"))
+            )
+            .cast("bigint")
+            .alias("staleness_s"),
+            F.round(
+                F.sum(F.col("gap_s").cast("decimal(18,2)")).cast("double")
+                / F.count("gap_s"),
+                2,
+            ).alias("avg_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

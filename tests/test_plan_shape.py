@@ -161,6 +161,8 @@ _SCALAR_CROSS_OK = {
     "knn_graph_degree_powerlaw",     # three 1-row fit/topology aggregates
     "exact_percentiles_histogram_refine",  # 1-row (min,max,n) stats broadcast
     "raking_weights_lang_source",    # 1-row total + 1-row axis-cardinality
+    "retention_gc_plan",             # 1-row newest-snapshot date
+    "freshness_lag_by_type",         # 1-row global max timestamp
 }
 
 # Streaming queries execute a real job on invocation — planning them
