@@ -16176,6 +16176,182 @@ def freshness_lag_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_recall_oracle() -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id, lang, source, unnest(list_transform(
+    generate_series(1, greatest(len({_dk_toks('text')}) - 2, 0)),
+    i -> array_to_string(list_slice({_dk_toks('text')}, i, i + 2), ' ')))
+      AS gram
+  FROM documents
+), eh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         CAST(('0x' || substr(md5(gram), 1, 7)) AS BIGINT) AS h
+  FROM raw
+), sz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM eh GROUP BY doc_id
+), shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM eh x JOIN eh y
+    ON x.lang = y.lang AND x.source = y.source AND x.h = y.h
+   AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), truth AS (
+  SELECT a, b FROM (
+    SELECT shared.a, shared.b,
+           CAST(shared.c AS DOUBLE)
+             / greatest(sa.n + sb.n - shared.c, 1) AS j
+    FROM shared
+    JOIN sz sa ON sa.doc_id = shared.a
+    JOIN sz sb ON sb.doc_id = shared.b
+  ) WHERE j >= 0.5
+), mh AS (
+  SELECT a, b FROM ({_minhash_oracle()})
+), m AS (
+  SELECT truth.a FROM truth JOIN mh USING (a, b)
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth_pairs,
+       CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_found_by_lsh,
+       ROUND(CAST((SELECT COUNT(*) FROM m) AS DOUBLE)
+             / GREATEST((SELECT COUNT(*) FROM truth), 1), 6) AS recall
+"""
+
+
+@register("exact_dup_lsh_recall", _lsh_recall_oracle())
+def exact_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-evaluation audit: measured RECALL of the MinHash-LSH
+    pipeline against exhaustively-computed ground truth — within
+    (lang, source) attribute blocks, every pair whose EXACT hashed-
+    shingle Jaccard clears the pipeline's own threshold (0.5), checked
+    for membership in the LSH pair set.  Banding is probabilistic
+    (a J≈0.5 pair can miss every band), so this is a real measured
+    quantity, the number a dedup deployment pins before trusting the
+    near-dup tier — and a regression canary for banding/bucket-guard
+    changes.  Blocked-exact enumeration is affordable ONLY as an
+    audit on attribute blocks (the ngram_jaccard_pairs economics:
+    bounded blocks, oversized ones belong to LSH itself); recall is
+    measured on that auditable subset.
+
+    Scale shape: shingle sets come from the shared _shingle3_table
+    artifact; the truth side is a block-keyed equi-join; the LSH side
+    reads the materialized _minhash_pairs artifact; the comparison is
+    one (a, b) semi-join and two 1-row counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _shingle3_table(spark, sf_dir).select("doc_id", "hashes")
+    meta = docs.select("doc_id", "lang", "source")
+    # relational intersection (the ngram_jaccard_pairs shape): explode
+    # hashes, equi-join on (block, hash), COUNT the shared ones — no
+    # per-pair array ops (the array_intersect draft cost 5.6 s at
+    # sf0.1; this lands ~2 s)
+    eh = (
+        t.join(meta, "doc_id")
+        .select("doc_id", "lang", "source", F.explode("hashes").alias("h"))
+    )
+    sz = eh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    x = eh.select(
+        F.col("doc_id").alias("a"), "lang", "source", "h"
+    )
+    y = eh.select(
+        F.col("doc_id").alias("b"), "lang", "source", "h"
+    )
+    shared = (
+        x.join(y, ["lang", "source", "h"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    sa = sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    j = F.col("c").cast("double") / F.greatest(
+        F.col("na") + F.col("nb") - F.col("c"), F.lit(1)
+    )
+    truth = (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", j.alias("j"))
+        .filter(F.col("j") >= 0.5)
+    )
+    mh = _minhash_pairs(spark, sf_dir).select("a", "b")
+    m = truth.join(mh, ["a", "b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"))
+    nm = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_found_by_lsh"))
+    return nt.crossJoin(F.broadcast(nm)).select(
+        "n_truth_pairs",
+        "n_found_by_lsh",
+        F.round(
+            F.col("n_found_by_lsh").cast("double")
+            / F.greatest(F.col("n_truth_pairs"), F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
+CURRICULUM_PHASES = 4
+
+CURRICULUM_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id,
+         0.4 * LEAST(1.0, CAST(len({_dk_toks('text')}) AS DOUBLE) / 50.0)
+       + 0.3 * (CAST(len(list_distinct({_dk_toks('text')})) AS DOUBLE)
+                / GREATEST(len({_dk_toks('text')}), 1))
+       + 0.3 * (CAST(LENGTH(regexp_replace(coalesce(text, ''),
+                                           '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / GREATEST(LENGTH(coalesce(text, '')), 1)) AS quality,
+         CAST(len({_dk_toks('text')}) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT CAST(LEAST({CURRICULUM_PHASES - 1},
+            CAST(floor(quality * {CURRICULUM_PHASES}) AS BIGINT))
+       AS BIGINT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(quality, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_quality
+FROM q GROUP BY 1 ORDER BY phase
+"""
+
+
+@register("curriculum_phase_stats", CURRICULUM_ORACLE)
+def curriculum_phase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule summary: documents bucket into
+    {CURRICULUM_PHASES} quality phases (fixed-width bins over the
+    [0,1] quality score — value-based, NOT ntile, so no corpus-wide
+    rank pass) and each phase reports its doc count, token budget,
+    and mean quality — the table a curriculum sampler consumes to
+    draw low-quality-first (or high-quality-last) batches with a
+    known token budget per phase.
+
+    Scale shape: one scan computing the codegen quality expression +
+    one {CURRICULUM_PHASES}-row aggregate with decimal-rounded
+    quality sums.  A rank-based (ntile) curriculum would need a
+    global sort; fixed bins are the scale-correct choice and the
+    phase boundaries stay stable across corpus refreshes."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        TX.quality_score("text").alias("quality"),
+        F.size(TX.tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    phase = F.least(
+        F.lit(CURRICULUM_PHASES - 1),
+        F.floor(F.col("quality") * CURRICULUM_PHASES).cast("bigint"),
+    ).cast("bigint")
+    return (
+        q.groupBy(phase.alias("phase"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(
+                    F.round("quality", 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+        )
+        .orderBy("phase")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

@@ -163,6 +163,7 @@ _SCALAR_CROSS_OK = {
     "raking_weights_lang_source",    # 1-row total + 1-row axis-cardinality
     "retention_gc_plan",             # 1-row newest-snapshot date
     "freshness_lag_by_type",         # 1-row global max timestamp
+    "exact_dup_lsh_recall",          # two 1-row pair counts
 }
 
 # Streaming queries execute a real job on invocation — planning them
