@@ -15244,7 +15244,8 @@ WITH g AS (
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events
 ), ks AS (
-  SELECT p, CAST(floor((n - 1) * p) + 1 AS BIGINT) AS k
+  SELECT CAST(p AS DOUBLE) AS p,
+         CAST(floor((n - 1) * CAST(p AS DOUBLE)) + 1 AS BIGINT) AS k
   FROM g, (SELECT unnest({list(EXACT_PCTS)}) AS p)
 ), b AS (
   SELECT {_PCT_BIN} AS bin, CAST(COUNT(*) AS BIGINT) AS c
