@@ -16353,6 +16353,158 @@ def curriculum_phase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_BATCH_MOD = 50
+ANN_BATCH_REM = 1
+ANN_BATCH_NPROBE = 2
+ANN_BATCH_K = 3
+
+
+def _ann_batch_oracle() -> str:
+    prefix, assign, dist = _kmeans_ctes()
+    return f"""{prefix}, qids AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id % {ANN_BATCH_MOD} = {ANN_BATCH_REM}
+), probe AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT d.vec_id, d.cid,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY d.d2, d.cid) AS rn
+    FROM {dist} d JOIN qids USING (vec_id)
+  ) WHERE rn <= {ANN_BATCH_NPROBE}
+), nrm AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_dk_dot('embedding', 'embedding')}) AS n
+  FROM embeddings
+), scored AS (
+  SELECT p.qid, a.vec_id AS nid,
+         ROUND({_dk_dot('q.v', 'x.v')} / (q.n * x.n), 12) AS cos
+  FROM probe p
+  JOIN {assign} a ON a.cluster = p.cid
+  JOIN nrm q ON q.vec_id = p.qid
+  JOIN nrm x ON x.vec_id = a.vec_id
+  WHERE a.vec_id != p.qid
+)
+SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+       nid AS neighbor_id, ROUND(cos, 6) AS cosine_sim
+FROM (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+  FROM scored
+) WHERE rn <= {ANN_BATCH_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_batch_topk", _ann_batch_oracle())
+def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVF ANN serving — the production shape the single-query
+    ANN entries stand in for: every query in a batch (vec_id ≡ 1 mod
+    50, ~2% of the table) ranks its 2 nearest cells IN-PLAN (no
+    per-query driver round trip, unlike topk_ivf's plan-time probe
+    choice) and retrieves its top-3 neighbors with exact cosine over
+    the probed cells
+    only.  One plan serves the whole batch — the offline-inference /
+    re-embedding-refresh workload.
+
+    Scale shape: corpus assignment is the shared codegen argmin
+    (k·dim broadcast literals, from the fit-once _kmeans_cents
+    artifact); query-side probe ranking explodes |queries|×k rows of
+    literal centroids — batch-sized, not corpus-sized; the retrieval
+    join hashes on cell id, so each query scores ~nprobe/k of the
+    corpus; norms are computed once per vector (the hard-negative
+    single-fold lesson).  Windows partition by query id over probed
+    subsets."""
+    from aws_pandas_etl_spark.operators.clustering import kmeans_lloyd
+    from aws_pandas_etl_spark.operators.similarity import (
+        _lit_array,
+        l2sq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, cents = _kmeans_cents(spark, sf_dir)
+    assigned = kmeans_lloyd(emb, k=k, iters=KMEANS_ITERS, cents=cents)
+    nrm = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(SIM.dot("embedding", "embedding")).alias("n"),
+    )
+    q = emb.filter(
+        F.col("vec_id") % ANN_BATCH_MOD == ANN_BATCH_REM
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    centf = q.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(cid)).alias("cid"),
+                        _lit_array(cv).alias("cvec"),
+                    )
+                    for cid, cv in cents
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "qid",
+        F.col("c.cid").alias("cid"),
+        l2sq(F.col("qv"), F.col("c.cvec")).alias("d2"),
+    )
+    wprobe = Window.partitionBy("qid").orderBy("d2", "cid")
+    probe = (
+        centf.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= ANN_BATCH_NPROBE)
+        .select("qid", "cid")
+    )
+    scored = (
+        probe.join(
+            assigned.select(
+                F.col("vec_id").alias("nid"),
+                F.col("cluster").alias("cid"),
+            ),
+            "cid",
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .join(
+            nrm.select(
+                F.col("vec_id").alias("qid"),
+                F.col("v").alias("qv"),
+                F.col("n").alias("qn"),
+            ),
+            "qid",
+        )
+        .join(
+            nrm.select(
+                F.col("vec_id").alias("nid"),
+                F.col("v").alias("xv"),
+                F.col("n").alias("xn"),
+            ),
+            "nid",
+        )
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                SIM.dot(F.col("qv"), F.col("xv"))
+                / (F.col("qn") * F.col("xn")),
+                12,
+            ).alias("cos"),
+        )
+    )
+    wrank = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= ANN_BATCH_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rn").cast("bigint").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
