@@ -16505,6 +16505,136 @@ def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_FRAME = 256
+AUDIO_HOP = 128
+
+AUDIO_RMS_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n,
+         to_hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+), fr AS (
+  SELECT doc_id, hx, unnest(generate_series(
+           0, (n - {AUDIO_FRAME}) // {AUDIO_HOP})) AS f
+  FROM b WHERE n >= {AUDIO_FRAME}
+), samp AS (
+  SELECT doc_id, f,
+         CAST(SUM(
+           (CAST(('0x' || substr(hx, (f * {AUDIO_HOP} + s) * 2 + 1, 2))
+                 AS BIGINT) - 128)
+           * (CAST(('0x' || substr(hx, (f * {AUDIO_HOP} + s) * 2 + 1, 2))
+                   AS BIGINT) - 128)) AS BIGINT) AS ss
+  FROM fr, generate_series(0, {AUDIO_FRAME - 1}) g(s)
+  GROUP BY doc_id, f
+), rms AS (
+  SELECT doc_id, f,
+         ROUND(sqrt(CAST(ss AS DOUBLE) / {AUDIO_FRAME}.0), 6) AS rms
+  FROM samp
+), top AS (
+  SELECT doc_id, f AS loudest_frame FROM (
+    SELECT doc_id, f,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY rms DESC, f) AS rn
+    FROM rms
+  ) WHERE rn = 1
+)
+SELECT r.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       ROUND(CAST(SUM(CAST(r.rms AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_rms,
+       MAX(r.rms) AS max_rms,
+       CAST(MAX(t.loudest_frame) AS BIGINT) AS loudest_frame
+FROM rms r JOIN top t USING (doc_id)
+GROUP BY r.doc_id ORDER BY r.doc_id
+"""
+
+
+@register("multimodal_audio_frame_rms", AUDIO_RMS_ORACLE)
+def multimodal_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5, audio flavor — the frame-window feature shape (VAD, loudness
+    normalization, silence trimming all start here): binary payloads
+    decode as 8-bit PCM (STUB: the text bytes ARE the samples — no
+    audio libs in the container, same honest-fake contract as the
+    image stubs), window into 256-sample frames at hop 128, and
+    an Arrow-batched mapInPandas emits the per-frame RMS table — ROW
+    AMPLIFICATION at the Python boundary (≈ payload/hop rows per doc,
+    the opposite of the feature-extraction queries) — which Spark then
+    aggregates JVM-side into per-doc loudness stats + loudest frame.
+
+    Scale shape: frame explosion is bounded by payload_bytes/hop and
+    happens inside Arrow batches (numpy strided windows, integer
+    sample sums — exact); the groupBy/window run on the frame table
+    keyed by doc.  Real audio swaps the decode line, nothing else."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = MM.documents_as_binary(docs)
+    frame_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("f", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def _frames(batches):
+        for pdf in batches:
+            ids, fs, rms = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = payload if payload is not None else b""
+                n = len(buf)
+                if n < AUDIO_FRAME:
+                    continue
+                v = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+                nf = (n - AUDIO_FRAME) // AUDIO_HOP + 1
+                starts = np.arange(nf) * AUDIO_HOP
+                idx = starts[:, None] + np.arange(AUDIO_FRAME)[None, :]
+                d = v[idx] - 128
+                ss = (d * d).sum(axis=1)  # exact int64 per-frame sums
+                r = np.sqrt(ss / float(AUDIO_FRAME))
+                r6 = np.floor(r * 1e6 + 0.5) / 1e6  # half-away like ROUND
+                ids.extend([int(doc_id)] * nf)
+                fs.extend(range(nf))
+                rms.extend(r6.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "f": pd.Series(fs, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    frames = b.mapInPandas(_frames, schema=frame_schema)
+    wtop = Window.partitionBy("doc_id").orderBy(F.col("rms").desc(), "f")
+    top = (
+        frames.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("f").alias("loudest_frame"))
+    )
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.round(
+                F.sum(F.col("rms").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_rms"),
+            F.max("rms").alias("max_rms"),
+        )
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_frames",
+            "mean_rms",
+            "max_rms",
+            F.col("loudest_frame").cast("bigint").alias("loudest_frame"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
