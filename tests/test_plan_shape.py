@@ -164,6 +164,7 @@ _SCALAR_CROSS_OK = {
     "retention_gc_plan",             # 1-row newest-snapshot date
     "freshness_lag_by_type",         # 1-row global max timestamp
     "exact_dup_lsh_recall",          # two 1-row pair counts
+    "cdc_time_travel_diff",          # 1-row time-travel cut instant
 }
 
 # Streaming queries execute a real job on invocation — planning them
