@@ -16837,6 +16837,126 @@ def cdc_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRAT_K = 50
+
+STRAT_K_ORACLE = f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY {_dk_hex("'stratk:'||CAST(doc_id AS VARCHAR)")}, doc_id)
+           AS rn
+  FROM documents
+)
+SELECT lang, doc_id FROM r WHERE rn <= {STRAT_K}
+ORDER BY lang, doc_id
+"""
+
+
+@register("stratified_sample_exact_k", STRAT_K_ORACLE)
+def stratified_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k-per-stratum sampling (the per-group twin of
+    uniform_sample_exact_k): within each language, rank docs by a
+    keyed md5 and keep the 50 smallest — an eval-set builder that
+    needs exactly 50 docs per language gets them reproducibly, on any
+    partitioning, from any engine, with no RNG state and no
+    fraction-tuning loop (sampleBy(fraction) only approximates a
+    per-stratum count).
+
+    Scale shape: one rank window partitioned by the stratum key over
+    hash-ordered rows — the sessionize exchange; at extreme per-
+    stratum cardinality the same hash-rank is a per-partition top-k
+    + merge (TakeOrdered per stratum).  Output is |strata|·k rows."""
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5_bigint(
+            F.concat(F.lit("stratk:"), F.col("doc_id").cast("string"))
+        ),
+        "doc_id",
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRAT_K)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+CONTRASTIVE_PAIR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_dk_toks('text')} AS toks,
+         len({_dk_toks('text')}) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n, toks,
+         CASE WHEN n <= 0 THEN []
+              ELSE generate_series(0, CAST(floor((greatest(n - {CHUNK_TOKENS}, 0)
+                   + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}) AS BIGINT)) END AS ids
+  FROM t
+), ch AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+         array_to_string(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                                    i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+           AS chunk_text
+  FROM c, unnest(ids) AS u(i)
+)
+SELECT a.doc_id,
+       a.chunk_id AS anchor_chunk,
+       b.chunk_id AS positive_chunk,
+       {_dk_hex('a.chunk_text')} AS anchor_hash,
+       {_dk_hex('b.chunk_text')} AS positive_hash
+FROM ch a JOIN ch b
+  ON b.doc_id = a.doc_id AND b.chunk_id = a.chunk_id + 2
+ORDER BY a.doc_id, anchor_chunk
+"""
+
+
+@register("contrastive_positive_pairs", CONTRASTIVE_PAIR_ORACLE)
+def contrastive_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised POSITIVE pair generation — the other half of
+    the contrastive-training data next to hard_negative_mining: two
+    chunks of the same document two strides apart (skipping the
+    immediately-overlapping neighbor, which shares 16 of 64 tokens and
+    would teach string matching, not semantics) form an anchor/positive
+    pair, the ICT/SimCSE-style construction.  Chunk hashes ride along
+    as the pair identity a downstream trainer can join payloads on.
+
+    Scale shape: chunking is the 1→N scan-side explode of
+    chunk_documents_sliding; pairing is a SELF equi-join on
+    (doc_id, chunk_id+2) — hash join on the id pair, row count
+    bounded by total chunks.  No text shuffles beyond the chunk
+    frames themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    from aws_pandas_etl_spark.functions.hashing import md5_bigint
+
+    ch = TX.chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE
+    ).select("doc_id", "chunk_id", "chunk_text")
+    a = ch.select(
+        "doc_id",
+        F.col("chunk_id").alias("anchor_chunk"),
+        md5_bigint(F.col("chunk_text")).alias("anchor_hash"),
+    )
+    b = ch.select(
+        "doc_id",
+        (F.col("chunk_id") - 2).alias("anchor_chunk"),
+        F.col("chunk_id").alias("positive_chunk"),
+        md5_bigint(F.col("chunk_text")).alias("positive_hash"),
+    )
+    return (
+        a.join(b, ["doc_id", "anchor_chunk"])
+        .select(
+            "doc_id",
+            "anchor_chunk",
+            "positive_chunk",
+            "anchor_hash",
+            "positive_hash",
+        )
+        .orderBy("doc_id", "anchor_chunk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
