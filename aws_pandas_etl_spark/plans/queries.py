@@ -16957,6 +16957,132 @@ def contrastive_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRP_PCT_BINS = 256
+
+GRP_MEDIAN_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+), ks AS (
+  SELECT event_type, mn, mx, n,
+         CAST(floor((n - 1) * 0.5) + 1 AS BIGINT) AS k
+  FROM g
+), wb AS (
+  SELECT e.event_type, e.value,
+         CAST(CASE WHEN ks.mx = ks.mn THEN 0
+              ELSE least({GRP_PCT_BINS - 1},
+                   CAST(floor((e.value - ks.mn) / (ks.mx - ks.mn)
+                              * {GRP_PCT_BINS}) AS BIGINT)) END AS BIGINT)
+           AS bin
+  FROM events e JOIN ks ON ks.event_type = e.event_type
+), h AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM wb GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin, c,
+         COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM h
+), cand AS (
+  SELECT ks.event_type, ks.k, ks.n, cum.bin, cum.before
+  FROM ks JOIN cum ON cum.event_type = ks.event_type
+   AND ks.k > cum.before AND ks.k <= cum.before + cum.c
+), ranked AS (
+  SELECT cand.event_type, cand.k, cand.n, cand.before, w.value,
+         row_number() OVER (PARTITION BY cand.event_type
+           ORDER BY w.value) AS rn
+  FROM cand JOIN wb w
+    ON w.event_type = cand.event_type AND w.bin = cand.bin
+)
+SELECT event_type, n AS n_rows, k AS order_stat,
+       ROUND(MAX(CASE WHEN rn = k - before THEN value END), 6)
+         AS exact_median
+FROM ranked GROUP BY event_type, n, k ORDER BY event_type
+"""
+
+
+@register("exact_median_per_type_refine", GRP_MEDIAN_ORACLE)
+def exact_median_per_type_refine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The histogram-refinement selection primitive GENERALIZED per
+    key: exact median of ``value`` for every event type, each group
+    getting its own min/max range, its own 256-bin histogram, and its
+    own candidate-bin rescan — still zero global sorts, and the
+    per-group windows only ever see 256-row histograms or single
+    candidate bins (~n_g/256 rows).  This is how per-tenant / per-
+    feature exact medians are computed at warehouse scale; the global
+    flagship (exact_percentiles_histogram_refine) is the degenerate
+    one-group case.
+
+    Scale shape: two scans (histogram build, candidate-bin rank); the
+    group stats join back as a |types|-row broadcast; every exchange
+    is keyed by event_type so groups proceed in parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ks = g.select(
+        "event_type",
+        "mn",
+        "mx",
+        "n",
+        (F.floor((F.col("n") - 1) * F.lit(0.5)) + 1)
+        .cast("bigint")
+        .alias("k"),
+    )
+    binc = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(GRP_PCT_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * GRP_PCT_BINS
+                ).cast("bigint"),
+            )
+        )
+        .cast("bigint")
+    )
+    wb = ev.join(F.broadcast(ks), "event_type").select(
+        "event_type", "value", binc.alias("bin")
+    )
+    h = wb.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = h.withColumn(
+        "before", F.coalesce(F.sum("c").over(wcum), F.lit(0))
+    )
+    cand = ks.select("event_type", "k", "n").join(
+        cum,
+        ["event_type"],
+    ).filter(
+        (F.col("k") > F.col("before"))
+        & (F.col("k") <= F.col("before") + F.col("c"))
+    ).select("event_type", "k", "n", "bin", "before")
+    wrank = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        cand.join(wb, ["event_type", "bin"])
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+    )
+    return ranked.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("order_stat"),
+        F.round("value", 6).alias("exact_median"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in
