@@ -17083,6 +17083,281 @@ def exact_median_per_type_refine(
     ).orderBy("event_type")
 
 
+FD_BINS_ORACLE = f"""
+WITH g AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+), ks AS (
+  SELECT CAST(p AS DOUBLE) AS p,
+         CAST(floor((n - 1) * CAST(p AS DOUBLE)) + 1 AS BIGINT) AS k
+  FROM g, (SELECT unnest([0.25, 0.75]) AS p)
+), b AS (
+  SELECT {_PCT_BIN} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events, g GROUP BY 1
+), cum AS (
+  SELECT bin, c,
+         COALESCE(SUM(c) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM b
+), cand AS (
+  SELECT ks.p, ks.k, cum.bin, cum.before
+  FROM ks JOIN cum ON ks.k > cum.before AND ks.k <= cum.before + cum.c
+), ranked AS (
+  SELECT cand.p, cand.k, cand.before, e.value,
+         row_number() OVER (PARTITION BY cand.p ORDER BY e.value) AS rn
+  FROM cand JOIN (SELECT value, {_PCT_BIN} AS bin FROM events, g) e
+    ON e.bin = cand.bin
+), qs AS (
+  SELECT MAX(CASE WHEN p = 0.25 AND rn = k - before THEN value END) AS q25,
+         MAX(CASE WHEN p = 0.75 AND rn = k - before THEN value END) AS q75
+  FROM ranked
+)
+SELECT ROUND(q25, 6) AS q25, ROUND(q75, 6) AS q75,
+       ROUND(q75 - q25, 6) AS iqr,
+       ROUND(2.0 * (q75 - q25) / cbrt(CAST(n AS DOUBLE)), 6) AS fd_width,
+       CAST(CEIL((mx - mn)
+            / ROUND(2.0 * (q75 - q25) / cbrt(CAST(n AS DOUBLE)), 6))
+          AS BIGINT) AS n_bins
+FROM qs, g
+"""
+
+
+@register("fd_binwidth_recommendation", FD_BINS_ORACLE)
+def fd_binwidth_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman-Diaconis histogram-bin advisor — the downstream
+    consumer of the selection primitive: EXACT q25/q75 via the same
+    two-phase histogram refinement (no global sort), then the FD rule
+    width = 2·IQR/∛n and the implied bin count for the observed range.
+    This is the query a dashboarding/profiling layer runs before
+    building any value histogram at scale — and it exercises the
+    refinement machinery at a second pair of order statistics.
+
+    Scale shape: identical to exact_percentiles_histogram_refine (two
+    scans, bounded histogram windows, per-percentile candidate-bin
+    rank); the FD arithmetic is one row.  Width is rounded BEFORE the
+    bin-count division so both engines ceil the same double."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ks = g.select(
+        F.explode(F.array(F.lit(0.25), F.lit(0.75))).alias("p"), "n"
+    ).select(
+        "p",
+        (F.floor((F.col("n") - 1) * F.col("p")) + 1)
+        .cast("bigint")
+        .alias("k"),
+    )
+    binc = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(PCT_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * PCT_BINS
+                ).cast("bigint"),
+            )
+        )
+        .cast("bigint")
+    )
+    withbin = ev.crossJoin(F.broadcast(g)).select("value", binc.alias("bin"))
+    b = withbin.groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = b.withColumn("before", F.coalesce(F.sum("c").over(wcum), F.lit(0)))
+    cand = ks.join(
+        cum,
+        (F.col("k") > F.col("before"))
+        & (F.col("k") <= F.col("before") + F.col("c")),
+    ).select("p", "k", "bin", "before")
+    wrank = Window.partitionBy("p").orderBy("value")
+    ranked = (
+        cand.join(withbin, "bin")
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+    )
+    qs = ranked.agg(
+        F.max(F.when(F.col("p") == 0.25, F.col("value"))).alias("q25"),
+        F.max(F.when(F.col("p") == 0.75, F.col("value"))).alias("q75"),
+    )
+    width = F.round(
+        F.lit(2.0)
+        * (F.col("q75") - F.col("q25"))
+        / F.cbrt(F.col("n").cast("double")),
+        6,
+    )
+    return qs.crossJoin(F.broadcast(g)).select(
+        F.round("q25", 6).alias("q25"),
+        F.round("q75", 6).alias("q75"),
+        F.round(F.col("q75") - F.col("q25"), 6).alias("iqr"),
+        width.alias("fd_width"),
+        F.ceil((F.col("mx") - F.col("mn")) / width)
+        .cast("bigint")
+        .alias("n_bins"),
+    )
+
+
+OUTLIER_TOPK = 3
+
+EMB_OUTLIER_ORACLE = f"""
+WITH cent AS (
+  SELECT label, i,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM (
+    SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+           unnest(embedding) AS v
+    FROM embeddings
+  ) GROUP BY label, i
+), carr AS (
+  SELECT label, array_agg(c ORDER BY i) AS cvec FROM cent GROUP BY label
+), d AS (
+  SELECT e.label, e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, carr.cvec),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+  FROM embeddings e JOIN carr USING (label)
+)
+SELECT label, vec_id, CAST(rn AS BIGINT) AS rank,
+       ROUND(d2, 6) AS d2_from_centroid
+FROM (
+  SELECT label, vec_id, d2,
+         row_number() OVER (PARTITION BY label
+           ORDER BY d2 DESC, vec_id) AS rn
+  FROM d
+) WHERE rn <= {OUTLIER_TOPK}
+ORDER BY label, rank
+"""
+
+
+@register("embedding_outliers_per_label", EMB_OUTLIER_ORACLE)
+def embedding_outliers_per_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-conditional outlier mining — the top-3 vectors FARTHEST
+    from their own label's centroid: mislabeled examples, boundary
+    cases, and poisoned points all surface here first, which makes
+    this the relabel-queue builder for embedding-space QA (the
+    complement of hard_negative_mining: that finds confusable pairs,
+    this finds self-inconsistent singletons).
+
+    Scale shape: centroids are the exact-decimal per-(label, dim) mean
+    (the embedding_label_centroids aggregate) reassembled to one array
+    row per label and broadcast back; the distance is one scan-side
+    fold; the top-3 window partitions by label.  No pairwise
+    anything — cost is two scans plus a |labels|-row broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.col("v").cast("double").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.c,
+        ).alias("cvec")
+    )
+    d2 = SIM.l2sq(F.col("embedding"), F.col("cvec"))
+    d = emb.join(F.broadcast(carr), "label").select(
+        "label", "vec_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= OUTLIER_TOPK)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rn").cast("bigint").alias("rank"),
+            F.round("d2", 6).alias("d2_from_centroid"),
+        )
+        .orderBy("label", "rank")
+    )
+
+
+ENTROPY_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_dk_toks('text')}) AS t FROM documents
+), freq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+terms AS (
+  SELECT CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+                    * ln(CAST(c AS DOUBLE) / n), 12)
+              AS DECIMAL(28,12)) AS h,
+         c
+  FROM freq, tot
+), agg AS (
+  SELECT CAST(SUM(h) AS DOUBLE) AS entropy,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(MAX(c) AS BIGINT) AS top_count
+  FROM terms
+)
+SELECT vocab,
+       ROUND(entropy, 6) AS entropy_nats,
+       ROUND(exp(entropy), 4) AS effective_vocab,
+       ROUND(CAST(top_count AS DOUBLE) / tot.n, 6) AS top_token_share
+FROM agg, tot
+"""
+
+
+@register("unigram_entropy_effective_vocab", ENTROPY_ORACLE)
+def unigram_entropy_effective_vocab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram entropy and effective vocabulary (perplexity of the
+    corpus unigram distribution, exp(H)) — the single-number diversity
+    readout next to zipf_slope and heaps_law: a corpus whose effective
+    vocab is far below its raw vocab is dominated by a few tokens
+    (boilerplate, templating), and a falling exp(H) across snapshots
+    is the earliest 'the crawler started looping' alarm.  Top-token
+    share rides along as the degenerate-case pointer.
+
+    Scale shape: one explode + vocab-keyed count (map-side partial),
+    one fold over the vocab aggregate with decimal-rounded -p·ln p
+    terms (order-independent), 1-row output.  exp/ln cross-engine
+    parity follows the Kaplan-Meier exp(decimal log-sum) precedent."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(TX.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = freq.agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = freq.crossJoin(F.broadcast(tot)).select(
+        F.round(-p * F.log(p), 12).cast("decimal(28,12)").alias("h"),
+        "c",
+        "n",
+    )
+    agg = terms.agg(
+        F.sum("h").cast("double").alias("entropy"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.max("c").cast("bigint").alias("top_count"),
+        F.max("n").alias("n"),
+    )
+    return agg.select(
+        "vocab",
+        F.round("entropy", 6).alias("entropy_nats"),
+        F.round(F.exp("entropy"), 4).alias("effective_vocab"),
+        F.round(
+            F.col("top_count").cast("double") / F.col("n"), 6
+        ).alias("top_token_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation.  The correctness driver verifies the FIRST 50
 # registry entries (observed cap in rounds 1-2: exactly 50 rows, in

@@ -165,6 +165,8 @@ _SCALAR_CROSS_OK = {
     "freshness_lag_by_type",         # 1-row global max timestamp
     "exact_dup_lsh_recall",          # two 1-row pair counts
     "cdc_time_travel_diff",          # 1-row time-travel cut instant
+    "fd_binwidth_recommendation",    # 1-row (min,max,n) stats broadcast
+    "unigram_entropy_effective_vocab",  # 1-row corpus token total
 }
 
 # Streaming queries execute a real job on invocation — planning them
