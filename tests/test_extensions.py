@@ -1237,3 +1237,59 @@ def test_regression_stump_matches_bruteforce_split(spark):
             best = (t, gain)
     assert row["threshold"] == best[0]
     assert abs(row["sse_reduction"] - best[1]) < 1e-2
+
+
+def test_numpy_assignment_twin_matches_column_fold(spark):
+    """The Arrow-batched numpy k-means assignment (operators/
+    clustering.py::_assign) must agree with the interpreted Column
+    fold it replaced, VALUE FOR VALUE including ties — the parity
+    contract that lets the 6x-faster twin stand in for the fold the
+    DuckDB oracles replay.  Checks both argmin and top-p multi-probe
+    against the struct-sort Column path on the full sf0.001 table."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.operators.clustering import (
+        _assign,
+        _dist_structs,
+        _topp_assign,
+    )
+    from aws_pandas_etl_spark.plans.queries import _kmeans_cents
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    k, cents = _kmeans_cents(spark, sf)
+
+    col_argmin = emb.withColumn(
+        "cluster",
+        F.array_min(_dist_structs("embedding", cents)).getField("cid"),
+    ).select("vec_id", "cluster")
+    np_argmin = _assign(emb, "embedding", cents).select("vec_id", "cluster")
+    assert (
+        col_argmin.alias("x")
+        .join(np_argmin.alias("y"), "vec_id")
+        .filter(F.col("x.cluster") != F.col("y.cluster"))
+        .count()
+        == 0
+    )
+
+    col_topp = emb.select(
+        "vec_id",
+        F.explode(
+            F.slice(F.array_sort(_dist_structs("embedding", cents)), 1, 2)
+        ).alias("s"),
+    ).select("vec_id", F.col("s.cid").alias("cluster"))
+    np_topp = _topp_assign(emb, cents, 2, "vec_id", "embedding")
+    a = col_topp.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list("cluster")).alias("cs")
+    )
+    b = np_topp.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list("cluster")).alias("cs")
+    )
+    assert (
+        a.alias("x")
+        .join(b.alias("y"), "vec_id")
+        .filter(F.expr("x.cs != y.cs"))
+        .count()
+        == 0
+    )
