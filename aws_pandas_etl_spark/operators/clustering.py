@@ -81,37 +81,60 @@ def _assign(df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]) -
     import pandas as pd
     from pyspark.sql import types as T
 
+    if not cents:
+        raise ValueError("_assign requires at least one centroid")
+    # replace (never duplicate) an existing 'cluster' field — the
+    # withColumn semantics this twin stands in for
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("cluster", T.IntegerType())]
+        [f for f in df.schema.fields if f.name != "cluster"]
+        + [T.StructField("cluster", T.IntegerType())]
     )
     ordered = sorted((int(cid), [float(x) for x in cv]) for cid, cv in cents)
+    dim = len(ordered[0][1])
 
     def _map(batches):
         for pdf in batches:
             n = len(pdf)
-            out = pdf.copy()
+            out = pdf.drop(columns=["cluster"], errors="ignore")
             if n == 0:
-                out["cluster"] = pd.Series(dtype="int32")
+                out["cluster"] = pd.Series(dtype="Int32")
                 yield out
                 continue
-            m = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            # null/ragged embeddings get a null cluster (the Column
+            # fold's behavior) instead of raising inside the batch
+            vals = list(pdf[vec_col])
+            valid = np.array(
+                [v is not None and len(v) == dim for v in vals],
+                dtype=bool,
             )
-            best_d = None
-            best_c = None
-            for cid, cv in ordered:
-                acc = np.zeros(n)
-                for i, ci in enumerate(cv):
-                    d = m[:, i] - ci
-                    acc = acc + d * d
-                if best_d is None:
-                    best_d = acc
-                    best_c = np.full(n, cid, dtype=np.int32)
-                else:
-                    better = acc < best_d
-                    best_d = np.where(better, acc, best_d)
-                    best_c = np.where(better, cid, best_c).astype(np.int32)
-            out["cluster"] = best_c
+            cluster = pd.array([None] * n, dtype="Int32")
+            if valid.any():
+                m = np.array(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v, ok in zip(vals, valid)
+                        if ok
+                    ]
+                )
+                nv = int(valid.sum())
+                best_d = None
+                best_c = None
+                for cid, cv in ordered:
+                    acc = np.zeros(nv)
+                    for i, ci in enumerate(cv):
+                        d = m[:, i] - ci
+                        acc = acc + d * d
+                    if best_d is None:
+                        best_d = acc
+                        best_c = np.full(nv, cid, dtype=np.int32)
+                    else:
+                        better = acc < best_d
+                        best_d = np.where(better, acc, best_d)
+                        best_c = np.where(better, cid, best_c).astype(
+                            np.int32
+                        )
+                cluster[valid] = best_c
+            out["cluster"] = cluster
             yield out
 
     return df.mapInPandas(_map, schema=out_schema)
@@ -346,6 +369,8 @@ def _topp_assign(
     import pandas as pd
     from pyspark.sql import types as T
 
+    if not cents:
+        raise ValueError("_topp_assign requires at least one centroid")
     id_field = next(f for f in embeddings.schema.fields if f.name == id_col)
     out_schema = T.StructType(
         [id_field, T.StructField("cluster", T.IntegerType())]
@@ -353,11 +378,23 @@ def _topp_assign(
     ordered = sorted((int(cid), [float(x) for x in cv]) for cid, cv in cents)
     p = min(assign_probes, len(ordered))
     cid_arr = [cid for cid, _ in ordered]
+    dim = len(ordered[0][1])
 
     def _map(batches):
         import numpy as np
 
         for pdf in batches:
+            # precondition (documented): embeddings are non-null and
+            # fixed-dim; null/ragged rows are dropped from the probe
+            # output rather than crashing the Arrow batch
+            vals = list(pdf[vec_col])
+            keep = [
+                i
+                for i, v in enumerate(vals)
+                if v is not None and len(v) == dim
+            ]
+            if len(keep) != len(vals):
+                pdf = pdf.iloc[keep]
             n = len(pdf)
             if n == 0:
                 yield pd.DataFrame(

@@ -14510,7 +14510,7 @@ def zone_map_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COMPACT_TARGET_ROWS = 2_000
 
-COMPACT_ORACLE = f"""
+COMPACTION_PLAN_ORACLE = f"""
 WITH files AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -14531,7 +14531,7 @@ FROM packed GROUP BY 1 ORDER BY bin
 """
 
 
-@register("compaction_plan_small_files", COMPACT_ORACLE)
+@register("compaction_plan_small_files", COMPACTION_PLAN_ORACLE)
 def compaction_plan_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planner — the maintenance job every
     streaming-ingest lakehouse runs: (day, event_type) write groups
@@ -15695,12 +15695,16 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     context window.  λ=0.7; ties break on vec_id.
 
     Scale shape: the corpus is touched once (the candidate top-30
-    scan, a TakeOrdered like topk_bruteforce); everything after —
-    the 30² candidate-pair sims and the 10 sequential selection
-    steps — runs on 30-row frames.  Each greedy step references the
-    remaining-set twice (argmax + update), so the loop
-    localCheckpoints the ≤30-row frame per step (the raking lineage
-    lesson); selection stays fully in-plan, no driver collect."""
+    scan, a TakeOrdered like topk_bruteforce) — that is the only
+    distributed stage.  The candidate set is k-bounded (MMR_N_CAND=30
+    rows), so the greedy selection is O(k²) driver math over the
+    collected frame — the same bounded-collect rule as the PQ LUT and
+    the k-means centroid collects; running ~30 Spark jobs over 30-row
+    frames was measured at 2.9 s of pure scheduler overhead.  The
+    candidate relevances and 30×30 pair sims are computed (and rounded
+    to 12) in-plan on the checkpointed 30-row frame so the float story
+    is byte-identical to the oracle; only the argmax/update recursion —
+    inexpressible without per-step jobs — moves to the driver."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"),
@@ -15732,55 +15736,33 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 12,
             ).alias("s"),
         )
-        .localCheckpoint(eager=True)
     )
-    rem = cand.select("vec_id", "rel", F.lit(0.0).alias("msim"))
-    picks = []
+    # bounded collects: ≤MMR_N_CAND=30 candidate rows and ≤30·29 pair
+    # rows — both computed on the checkpointed frame, rel/s pre-rounded
+    # to 12 in-plan (Spark HALF_UP == DuckDB ROUND for these positives)
+    rel = {
+        r["vec_id"]: r["rel"]
+        for r in cand.select("vec_id", "rel").collect()
+    }
+    sim = {(r["i"], r["j"]): r["s"] for r in ps.collect()}
+    lam = MMR_LAMBDA
+    omlam = round(1.0 - MMR_LAMBDA, 1)
+    msim = {v: 0.0 for v in rel}
+    rows = []
     for t in range(1, MMR_K + 1):
-        scored = rem.withColumn(
-            "score",
-            F.lit(MMR_LAMBDA) * F.col("rel")
-            - F.lit(round(1.0 - MMR_LAMBDA, 1)) * F.col("msim"),
+        # argmax by (score desc, vec_id asc); double negation is exact
+        best = min(
+            msim, key=lambda v: (-(lam * rel[v] - omlam * msim[v]), v)
         )
-        top = (
-            scored.orderBy(F.col("score").desc(), "vec_id")
-            .limit(1)
-            .localCheckpoint(eager=True)
+        rows.append(
+            (t, best, rel[best], lam * rel[best] - omlam * msim[best])
         )
-        picks.append(
-            top.select(
-                F.lit(t).cast("bigint").alias("rank"),
-                "vec_id",
-                "rel",
-                "score",
-            )
-        )
-        pick1 = top.select(
-            F.col("vec_id").alias("j"), F.lit(1).alias("one")
-        )
-        rem = (
-            rem.join(
-                F.broadcast(pick1.select("j")),
-                F.col("vec_id") == F.col("j"),
-                "left_anti",
-            )
-            .join(
-                F.broadcast(ps.join(pick1, "j").select("i", "s")),
-                F.col("vec_id") == F.col("i"),
-                "left",
-            )
-            .select(
-                "vec_id",
-                "rel",
-                F.greatest(
-                    F.col("msim"), F.coalesce(F.col("s"), F.lit(-1.0))
-                ).alias("msim"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
+        del msim[best]
+        for v in msim:
+            msim[v] = max(msim[v], sim.get((v, best), -1.0))
+    out = spark.createDataFrame(
+        rows, "rank bigint, vec_id bigint, rel double, score double"
+    )
     return out.select(
         "rank",
         "vec_id",
@@ -15969,11 +15951,14 @@ def cogroup_view_pressure_per_purchase(
         ru = r["user_id"].to_numpy()
         vts = r["ts"].to_numpy()
         # decimal-rounded cumulative sum: round each value to 6 like
-        # the oracle's DECIMAL(18,6) terms, sum in int64 micros so the
+        # the oracle's DECIMAL(18,6) terms (half-AWAY-from-zero, so
+        # sign-aware like mean6 below), sum in int64 micros so the
         # prefix-difference is exact regardless of order
-        vmicros = np.floor(r["value"].to_numpy() * 1e6 + 0.5).astype(
-            "int64"
-        )
+        vals = r["value"].to_numpy()
+        vmicros = (
+            np.where(vals >= 0, 1.0, -1.0)
+            * np.floor(np.abs(vals) * 1e6 + 0.5)
+        ).astype("int64")
         cum = np.concatenate(([0], np.cumsum(vmicros)))
         lu = left["user_id"].to_numpy()
         pts = left["ts"].to_numpy()
