@@ -15568,8 +15568,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: cell-blocked self-join (pair enumeration bounded by
     cell occupancy, the measured ivf_cell_balance economics — never
     corpus²), label filter inside the join, one per-anchor window
-    over those bounded cell groups.  Assignment is a codegen argmin
-    against k·dim broadcast literals."""
+    over those bounded cell groups.  The shared quantizer applies the
+    k∝n rule (_kmeans_k: k = max(8, n/125)), so mean cell occupancy —
+    and with it per-anchor pair fan-out — stays ~constant as the
+    corpus grows: total pairs ≈ n·125, linear, not the fixed-k
+    quadratic failure the SemDeDup r6 probe measured (10x data → 21x
+    time at fixed k).  Verified: the 10x cloned-embeddings probe row
+    in BASELINE.md r10.  Assignment is a codegen argmin against k·dim
+    broadcast literals."""
     from aws_pandas_etl_spark.operators.clustering import kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")

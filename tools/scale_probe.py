@@ -45,9 +45,22 @@ KEPT = ("region", "nation", "supplier", "part", "lineitem", "embeddings")
 STRIDE = 10**9
 
 
-def build_clone(spark, src_dir: str, out_dir: str, factor: int) -> None:
+def build_clone(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    factor: int,
+    clone_embeddings: bool = False,
+) -> None:
+    cloned = dict(CLONED)
+    kept = KEPT
+    if clone_embeddings:
+        # embedding-family probes (ANN/clustering/hard-negative) need
+        # the vector corpus itself to grow, not just the fact tables
+        cloned["embeddings"] = ["vec_id"]
+        kept = tuple(t for t in KEPT if t != "embeddings")
     os.makedirs(out_dir, exist_ok=True)
-    for name in KEPT:
+    for name in kept:
         src = os.path.join(src_dir, f"{name}.parquet")
         dst = os.path.join(out_dir, f"{name}.parquet")
         if os.path.exists(dst):
@@ -56,7 +69,7 @@ def build_clone(spark, src_dir: str, out_dir: str, factor: int) -> None:
             shutil.copytree(src, dst)
         else:
             shutil.copy2(src, dst)
-    for name, id_cols in CLONED.items():
+    for name, id_cols in cloned.items():
         dst = os.path.join(out_dir, f"{name}.parquet")
         if os.path.exists(dst):
             continue
@@ -91,6 +104,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--workdir", default="/tmp/spark_graft_probe")
+    ap.add_argument("--clone-embeddings", action="store_true")
     args = ap.parse_args()
 
     unknown = [n for n in args.names if n not in Q.QUERIES]
@@ -98,9 +112,12 @@ def main() -> None:
         sys.exit(f"unknown queries: {unknown}")
 
     spark = get_spark(app_name="scale_probe")
-    clone_dir = os.path.join(args.workdir, f"x{args.factor}")
+    suffix = "e" if args.clone_embeddings else ""
+    clone_dir = os.path.join(args.workdir, f"x{args.factor}{suffix}")
     print(f"# building {args.factor}x clone at {clone_dir}", file=sys.stderr)
-    build_clone(spark, args.base, clone_dir, args.factor)
+    build_clone(
+        spark, args.base, clone_dir, args.factor, args.clone_embeddings
+    )
 
     for name in args.names:
         t1 = time_query(spark, name, args.base, args.repeats)
