@@ -5,10 +5,16 @@ config_gen.py:36-174) minus its failure modes: no hard-coded credential
 fallbacks (config_gen.py:86-123 — never replicated), no filename
 mismatch (:54 opens a file the repo doesn't ship), schemas as data not
 eval.  Remote configs come through ``load_config_from_url`` (S5 —
-Hadoop FS, any scheme the cluster speaks).  Secrets/connection
-resolution stays out of engine scope (SURVEY S6): pass connection
-options through ``source``/``target`` maps, or inject a ``fetcher``
-that resolves them however your platform does.
+Hadoop FS, any scheme the cluster speaks).  Secrets (SURVEY S6,
+reference secrets_manager_operations.py:10-30: fetch a named secret,
+JSON-decode it, merge the connection fields into the job settings)
+resolve through an injectable ``SecretProvider`` —
+``resolve_secrets`` merges a provider-fetched dict under any
+``source``/``target`` map that names a ``secret``; ship-your-own
+provider (JSON file, env var, or your platform's secret manager) and
+NO hard-coded credential fallbacks (config_gen.py:86-123 is the
+anti-pattern this replaces: same local-fallback *structure*, zero
+baked-in passwords).
 
 Config shape::
 
@@ -57,6 +63,135 @@ _SPEC_KEYS = {
 def load_config(path: str) -> JobConfig:
     with open(path) as f:
         return parse_config(f.read(), origin=path)
+
+
+# --------------------------------------------------------------------------
+# S6 — secrets_scan (reference utils/secrets_manager_operations.py:10-30):
+# fetch a named secret, JSON-decode it, hand the dict to config assembly
+# (config_gen.py:75-82).  Engine rendition: a provider PROTOCOL (anything
+# with get_secret(name) -> dict) injected into resolve_secrets, with two
+# in-tree providers that need no AWS — and, unlike the reference's local
+# branch (config_gen.py:86-123), no hard-coded credentials anywhere.
+# --------------------------------------------------------------------------
+
+
+class MappingSecretProvider:
+    """Secrets from an in-memory mapping — the unit-test double and the
+    programmatic-injection path."""
+
+    def __init__(self, secrets: dict[str, dict]):
+        self._secrets = dict(secrets)
+
+    def get_secret(self, name: str) -> dict:
+        try:
+            return dict(self._secrets[name])
+        except KeyError:
+            raise KeyError(f"secret {name!r} not found in provider") from None
+
+
+class JsonFileSecretProvider:
+    """Secrets from a local JSON file ``{secret_name: {...fields...}}`` —
+    the local-run fallback with the reference's *structure* (a dict of
+    connection fields per secret name) but the operator supplies the
+    file; nothing ships baked in."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def get_secret(self, name: str) -> dict:
+        import json
+
+        with open(self._path) as fh:
+            data = json.load(fh)
+        if name not in data:
+            raise KeyError(f"secret {name!r} not found in {self._path}")
+        val = data[name]
+        if not isinstance(val, dict):
+            raise ValueError(f"secret {name!r} must be a JSON object")
+        return dict(val)
+
+
+class EnvJsonSecretProvider:
+    """Secrets from environment variables: ``<PREFIX><NAME>`` (name
+    upper-cased, non-alnum -> ``_``) holding a JSON object — the
+    container-orchestrator injection path (secrets mounted as env)."""
+
+    def __init__(self, prefix: str = "AWSPE_SECRET_"):
+        self._prefix = prefix
+
+    def get_secret(self, name: str) -> dict:
+        import json
+        import os
+        import re
+
+        var = self._prefix + re.sub(r"[^A-Za-z0-9]", "_", name).upper()
+        raw = os.environ.get(var)
+        if raw is None:
+            raise KeyError(f"secret {name!r}: env var {var} not set")
+        val = json.loads(raw)
+        if not isinstance(val, dict):
+            raise ValueError(f"secret {name!r} must be a JSON object")
+        return val
+
+
+def aws_secrets_manager_provider(region_name: str):
+    """Production provider with the reference's exact semantics
+    (secrets_manager_operations.py:18-30: client.get_secret_value,
+    json.loads(SecretString), ClientError propagates).  Gated behind an
+    import-try — boto3 is not a dependency of this engine; the returned
+    object satisfies the same ``get_secret`` protocol."""
+    try:
+        import boto3  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - boto3 absent in CI
+        raise ImportError(
+            "aws_secrets_manager_provider requires boto3; install it or "
+            "inject a JsonFileSecretProvider/EnvJsonSecretProvider"
+        ) from exc
+
+    class _AwsProvider:  # pragma: no cover - needs live AWS
+        def __init__(self, region: str):
+            self._client = boto3.session.Session().client(
+                service_name="secretsmanager", region_name=region
+            )
+
+        def get_secret(self, name: str) -> dict:
+            import json
+
+            resp = self._client.get_secret_value(SecretId=name)
+            return json.loads(resp["SecretString"])
+
+    return _AwsProvider(region_name)
+
+
+def resolve_secrets(cfg: JobConfig, provider) -> JobConfig:
+    """Return a JobConfig whose ``source``/``target`` maps have any
+    ``secret: <name>`` reference resolved through ``provider`` and
+    merged UNDER the explicit keys (an explicit config value always
+    wins over a secret field — the reference merges the other way
+    only because its config carries no connection fields at all).
+    The ``secret`` key itself is dropped from the resolved map."""
+    if provider is None:
+        raise ValueError("resolve_secrets needs a SecretProvider")
+
+    def _resolve(section: dict) -> dict:
+        name = section.get("secret")
+        if not name:
+            return dict(section)
+        fetched = provider.get_secret(name)
+        if not isinstance(fetched, dict):
+            raise ValueError(f"secret {name!r} must resolve to a dict")
+        out = dict(fetched)
+        out.update({k: v for k, v in section.items() if k != "secret"})
+        return out
+
+    return JobConfig(
+        source=_resolve(cfg.source),
+        target=_resolve(cfg.target),
+        tables=cfg.tables,
+        runid=cfg.runid,
+        updatedby=cfg.updatedby,
+        extra=cfg.extra,
+    )
 
 
 def load_config_from_url(url: str, spark=None, fetcher=None) -> JobConfig:

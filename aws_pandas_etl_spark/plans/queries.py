@@ -8178,21 +8178,49 @@ def rare_token_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent) so boilerplate-only docs whose "rarest" shingle is
     still common fall through to the LSH path instead of forming a
     quadratic bucket; the df frame scales with the shingle
-    vocabulary, so its join stays unforced for AQE."""
-    t = _shingle3_table(spark, sf_dir).select(
-        "doc_id", F.col("hashes").alias("g")
+    vocabulary, so its join stays unforced for AQE.
+
+    Plan notes (r10): the artifact read is repartitioned to the
+    session's parallelism and localCheckpointed — the published
+    artifact is a single parquet part, and this query fans it into
+    FIVE plan branches (df agg, blk ×2, rescore ×2), so without the
+    checkpoint every branch re-scans single-threaded.  A PPJoin-style
+    length filter (min(|A|,|B|)/(|A|+|B|−min) is an upper bound on
+    Jaccard) prunes pairs BEFORE the distinct shuffle — lossless for
+    the τ-threshold result by construction.  On the r9→r10 bench
+    "regression": r8's 1.22 s timed the OLD single-rarest-gram
+    semantics (near-zero candidates); the r9 rare-SET rework
+    legitimately enumerates ~1M candidate pairs on this corpus
+    (df∈[2,16] blocking keeps ~8% of all pairs at sf0.1 — the
+    template-heavy synthetic tail), so ~2.4 s warm is the steady
+    state for the CURRENT semantics, not a plan defect."""
+    t = (
+        _shingle3_table(spark, sf_dir)
+        .select("doc_id", F.col("hashes").alias("g"))
+        .repartition(32, "doc_id")
+        .localCheckpoint(eager=False)
     )
-    e = t.select("doc_id", F.explode("g").alias("h"))
+    e = t.select(
+        "doc_id", F.size("g").alias("sz"), F.explode("g").alias("h")
+    )
     dfreq = e.groupBy("h").agg(F.count("*").cast("bigint").alias("df"))
     blk = (
         e.join(dfreq, "h")
         .filter(F.col("df").between(2, RARE_DF_CAP))
-        .select("doc_id", "h")
+        .select("doc_id", "sz", "h")
     )
+    mn = F.least("x.sz", "y.sz")
     cand = (
         blk.alias("x")
         .join(blk.alias("y"), "h")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                mn.cast("double")
+                / (F.col("x.sz") + F.col("y.sz") - mn)
+                >= F.lit(RARE_JACCARD) - 1e-6
+            )
+        )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
@@ -17515,6 +17543,33 @@ _DRIVER_WINDOW = [
     "bpe_top_merges",
     "multimodal_frame_sample",
 ]
+
+
+def prebuild_shared_artifacts(spark: SparkSession, sf_dir: str) -> None:
+    """Force-build every fingerprint-keyed shared artifact for
+    ``sf_dir`` so a subsequent timing run is warm-deterministic.
+
+    The r9 bench showed why this must be explicit: whichever query
+    happens to run first after a cold artifact root pays the shared
+    build (e.g. `_shingle3_table`, ~2 s at sf0.1) inside its own
+    min-of-N window, so per-query numbers depended on bench ordering
+    and artifact-root warmth.  bench.py calls this in its (untimed)
+    warmup region and stamps the output JSON ``artifacts: warm``;
+    artifact BUILD cost is measured separately by the BASELINE.md
+    scaling probes, which start from a fresh root on purpose."""
+    _shingle3_table(spark, sf_dir)
+    _minhash_pairs(spark, sf_dir)
+    _cc_components(spark, sf_dir)
+    _kmeans_cents(spark, sf_dir)
+    _knn_edges(spark, sf_dir)
+    _bloom_words(spark, sf_dir)
+    _bpe_state(spark, sf_dir)
+    _pq_codebooks(spark, sf_dir)
+    _pq_codes(spark, sf_dir)
+    # inline fingerprint-keyed artifacts (built during plan
+    # construction inside their query functions — no action needed)
+    QUERIES["semantic_dedup_pairs"](spark, sf_dir)
+    QUERIES["knn_graph_incremental_batch"](spark, sf_dir)
 
 
 def _curate_registry_order() -> None:

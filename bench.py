@@ -85,6 +85,20 @@ def main() -> None:
         except Exception as exc:
             print(f"# streaming warmup skipped: {exc}", file=sys.stderr)
 
+    # Pre-build the shared fingerprint-keyed artifacts (shingle table,
+    # minhash pairs, CC labels, centroids, kNN edges, bloom bitmap,
+    # BPE state, PQ books/codes) OUTSIDE the timed region: r9 showed
+    # whichever query ran first after a cold artifact root absorbed a
+    # shared build into its own min-of-N window, making per-query
+    # numbers ordering-dependent.  Build cost is probed separately
+    # (BASELINE.md scaling probes, fresh root by design).
+    try:
+        Q.prebuild_shared_artifacts(spark, sf_dir)
+        artifacts = "warm"
+    except Exception as exc:
+        print(f"# artifact prebuild failed: {exc}", file=sys.stderr)
+        artifacts = "cold"
+
     # Min-of-N per query (default 3): single-shot timings on a shared
     # host are JIT/noise-dominated (r5 recorded 17.08 s for a query
     # whose steady state is 1.35 s) — the min of consecutive runs is
@@ -126,6 +140,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "repeats": repeats,
+        "artifacts": artifacts,
         "n_ok": len(timings),
         "n_failed": len(errors),
     }

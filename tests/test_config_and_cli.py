@@ -179,3 +179,79 @@ def test_driver_window_spans_operator_families():
         "q22_wealthy_inactive",         # reworked -> re-witness
     ]:
         assert must in Q._DRIVER_WINDOW, must
+
+
+# -- S6 secrets_scan (reference secrets_manager_operations.py:10-30) --------
+
+
+SECRET_CFG = """
+source: {type: jdbc, secret: src-mssql, database: appdb}
+target: {path: /out, secret: dest-redshift}
+tables:
+  events: {active_flag: "T"}
+"""
+
+
+def test_resolve_secrets_merges_under_explicit_keys():
+    """The provider's fields land in the section map; explicit config
+    keys win; the `secret` reference itself is dropped."""
+    from aws_pandas_etl_spark.plans.config import (
+        MappingSecretProvider,
+        parse_config,
+        resolve_secrets,
+    )
+
+    cfg = parse_config(SECRET_CFG)
+    provider = MappingSecretProvider(
+        {
+            "src-mssql": {"host": "h1", "port": "1433", "database": "IGNORED"},
+            "dest-redshift": {"host": "h2", "iam_role": "r"},
+        }
+    )
+    out = resolve_secrets(cfg, provider)
+    assert out.source["host"] == "h1" and out.source["port"] == "1433"
+    assert out.source["database"] == "appdb"  # explicit key wins
+    assert "secret" not in out.source and "secret" not in out.target
+    assert out.target["iam_role"] == "r" and out.target["path"] == "/out"
+    # original config untouched; table specs carried through
+    assert cfg.source.get("secret") == "src-mssql"
+    assert out.tables["events"].active_flag == "T"
+
+
+def test_resolve_secrets_missing_secret_raises():
+    from aws_pandas_etl_spark.plans.config import (
+        MappingSecretProvider,
+        parse_config,
+        resolve_secrets,
+    )
+
+    cfg = parse_config(SECRET_CFG)
+    with pytest.raises(KeyError, match="dest-redshift"):
+        resolve_secrets(
+            cfg, MappingSecretProvider({"src-mssql": {"host": "h"}})
+        )
+
+
+def test_json_file_secret_provider(tmp_path):
+    from aws_pandas_etl_spark.plans.config import JsonFileSecretProvider
+
+    p = tmp_path / "secrets.json"
+    p.write_text(json.dumps({"src-mssql": {"host": "localhost"}, "bad": 3}))
+    prov = JsonFileSecretProvider(str(p))
+    assert prov.get_secret("src-mssql") == {"host": "localhost"}
+    with pytest.raises(KeyError):
+        prov.get_secret("nope")
+    with pytest.raises(ValueError, match="JSON object"):
+        prov.get_secret("bad")
+
+
+def test_env_json_secret_provider(monkeypatch):
+    from aws_pandas_etl_spark.plans.config import EnvJsonSecretProvider
+
+    monkeypatch.setenv(
+        "AWSPE_SECRET_DEST_REDSHIFT", json.dumps({"host": "h2"})
+    )
+    prov = EnvJsonSecretProvider()
+    assert prov.get_secret("dest-redshift") == {"host": "h2"}
+    with pytest.raises(KeyError, match="AWSPE_SECRET_MISSING"):
+        prov.get_secret("missing")
