@@ -685,6 +685,29 @@ def run_stream_static_join(
     return _run_to_memory_sink(spark, agg, "complete", "ssjoin", timeout_sec)
 
 
+def _mg_snapshot_path(state_dir: str, batch_id: int) -> str:
+    return os.path.join(state_dir, f"mg_state_{batch_id}.json")
+
+
+def _mg_load_snapshot(state_dir: str, batch_id: int) -> dict[str, int]:
+    """The committed store as of ``batch_id`` (or {} before batch 0)."""
+    import json
+
+    if batch_id < 0:
+        return {}
+    with open(_mg_snapshot_path(state_dir, batch_id)) as fh:
+        return {k: int(v) for k, v in json.load(fh).items()}
+
+
+def _mg_latest_snapshot_id(state_dir: str) -> int:
+    ids = [
+        int(n[len("mg_state_") : -len(".json")])
+        for n in os.listdir(state_dir)
+        if n.startswith("mg_state_") and n.endswith(".json")
+    ]
+    return max(ids, default=-1)
+
+
 def run_streaming_heavy_hitters(
     spark: SparkSession,
     sf_dir: str,
@@ -692,22 +715,38 @@ def run_streaming_heavy_hitters(
     phi: float = 0.005,
     counters: int = 400,
     timeout_sec: int = 120,
+    base_dir: str | None = None,
+    cleanup: bool = True,
+    crash_after_batch: int | None = None,
 ) -> DataFrame:
     """Streaming frequent-token detection: the documents corpus arrives
     as ``n_splits`` micro-batches; each batch's per-partition
     Misra-Gries sketches (operators/text.py::misra_gries_sketch) fold
-    into ONE driver-side candidate store via the mergeable-summaries
-    combine (mg_combine) — state is <= ``counters`` (token, count)
-    entries FOREVER, regardless of stream length or vocabulary — and
-    the final answer is an exact filtered recount of the candidates
-    over the full corpus, so it must equal the batch heavy-hitter
-    oracle bit for bit (the superset guarantee survives arbitrary
-    merge trees).
+    via the mergeable-summaries combine (mg_combine) — state is <=
+    ``counters`` (token, count) entries FOREVER, regardless of stream
+    length or vocabulary — and the final answer is an exact filtered
+    recount of the candidates over the full corpus, so it must equal
+    the batch heavy-hitter oracle bit for bit (the superset guarantee
+    survives arbitrary merge trees).
+
+    Recovery contract (r10 — the store was a bare driver dict before,
+    silently lost on driver restart): the merged store is persisted as
+    a batch-versioned JSON snapshot under ``<checkpoint>/mg_state/``.
+    Each foreachBatch call derives its pre-merge state from batch
+    ``b-1``'s snapshot ON DISK (never process memory) and atomically
+    publishes batch ``b``'s — so a restarted driver that re-enters
+    with the same failed batch_id (Spark's foreachBatch replay rule)
+    recomputes an IDENTICAL snapshot: exactly-once by idempotent
+    replay, proven by the kill/resume test in
+    test_streaming_multibatch.py.  Snapshots older than b-1 are
+    pruned; disk state is <= 2 x counters entries.
 
     Driver traffic per batch is <= partitions x counters sketch rows
     (bounded by construction — the BPE-argmax audit class); production
     swaps the doc_id file split for Kafka and the final recount for a
     second pass over the landed corpus."""
+    import json
+
     from aws_pandas_etl_spark.operators.text import (
         mg_combine,
         misra_gries_sketch,
@@ -719,31 +758,50 @@ def run_streaming_heavy_hitters(
         raise ValueError(
             f"counters={counters} cannot guarantee support phi={phi}"
         )
-    name = f"hhstream_{uuid.uuid4().hex[:8]}"
-    base = os.path.join(tempfile.gettempdir(), name)
+    base = base_dir or os.path.join(
+        tempfile.gettempdir(), f"hhstream_{uuid.uuid4().hex[:8]}"
+    )
     src_dir = os.path.join(base, "src")
     checkpoint = os.path.join(base, "ckpt")
-    os.makedirs(src_dir)
+    state_dir = os.path.join(checkpoint, "mg_state")
+    os.makedirs(state_dir, exist_ok=True)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # doc_id-ordered split into n files = the arriving batch sequence
     # (harness scaffolding standing in for a Kafka topic)
-    _write_ordered_splits(docs, ["doc_id"], n_splits, base, src_dir)
+    if not os.path.isdir(src_dir):
+        os.makedirs(src_dir)
+        _write_ordered_splits(docs, ["doc_id"], n_splits, base, src_dir)
 
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    store: dict[str, int] = {}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal store
+        store = _mg_load_snapshot(state_dir, batch_id - 1)
         toks = batch_df.select(F.explode(tokens("text")).alias("token"))
         rows = misra_gries_sketch(toks, "token", counters).collect()
         store = mg_combine(
             store, ((r["token"], r["cnt"]) for r in rows), counters
         )
+        tmp = _mg_snapshot_path(state_dir, batch_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(store, fh)
+        os.replace(tmp, _mg_snapshot_path(state_dir, batch_id))
+        for n in os.listdir(state_dir):  # prune: keep b and b-1
+            if n.startswith("mg_state_") and n.endswith(".json"):
+                i = int(n[len("mg_state_") : -len(".json")])
+                if i < batch_id - 1:
+                    os.unlink(os.path.join(state_dir, n))
+        if crash_after_batch is not None and batch_id == crash_after_batch:
+            # test hook: die in the WORST window — snapshot published,
+            # checkpoint WAL commit not yet written — so the resumed
+            # query replays this batch_id against b-1's snapshot
+            raise RuntimeError(
+                f"injected crash after snapshot {batch_id}"
+            )
 
     with _scoped_shuffle_partitions(spark, 8):
         sq = (
@@ -756,7 +814,11 @@ def run_streaming_heavy_hitters(
             finished = sq.awaitTermination(timeout_sec)
         finally:
             sq.stop()
-    shutil.rmtree(base, ignore_errors=True)
+    store = _mg_load_snapshot(
+        state_dir, _mg_latest_snapshot_id(state_dir)
+    )
+    if cleanup:
+        shutil.rmtree(base, ignore_errors=True)
     if not finished:
         raise TimeoutError(f"heavy-hitter stream did not finish in {timeout_sec}s")
 

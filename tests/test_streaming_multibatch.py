@@ -465,3 +465,41 @@ def test_ewma_state_carries_across_batches(spark, split_events_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_heavy_hitters_mg_store_survives_driver_crash(spark, tmp_path):
+    """The merged Misra-Gries store must survive a driver crash: state
+    is batch-versioned JSON snapshots inside the checkpoint dir, each
+    foreachBatch derives its pre-merge state from batch b-1's snapshot
+    ON DISK, so replaying the failed batch after restart recomputes an
+    identical snapshot (idempotent replay = exactly-once).  The crash
+    is injected in the worst window — snapshot b published, checkpoint
+    WAL commit for b not yet written — and the resumed run must equal
+    the exact batch heavy-hitter answer."""
+    from aws_pandas_etl_spark.operators.text import heavy_hitters_exact, tokens
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_streaming_heavy_hitters,
+    )
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "hh")
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_heavy_hitters(
+            spark, SF, base_dir=base, cleanup=False, crash_after_batch=1
+        )
+    # snapshots 0 and 1 are on disk; the WAL has not committed batch 1
+    state_dir = os.path.join(base, "ckpt", "mg_state")
+    assert sorted(os.listdir(state_dir)) == [
+        "mg_state_0.json",
+        "mg_state_1.json",
+    ]
+    resumed = run_streaming_heavy_hitters(
+        spark, SF, base_dir=base, cleanup=True
+    )
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    want = heavy_hitters_exact(toks, "token", phi=0.005, counters=400)
+    got_rows = sorted(map(tuple, resumed.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows and len(got_rows) > 0
