@@ -17545,6 +17545,419 @@ _DRIVER_WINDOW = [
 ]
 
 
+# ===========================================================================
+# Round-10 additions: filtered ANN, index-quality audit, multimodal frame
+# dedup, dedup-aware mixture reweighting, time-decayed popularity.
+# ===========================================================================
+
+ANN_FILTER_LABEL = 1
+ANN_FILTER_NPROBE = 3
+
+
+def _ivf_filtered_oracle() -> str:
+    prefix, final, _ = _kmeans_ctes()
+    cents_cte = f"c{KMEANS_ITERS - 1}"
+    d2q = (
+        "list_sum(list_transform(list_zip(q.qv, c.cvec), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""{prefix}, q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (ORDER BY {d2q}, c.cid) AS rn
+    FROM {cents_cte} c, q
+  ) WHERE rn <= {ANN_FILTER_NPROBE}
+)
+SELECT e.vec_id,
+       ROUND({_dk_cos('e.embedding', 'q.qv')}, 6) AS cosine_sim
+FROM embeddings e
+JOIN {final} a ON e.vec_id = a.vec_id
+CROSS JOIN q
+WHERE a.cluster IN (SELECT cid FROM probe) AND e.label = {ANN_FILTER_LABEL}
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_ivf_filtered_topk", _ivf_filtered_oracle())
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the retrieval pattern every production
+    vector store serves (metadata predicate AND-ed with ANN): top-10
+    cosine neighbors of the query *restricted to label=1 vectors*,
+    probing the query's {ANN_FILTER_NPROBE} nearest IVF cells of the
+    SHARED fit-once quantizer (_kmeans_cents).  One extra probe vs the
+    unfiltered ann_ivf_topk is the standard recall knob: predicates
+    thin each cell, so filtered search probes wider.
+
+    Scale shape: the predicate composes with cell pruning — at 100 TB
+    the table is partitioned by cell and row-group-sorted by label, so
+    the scan touches (nprobe/k · label-selectivity) of the bytes;
+    assignment is the codegen argmin against k·dim literals, the
+    filter is scan-side, and only the probed cells' label-matching
+    rows reach the TakeOrdered(10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, cents = _kmeans_cents(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return SIM.topk_ivf(
+        emb.filter(F.col("label") == ANN_FILTER_LABEL),
+        [float(x) for x in q],
+        k=10,
+        nprobe=ANN_FILTER_NPROBE,
+        cents=cents,
+    )
+
+
+def _pq_recall_oracle() -> str:
+    prefix, dists = _pq_ctes()
+    luts = "".join(
+        f", lut{s} AS (SELECT cid, d2 AS q_{s} FROM {dist} "
+        f"WHERE vec_id = {PQ_QUERY_VEC})"
+        for s, dist in enumerate(dists)
+    )
+    d2 = (
+        "list_sum(list_transform(list_zip(e.embedding, qv.q), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return (
+        prefix
+        + luts
+        + f"""
+, pqt AS (
+  SELECT p0.vec_id
+  FROM pick0 p0
+  JOIN pick1 p1 USING (vec_id) JOIN pick2 p2 USING (vec_id)
+  JOIN pick3 p3 USING (vec_id)
+  JOIN lut0 ON lut0.cid = p0.code_0
+  JOIN lut1 ON lut1.cid = p1.code_1
+  JOIN lut2 ON lut2.cid = p2.code_2
+  JOIN lut3 ON lut3.cid = p3.code_3
+  WHERE p0.vec_id != {PQ_QUERY_VEC}
+  ORDER BY ((lut0.q_0 + lut1.q_1) + lut2.q_2) + lut3.q_3, p0.vec_id
+  LIMIT {PQ_ADC_TOP}
+), qv AS (
+  SELECT embedding AS q FROM embeddings WHERE vec_id = {PQ_QUERY_VEC}
+), bf AS (
+  SELECT e.vec_id
+  FROM embeddings e, qv
+  WHERE e.vec_id != {PQ_QUERY_VEC}
+  ORDER BY {d2}, e.vec_id
+  LIMIT {PQ_ADC_TOP}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / {PQ_ADC_TOP}, 6) AS recall_at_10
+FROM pqt JOIN bf USING (vec_id)
+"""
+    )
+
+
+@register("pq_recall_at10", _pq_recall_oracle())
+def pq_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit, fully in-plan: recall@10 of the PQ-ADC
+    search against exact L2 top-10 for the standard query — the number
+    an ANN deployment tracks per index build before serving it (codes
+    lose information by construction; the audit says how much).  Both
+    rankings are deterministic (ties by vec_id) and both ride shared
+    artifacts: codes/codebooks from the encode-once fit (_pq_codes /
+    _pq_codebooks), exact side a single corpus scan + TakeOrdered(10).
+
+    Scale shape: in production the exact side runs on a SAMPLE of
+    queries (recall estimation), each a linear scan bounded by the
+    sample size; the PQ side is the served path (LUT lookups over int
+    codes).  Nothing here joins more than two 10-row frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == PQ_QUERY_VEC)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    adc = _pq_adc_expr(books, qvec)
+    pqt = (
+        _pq_codes(spark, sf_dir)
+        .filter(F.col("vec_id") != PQ_QUERY_VEC)
+        .select("vec_id", adc.alias("_o"))
+        .orderBy("_o", "vec_id")
+        .limit(PQ_ADC_TOP)
+        .select("vec_id")
+    )
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    bf = (
+        emb.filter(F.col("vec_id") != PQ_QUERY_VEC)
+        .select(
+            "vec_id", SIM.l2sq(F.col("embedding"), qlit).alias("_d")
+        )
+        .orderBy("_d", "vec_id")
+        .limit(PQ_ADC_TOP)
+        .select("vec_id")
+    )
+    return pqt.join(bf, "vec_id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.round(
+            F.count("*").cast("double") / F.lit(PQ_ADC_TOP), 6
+        ).alias("recall_at_10"),
+    )
+
+
+FRAME_DUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           least({FRAME_MAX}, greatest(1, L // {FRAME_BYTES})) - 1)) AS frame_no
+  FROM t
+), fr AS (
+  SELECT doc_id, frame_no,
+         md5(substr(text, frame_no * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS h
+  FROM f
+), lg AS (
+  SELECT doc_id, h,
+         lag(h) OVER (PARTITION BY doc_id ORDER BY frame_no) AS ph
+  FROM fr
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN h = ph THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_adjacent_dups,
+       ROUND(CAST(SUM(CASE WHEN h = ph THEN 1 ELSE 0 END) AS DOUBLE)
+             / (COUNT(*) - 1), 6) AS dup_rate
+FROM lg GROUP BY doc_id HAVING COUNT(*) >= 2
+"""
+
+
+@register("frame_near_dup_rate", FRAME_DUP_ORACLE)
+def frame_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 video curation step: static-scene detection — per video, the
+    fraction of sampled frames identical to their predecessor (a
+    training-data pipeline drops or downweights stills-heavy clips
+    before frame extraction).  Frames ride the stubbed deterministic
+    sampler (multimodal.sample_frames: the 1->N Arrow explode whose
+    plumbing is the real thing), fingerprint = md5(frame bytes), and
+    the per-video adjacent comparison is one lag window.
+
+    Scale shape: frame fingerprinting is executor-side in the same
+    mapInPandas pass as sampling; the lag window partitions by video
+    (each partition <= max_frames rows); output is one row per multi-
+    frame video.  The oracle recomputes every frame hash from the
+    source text, so the Arrow boundary is value-checked end to end."""
+    from aws_pandas_etl_spark.operators.multimodal import (
+        documents_as_binary,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        documents_as_binary(docs),
+        every_n_bytes=FRAME_BYTES,
+        max_frames=FRAME_MAX,
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("frame_no")
+    lg = frames.select(
+        "doc_id", "frame_no", F.md5("frame").alias("h")
+    ).withColumn("ph", F.lag("h").over(wlag))
+    dup = F.when(F.col("h") == F.col("ph"), 1).otherwise(0)
+    return (
+        lg.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum(dup).cast("bigint").alias("n_adjacent_dups"),
+        )
+        .filter(F.col("n_frames") >= 2)
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_adjacent_dups",
+            F.round(
+                F.col("n_adjacent_dups").cast("double")
+                / (F.col("n_frames") - 1),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def _mixture_after_dedup_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+), e AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id,
+         d.n_chars, d.source
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), surv AS (
+  SELECT source FROM (
+    SELECT source,
+           ROW_NUMBER() OVER (PARTITION BY component_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM lab
+  ) WHERE rn = 1
+), raw AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), sv AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_survivors
+  FROM surv GROUP BY source
+)
+SELECT r.source, r.n_docs,
+       CAST(COALESCE(s.n_survivors, 0) AS BIGINT) AS n_survivors,
+       ROUND(CAST(r.n_docs AS DOUBLE)
+             / (SELECT SUM(n_docs) FROM raw), 6) AS raw_share,
+       ROUND(CAST(COALESCE(s.n_survivors, 0) AS DOUBLE)
+             / (SELECT SUM(n_survivors) FROM sv), 6) AS dedup_share
+FROM raw r LEFT JOIN sv s USING (source)
+ORDER BY source
+"""
+
+
+@register("source_mixture_after_dedup", _mixture_after_dedup_oracle())
+def source_mixture_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware mixture reweighting — the step a training-data
+    pipeline runs AFTER near-dup survivorship and BEFORE sampling:
+    per-source corpus share recomputed over the deduplicated survivor
+    set (richest-copy rule), side by side with the raw share.  A
+    source whose share collapses after dedup was contributing
+    duplicates, not diversity — its mixture weight was inflated.
+
+    Scale shape: rides the shared LSH->CC labeling artifact
+    (_cc_components) + one per-component window for survivorship, then
+    two |sources|-row aggregates and two scalar-total broadcasts —
+    nothing beyond the dedup family's own economics."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _cc_components(spark, sf_dir).select("doc_id", "component_id")
+    lab = (
+        docs.select("doc_id", "n_chars", "source")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+            "n_chars",
+            "source",
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    surv = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source")
+    )
+    raw = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    sv = surv.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_survivors")
+    )
+    td = raw.agg(F.sum("n_docs").alias("td"))
+    ts = sv.agg(F.sum("n_survivors").alias("ts"))
+    ns = F.coalesce(F.col("n_survivors"), F.lit(0)).cast("bigint")
+    return (
+        raw.join(sv, "source", "left")
+        .crossJoin(F.broadcast(td))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "source",
+            "n_docs",
+            ns.alias("n_survivors"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("td").cast("double"),
+                6,
+            ).alias("raw_share"),
+            F.round(
+                ns.cast("double") / F.col("ts").cast("double"), 6
+            ).alias("dedup_share"),
+        )
+        .orderBy("source")
+    )
+
+
+DECAY_BASE = 0.9
+DECAY_MAX_AGE = 366
+# one weight per integer age, computed ONCE in Python and inlined as
+# literals on BOTH engines — pow()/exp() differ in the last ulp across
+# libms, so cross-engine parity requires shipping the constants, not
+# the formula (the hyperplane-literal precedent)
+_DECAY_WEIGHTS = [DECAY_BASE**a for a in range(DECAY_MAX_AGE)]
+
+
+def _decay_oracle() -> str:
+    vals = ", ".join(
+        f"({a}, {w!r})" for a, w in enumerate(_DECAY_WEIGHTS)
+    )
+    return f"""
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events),
+dw(age, wt) AS (VALUES {vals}),
+ag AS (
+  SELECT event_type, date_diff('day', CAST(ts AS DATE), mx.d) AS age
+  FROM events, mx
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(dw.wt, 12) AS DECIMAL(28,12))) AS DOUBLE), 6)
+         AS decayed_count
+FROM ag JOIN dw USING (age)
+GROUP BY event_type
+ORDER BY decayed_count DESC, event_type
+"""
+
+
+@register("time_decayed_event_type_scores", _decay_oracle())
+def time_decayed_event_type_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exponentially time-decayed popularity (half-life weighting, the
+    trending-content primitive): each event contributes
+    {DECAY_BASE}^age_days toward its type's score, ages measured from
+    the corpus's newest day.  Decay weights are computed once in
+    Python and injected as literals on BOTH engines (pow/exp differ in
+    the last ulp across libms — the hyperplane-literal precedent), and
+    the weighted sum accumulates rounded DECIMAL terms so it is
+    order-independent.
+
+    Scale shape: one scan; the weight lookup is element_at into a
+    {DECAY_MAX_AGE}-element literal array inside codegen (ages beyond
+    the horizon contribute nothing and are filtered scan-side, the
+    oracle's inner join); the aggregate is |event types| rows with
+    map-side partials.  The newest-day lookup is a bounded 1-value
+    collect (plan-time metadata, the query-vector precedent)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    ref = ev.agg(F.max("d")).first()[0]
+    warr = F.array(*[F.lit(w) for w in _DECAY_WEIGHTS])
+    age = F.datediff(F.lit(ref), F.col("d"))
+    return (
+        ev.select("event_type", age.alias("age"))
+        .filter(F.col("age") < DECAY_MAX_AGE)
+        .select(
+            "event_type",
+            F.round(F.element_at(warr, F.col("age") + 1), 12)
+            .cast("decimal(28,12)")
+            .alias("w"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("w").cast("double"), 6).alias("decayed_count"),
+        )
+        .orderBy(F.col("decayed_count").desc(), "event_type")
+    )
+
+
 def prebuild_shared_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Force-build every fingerprint-keyed shared artifact for
     ``sf_dir`` so a subsequent timing run is warm-deterministic.
