@@ -17487,61 +17487,81 @@ def unigram_entropy_effective_vocab(
 # 2 newcomers — every registry entry driver-witnessed on its CURRENT
 # semantics.  Every seat is exact-value-green in the local sweep at
 # sf0.001/0.01 before seating.
+# Round-10 rotation: after CORRECTNESS_r09 (50/50 green) the cumulative
+# driver-verified union is 238/267; exactly 29 registry entries have
+# never had a driver row (all round-9 additions born after the r9
+# window froze).  All 29 take seats, plus the 5 queries born THIS
+# round (filtered ANN, PQ recall audit, frame dedup, dedup-aware
+# mixture, time-decayed scores), plus 3 re-seats for queries REWORKED
+# after their last green row (rare_token_blocked_pairs: repartition +
+# PPJoin length filter; kmeans_embeddings: the _assign null/ragged
+# guard rewrite touches its mapInPandas twin; streaming_heavy_hitters:
+# the MG store moved into checkpoint snapshots).  mmr_diversified_
+# rerank and cogroup_view_pressure_per_purchase were also reworked
+# this round but sit in the never-verified 29 already.  The remaining
+# 13 seats re-verify one driver-green representative per family
+# (TPC-H flagship, K1/K2 merge pipeline, LSH pair artifact, BPE,
+# multimodal sampler, IVF ANN, decontamination, streaming sketch,
+# mixture sampling — cross-checks the new source_mixture_after_dedup —
+# SemDeDup, graph, retrieval scoring, temporal join).  A green r10
+# window makes the cumulative union 272/272: every registry entry
+# driver-witnessed on its CURRENT semantics.  Every seat is
+# exact-value-green in the local sweep at sf0.001/0.01 before seating.
 _DRIVER_WINDOW = [
-    # -- 41 never-driver-verified seats --
-    "range_partition_bounds_value",
-    "dedup_survivors_by_quality",
-    "bpe_fertility_by_lang",
-    "split_lang_independence_chi2",
-    "matryoshka_truncation_quality",
-    "approx_distinct_users_kmv",
-    "countmin_token_frequencies",
-    "k_anonymity_audit",
-    "hll_distinct_users",
-    "l_diversity_audit",
-    "group_kfold_assignment",
-    "temperature_mixture_weights",
-    "benford_first_digit_audit",
-    "woe_iv_price_bands",
-    "cdc_chunk_dedup",
-    "bootstrap_ci_mean_value",
-    "ks_drift_split_halves",
-    "psi_value_drift",
-    "zipf_slope_tokens",
-    "cusum_changepoint_hourly",
-    "auc_quality_vs_exact_dup",
-    "shuffle_run_test_sources",
-    "token_burstiness_top20",
-    "doc_length_lognormal_fit",
-    "streaming_hll_distinct",
-    "kmv_overlap_event_types",
-    "seasonal_decomposition_hourly",
-    "unigram_kl_by_source",
-    "cross_source_duplication_matrix",
-    "bigram_conditional_entropy_by_source",
-    "t_closeness_audit",
-    "kaplan_meier_signup_to_purchase",
-    "daily_trend_mann_kendall",
-    "pq_codebook_quantization",
-    "regression_stump_value_by_hour",
-    "ols_value_on_time_features",
-    "pq_adc_topk",
-    "ivfpq_adc_topk",
-    "q2_min_cost_supplier",
-    "markov_stationary_event_types",
-    "knn_graph_triangles",
-    # -- 2 reworked-after-last-green re-seats --
-    "q22_wealthy_inactive",
+    # -- 29 never-driver-verified seats (round-9 additions) --
+    "zone_map_pruning_stats",
+    "compaction_plan_small_files",
+    "hll_cumulative_daily_distinct",
+    "attribution_position_based",
+    "heaps_law_fit",
+    "ece_quality_calibration",
+    "embedding_isotropy_probe",
+    "knn_graph_degree_powerlaw",
+    "exact_percentiles_histogram_refine",
+    "uniform_sample_exact_k",
+    "raking_weights_lang_source",
+    "hard_negative_mining",
+    "mmr_diversified_rerank",
+    "lpa_communities_knn",
+    "cogroup_view_pressure_per_purchase",
+    "retention_gc_plan",
+    "freshness_lag_by_type",
+    "exact_dup_lsh_recall",
+    "curriculum_phase_stats",
+    "ann_ivf_batch_topk",
+    "multimodal_audio_frame_rms",
+    "consistent_hash_rebalance",
+    "cdc_time_travel_diff",
+    "stratified_sample_exact_k",
+    "contrastive_positive_pairs",
+    "exact_median_per_type_refine",
+    "fd_binwidth_recommendation",
+    "embedding_outliers_per_label",
+    "unigram_entropy_effective_vocab",
+    # -- 5 born this round --
+    "ann_ivf_filtered_topk",
+    "pq_recall_at10",
+    "frame_near_dup_rate",
+    "source_mixture_after_dedup",
+    "time_decayed_event_type_scores",
+    # -- 3 reworked-after-last-green re-seats --
     "rare_token_blocked_pairs",
-    # -- 2 changed/born this round --
-    "ann_ivf_topk",
-    "cdc_log_compaction",
-    # -- 5 family-representative re-verify seats (all driver-green) --
+    "kmeans_embeddings",
+    "streaming_heavy_hitters",
+    # -- 13 family-representative re-verify seats (all driver-green) --
     "q1_pricing_summary",
     "pipeline_merge_roundtrip",
     "dedup_minhash_lsh",
     "bpe_top_merges",
     "multimodal_frame_sample",
+    "ann_ivf_topk",
+    "decontaminate_bloom",
+    "streaming_hll_distinct",
+    "mixture_sample_by_lang",
+    "semantic_dedup_pairs",
+    "pagerank_knn_graph",
+    "bm25_topk_docs",
+    "point_in_time_features",
 ]
 
 

@@ -156,27 +156,29 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin one representative per family group that must never
-    # drift back out of the window (round-9 backlog-RETIRING rotation:
-    # 41 seats for the never-driver-verified r8 entries, 2 re-seats for
-    # queries reworked after their last green row, ann_ivf_topk (r9
-    # centroid rework) + cdc_log_compaction (r9-born), and 5
-    # driver-green family representatives)
+    # drift back out of the window (round-10 rotation: 29 seats for
+    # the never-driver-verified r9 entries, 5 for the r10-born queries,
+    # 3 re-seats for queries reworked after their last green row, and
+    # 13 driver-green family representatives)
     for must in [
         "q1_pricing_summary",           # TPC-H-ish relational flagship
         "dedup_minhash_lsh",            # dedup (LSH pair artifact)
         "rare_token_blocked_pairs",     # dedup (reworked -> re-witness)
         "streaming_hll_distinct",       # streaming (mergeable sketch)
+        "streaming_heavy_hitters",      # streaming (MG store reworked)
         "bpe_top_merges",               # text / tokenizer training
-        "pq_adc_topk",                  # embeddings / PQ quantization
-        "ann_ivf_topk",                 # ANN (refit on _kmeans_cents)
-        "knn_graph_triangles",          # graph over kNN edges
+        "pq_recall_at10",               # embeddings / PQ index audit
+        "ann_ivf_topk",                 # ANN (shared quantizer)
+        "ann_ivf_filtered_topk",        # filtered ANN (r10-born)
+        "kmeans_embeddings",            # clustering (_assign rework)
+        "pagerank_knn_graph",           # graph over kNN edges
         "multimodal_frame_sample",      # X5 multimodal
+        "frame_near_dup_rate",          # X5 frame dedup (r10-born)
         "pipeline_merge_roundtrip",     # K2 CDC merge sink
-        "temperature_mixture_weights",  # deterministic sampling
-        "kaplan_meier_signup_to_purchase",  # statistical monitors
-        "t_closeness_audit",            # privacy audits
-        "cdc_log_compaction",           # CDC / changelog semantics
-        "q22_wealthy_inactive",         # reworked -> re-witness
+        "mixture_sample_by_lang",       # deterministic sampling
+        "source_mixture_after_dedup",   # dedup-aware mixture (r10-born)
+        "mmr_diversified_rerank",       # retrieval rerank (reworked)
+        "point_in_time_features",       # temporal join family
     ]:
         assert must in Q._DRIVER_WINDOW, must
 
