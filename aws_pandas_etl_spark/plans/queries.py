@@ -6596,9 +6596,11 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of heavy_hitter_tokens: the corpus arrives as 4
     micro-batches, per-batch MG sketches fold into one bounded
-    (<= counters entries forever) driver store via the mergeable-
-    summaries combine, and the candidates get one exact recount — the
-    superset guarantee survives the merge tree, so the result must
+    (<= counters entries forever) store via the mergeable-summaries
+    combine — persisted as batch-versioned snapshots inside the
+    checkpoint (r10: crash-recoverable by idempotent replay, proven by
+    the kill/resume test) — and the candidates get one exact recount;
+    the superset guarantee survives the merge tree, so the result must
     equal the batch oracle bit for bit
     (streaming/events_stream.py::run_streaming_heavy_hitters)."""
     from aws_pandas_etl_spark.streaming.events_stream import (

@@ -167,6 +167,7 @@ _SCALAR_CROSS_OK = {
     "cdc_time_travel_diff",          # 1-row time-travel cut instant
     "fd_binwidth_recommendation",    # 1-row (min,max,n) stats broadcast
     "unigram_entropy_effective_vocab",  # 1-row corpus token total
+    "source_mixture_after_dedup",    # two 1-row share denominators
 }
 
 # Streaming queries execute a real job on invocation — planning them
@@ -491,3 +492,24 @@ def test_no_complex_typed_output_columns(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"driver-uncanonicalizable columns: {offenders}"
+
+
+def test_filtered_ann_pushes_label_to_scan(spark):
+    """Filtered vector search composes the metadata predicate with cell
+    pruning: the label filter must reach the parquet scan as a pushed
+    filter (at 100 TB it prunes row groups before any distance math),
+    and the final ranking must be a TakeOrdered(10), not a global
+    sort."""
+    df = QUERIES["ann_ivf_filtered_topk"](spark, SF)
+    ex = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in ex and "EqualTo(label,1)" in ex, ex
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_time_decayed_scores_single_scan_no_join(spark):
+    """The decay-weight lookup is a literal array element_at inside the
+    projection — the plan must contain NO join (the oracle's dw VALUES
+    join is expressed as codegen lookup) and exactly one events scan."""
+    plan = _plan(QUERIES["time_decayed_event_type_scores"](spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
