@@ -1293,3 +1293,34 @@ def test_numpy_assignment_twin_matches_column_fold(spark):
         .count()
         == 0
     )
+
+
+def test_assign_guards_null_ragged_and_existing_cluster_column(spark):
+    """ADVICE r9: the Arrow-batched assignment twin must (a) emit a
+    NULL cluster for null/ragged embeddings instead of raising inside
+    the batch (the Column fold's behavior), (b) replace — never
+    duplicate — a pre-existing 'cluster' column (withColumn
+    semantics), and (c) reject an empty centroid list loudly."""
+    import pytest as _pytest
+
+    from aws_pandas_etl_spark.operators.clustering import _assign
+
+    rows = [
+        Row(vec_id=0, embedding=[0.0, 0.0]),
+        Row(vec_id=1, embedding=[10.0, 10.0]),
+        Row(vec_id=2, embedding=None),          # null vector
+        Row(vec_id=3, embedding=[1.0]),          # ragged (wrong dim)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [(0, [0.0, 0.0]), (1, [9.0, 9.0])]
+    got = {r["vec_id"]: r["cluster"] for r in _assign(df, "embedding", cents).collect()}
+    assert got == {0: 0, 1: 1, 2: None, 3: None}
+
+    # a frame that already carries a cluster column: replaced, not duplicated
+    pre = df.withColumn("cluster", F.lit(99))
+    out = _assign(pre, "embedding", cents)
+    assert out.columns.count("cluster") == 1
+    assert {r["vec_id"]: r["cluster"] for r in out.collect()} == got
+
+    with _pytest.raises(ValueError, match="at least one centroid"):
+        _assign(df, "embedding", [])
