@@ -17492,21 +17492,22 @@ def unigram_entropy_effective_vocab(
 # Round-10 rotation: after CORRECTNESS_r09 (50/50 green) the cumulative
 # driver-verified union is 238/267; exactly 29 registry entries have
 # never had a driver row (all round-9 additions born after the r9
-# window froze).  All 29 take seats, plus the 5 queries born THIS
+# window froze).  All 29 take seats, plus the 7 queries born THIS
 # round (filtered ANN, PQ recall audit, frame dedup, dedup-aware
-# mixture, time-decayed scores), plus 3 re-seats for queries REWORKED
+# mixture, time-decayed scores, MinHash estimate-error audit, bitext
+# margin mining), plus 3 re-seats for queries REWORKED
 # after their last green row (rare_token_blocked_pairs: repartition +
 # PPJoin length filter; kmeans_embeddings: the _assign null/ragged
 # guard rewrite touches its mapInPandas twin; streaming_heavy_hitters:
 # the MG store moved into checkpoint snapshots).  mmr_diversified_
 # rerank and cogroup_view_pressure_per_purchase were also reworked
 # this round but sit in the never-verified 29 already.  The remaining
-# 13 seats re-verify one driver-green representative per family
+# 11 seats re-verify one driver-green representative per family
 # (TPC-H flagship, K1/K2 merge pipeline, LSH pair artifact, BPE,
 # multimodal sampler, IVF ANN, decontamination, streaming sketch,
 # mixture sampling — cross-checks the new source_mixture_after_dedup —
-# SemDeDup, graph, retrieval scoring, temporal join).  A green r10
-# window makes the cumulative union 272/272: every registry entry
+# SemDeDup, temporal join).  A green r10
+# window makes the cumulative union 274/274: every registry entry
 # driver-witnessed on its CURRENT semantics.  Every seat is
 # exact-value-green in the local sweep at sf0.001/0.01 before seating.
 _DRIVER_WINDOW = [
@@ -17540,17 +17541,22 @@ _DRIVER_WINDOW = [
     "fd_binwidth_recommendation",
     "embedding_outliers_per_label",
     "unigram_entropy_effective_vocab",
-    # -- 5 born this round --
+    # -- 7 born this round --
     "ann_ivf_filtered_topk",
     "pq_recall_at10",
     "frame_near_dup_rate",
     "source_mixture_after_dedup",
     "time_decayed_event_type_scores",
+    "minhash_estimate_error",
+    "bitext_mining_margin",
     # -- 3 reworked-after-last-green re-seats --
     "rare_token_blocked_pairs",
     "kmeans_embeddings",
     "streaming_heavy_hitters",
-    # -- 13 family-representative re-verify seats (all driver-green) --
+    # -- 11 family-representative re-verify seats (all driver-green;
+    # bm25_topk_docs and pagerank_knn_graph vacated for the late-round
+    # newcomers — retrieval keeps mmr_diversified_rerank, graph keeps
+    # lpa_communities_knn + knn_graph_degree_powerlaw above) --
     "q1_pricing_summary",
     "pipeline_merge_roundtrip",
     "dedup_minhash_lsh",
@@ -17561,8 +17567,6 @@ _DRIVER_WINDOW = [
     "streaming_hll_distinct",
     "mixture_sample_by_lang",
     "semantic_dedup_pairs",
-    "pagerank_knn_graph",
-    "bm25_topk_docs",
     "point_in_time_features",
 ]
 
@@ -17977,6 +17981,224 @@ def time_decayed_event_type_scores(
             F.round(F.sum("w").cast("double"), 6).alias("decayed_count"),
         )
         .orderBy(F.col("decayed_count").desc(), "event_type")
+    )
+
+
+def _minhash_err_oracle() -> str:
+    nh = D.NUM_HASHES
+    max_bucket = D.MAX_BUCKET
+    return f"""{_minhash_bands_ctes()}, kept AS (
+  SELECT band, band_hash FROM bands
+  GROUP BY band, band_hash HAVING COUNT(*) <= {max_bucket}
+), bands_k AS (
+  SELECT b.* FROM bands b JOIN kept USING (band, band_hash)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands_k x JOIN bands_k y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+), p AS (
+  SELECT a, b, jaccard FROM (
+    SELECT c.a, c.b,
+           CAST(len(list_intersect(sa.hashes, sb.hashes)) AS DOUBLE)
+             / greatest(len(list_distinct(list_concat(sa.hashes, sb.hashes))), 1)
+             AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a
+    JOIN sig sb ON sb.doc_id = c.b
+  ) WHERE jaccard >= 0.5
+), est AS (
+  SELECT p.jaccard,
+         CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+              AS DOUBLE) / {nh} AS est
+  FROM p JOIN sig sa ON sa.doc_id = p.a JOIN sig sb ON sb.doc_id = p.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(abs(est - jaccard), 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) / COUNT(*), 6) AS mae,
+       ROUND(sqrt(CAST(SUM(CAST(ROUND((est - jaccard) * (est - jaccard), 12)
+                                AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*)), 6) AS rmse
+FROM est
+"""
+
+
+@register("minhash_estimate_error", _minhash_err_oracle())
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the dedup family (the MinHash twin of
+    pq_recall_at10's ANN audit): over the LSH pair set, compare the
+    {D.NUM_HASHES}-hash SIGNATURE Jaccard estimate (fraction of equal
+    signature components — the unbiased MinHash estimator) against the
+    exact shingle-set Jaccard, reporting MAE and RMSE.  The number
+    that tells a deployment whether its signature width is adequate
+    before trusting banding-probability math at 100 TB.
+
+    Scale shape: signatures derive from the shared _shingle3_table
+    artifact (affine integer ops inside codegen, no extra scan of the
+    text); pairs come from the shared _minhash_pairs artifact; the
+    error aggregate accumulates rounded-DECIMAL terms, so it is
+    order- and partitioning-independent."""
+    from aws_pandas_etl_spark.functions.hashing import minhash_signature
+
+    sigs = _shingle3_table(spark, sf_dir).select(
+        "doc_id",
+        minhash_signature(F.col("hashes"), num_hashes=D.NUM_HASHES).alias(
+            "sig"
+        ),
+    )
+    pairs = _minhash_pairs(spark, sf_dir)
+    est = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa")),
+            "a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb")),
+            "b",
+        )
+        .select(
+            "jaccard",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sa", "sb", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                ).cast("double")
+                / F.lit(D.NUM_HASHES)
+            ).alias("est"),
+        )
+    )
+    err = F.col("est") - F.col("jaccard")
+    return est.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.abs(err), 12).cast("decimal(28,12)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(err * err, 12).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count("*")
+            ),
+            6,
+        ).alias("rmse"),
+    )
+
+
+BITEXT_TOPK_MEAN = 3  # margin denominator: mean of the anchor's top-3
+
+
+def _bitext_oracle() -> str:
+    prefix, final, _ = _kmeans_ctes()
+    return f"""{prefix}, lab AS (
+  SELECT e.vec_id, e.label, e.embedding,
+         sqrt({_dk_dot('e.embedding', 'e.embedding')}) AS nrm,
+         a.cluster AS cl
+  FROM embeddings e JOIN {final} a USING (vec_id)
+), pr AS (
+  SELECT x.vec_id AS anchor, y.vec_id AS cand,
+         ROUND({_dk_dot('x.embedding', 'y.embedding')} / (x.nrm * y.nrm), 12)
+           AS cos
+  FROM lab x JOIN lab y ON x.cl = y.cl
+  WHERE x.label = 0 AND y.label = 1
+), rk AS (
+  SELECT anchor, cand, cos,
+         ROW_NUMBER() OVER (PARTITION BY anchor
+                            ORDER BY cos DESC, cand) AS rn
+  FROM pr
+), den AS (
+  SELECT anchor,
+         CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM rk WHERE rn <= {BITEXT_TOPK_MEAN} GROUP BY anchor
+)
+SELECT rk.anchor, rk.cand AS best_match,
+       ROUND(rk.cos, 6) AS cosine_sim,
+       ROUND(rk.cos / den.m, 6) AS margin
+FROM rk JOIN den USING (anchor)
+WHERE rk.rn = 1
+ORDER BY anchor
+"""
+
+
+@register("bitext_mining_margin", _bitext_oracle())
+def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (the ratio-margin criterion of
+    Artetxe & Schwenk's bitext mining, the method behind CCMatrix-style
+    parallel-corpus construction): for every label-0 vector (the
+    "source language" side), its best label-1 match and the margin =
+    best cosine / mean of its top-{BITEXT_TOPK_MEAN} cosines.  A
+    margin near 1 means the best match barely beats the runners-up —
+    a hub or an unalignable sentence; a high margin is a confident
+    pair.  Candidates are blocked by the SHARED fit-once k-means cells
+    (the hard_negative_mining economics: cross-label pairs only inside
+    a cell, never corpus²; k∝n keeps occupancy bounded).
+
+    Scale shape: one cell-blocked cross-label join (pair volume ∝
+    n·occupancy), one per-anchor rank window over those bounded
+    groups, and a top-k-mean denominator accumulated in rounded
+    DECIMAL (order-independent).  Assignment is the Arrow-batched
+    argmin against k·dim literals."""
+    from aws_pandas_etl_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, cents = _kmeans_cents(spark, sf_dir)
+    assigned = kmeans_lloyd(emb, k=k, iters=KMEANS_ITERS, cents=cents)
+    lab = assigned.join(emb, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "label",
+        "embedding",
+        F.sqrt(SIM.dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    x = lab.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("cluster").alias("cl"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    y = lab.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("cand"),
+        F.col("cluster").alias("cl"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pr = x.join(y, "cl").select(
+        "anchor",
+        "cand",
+        F.round(
+            SIM.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+            12,
+        ).alias("cos"),
+    )
+    wr = Window.partitionBy("anchor").orderBy(
+        F.col("cos").desc(), F.col("cand")
+    )
+    rk = pr.withColumn("rn", F.row_number().over(wr))
+    den = (
+        rk.filter(F.col("rn") <= BITEXT_TOPK_MEAN)
+        .groupBy("anchor")
+        .agg(
+            (
+                F.sum(F.col("cos").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    return (
+        rk.filter(F.col("rn") == 1)
+        .join(den, "anchor")
+        .select(
+            "anchor",
+            F.col("cand").alias("best_match"),
+            F.round("cos", 6).alias("cosine_sim"),
+            F.round(F.col("cos") / F.col("m"), 6).alias("margin"),
+        )
+        .orderBy("anchor")
     )
 
 

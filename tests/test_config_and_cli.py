@@ -171,7 +171,9 @@ def test_driver_window_spans_operator_families():
         "ann_ivf_topk",                 # ANN (shared quantizer)
         "ann_ivf_filtered_topk",        # filtered ANN (r10-born)
         "kmeans_embeddings",            # clustering (_assign rework)
-        "pagerank_knn_graph",           # graph over kNN edges
+        "lpa_communities_knn",          # graph over kNN edges
+        "minhash_estimate_error",       # dedup sketch audit (r10-born)
+        "bitext_mining_margin",         # bitext mining (r10-born)
         "multimodal_frame_sample",      # X5 multimodal
         "frame_near_dup_rate",          # X5 frame dedup (r10-born)
         "pipeline_merge_roundtrip",     # K2 CDC merge sink
