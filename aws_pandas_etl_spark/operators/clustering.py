@@ -436,6 +436,85 @@ def _topp_assign(
     )
 
 
+def cell_pair_cos(
+    x: DataFrame,
+    y: DataFrame,
+    cell_col: str,
+    x_id: str,
+    y_id: str,
+    x_vec: str,
+    y_vec: str,
+    x_nrm: str,
+    y_nrm: str,
+    x_extra: tuple[str, ...] = (),
+    y_extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """All cross pairs within each cell with exact cosine, Arrow-batched
+    (the _assign/_topp_assign contract applied to PAIR scoring): per
+    dimension, the dot accumulates ONE outer product at a time in
+    float64 — ``acc = acc + X[:,i] ⊗ Y[:,i]`` — which is element-wise
+    the identical IEEE left fold the interpreted
+    ``aggregate(zip_with(...))`` Column and the oracle's ``list_sum``
+    compute (never np.dot/BLAS, whose blocked summation reorders the
+    adds).  The division uses the callers' precomputed norms
+    (``cos = dot / (na*nb)``, same expression shape).  ``cos`` returns
+    UNROUNDED; callers apply ``F.round`` Spark-side so rounding stays
+    byte-identical to the Column path.
+
+    Scale shape: cogroup shuffles both sides once by cell; per-cell
+    work is an occupancy² float64 matrix (bounded by the k∝n rule's
+    ~constant occupancy), vectorized across the whole cell instead of
+    one interpreted fold per pair — measured ~2× on the
+    hard-negative/bitext family at sf0.1."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    xf = {f.name: f for f in x.schema.fields}
+    yf = {f.name: f for f in y.schema.fields}
+    out_fields = (
+        [xf[x_id]]
+        + [xf[c] for c in x_extra]
+        + [yf[y_id]]
+        + [yf[c] for c in y_extra]
+        + [T.StructField("cos", T.DoubleType())]
+    )
+    out_schema = T.StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+
+    def _pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({n: [] for n in out_names})
+        X = np.array(
+            [np.asarray(v, dtype=np.float64) for v in left[x_vec]]
+        )
+        Y = np.array(
+            [np.asarray(v, dtype=np.float64) for v in right[y_vec]]
+        )
+        acc = np.zeros((len(X), len(Y)))
+        for i in range(X.shape[1]):
+            acc = acc + np.multiply.outer(X[:, i], Y[:, i])
+        cos = acc / np.multiply.outer(
+            left[x_nrm].to_numpy(), right[y_nrm].to_numpy()
+        )
+        ai = np.repeat(np.arange(len(X)), len(Y))
+        bi = np.tile(np.arange(len(Y)), len(X))
+        data = {x_id: left[x_id].to_numpy()[ai]}
+        for c in x_extra:
+            data[c] = left[c].to_numpy()[ai]
+        data[y_id] = right[y_id].to_numpy()[bi]
+        for c in y_extra:
+            data[c] = right[c].to_numpy()[bi]
+        data["cos"] = cos.ravel()
+        return pd.DataFrame(data)
+
+    return (
+        x.groupBy(cell_col)
+        .cogroup(y.groupBy(cell_col))
+        .applyInPandas(_pairs, schema=out_schema)
+    )
+
+
 def _rescore_pairs(
     cand: DataFrame,
     embeddings: DataFrame,

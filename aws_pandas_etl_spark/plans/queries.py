@@ -15621,6 +15621,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(SIM.dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
+    from aws_pandas_etl_spark.operators.clustering import cell_pair_cos
+
     x = lab.select(
         F.col("vec_id").alias("anchor"),
         F.col("cluster").alias("cl"),
@@ -15635,19 +15637,30 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
+    # Arrow-batched cell-blocked pair cosine (identical IEEE fold,
+    # rounding applied Spark-side — see cell_pair_cos): the interpreted
+    # per-pair fold was this query's whole cost (2.1 s -> ~1 s sf0.1)
     pr = (
-        x.join(y, "cl")
+        cell_pair_cos(
+            x,
+            y,
+            cell_col="cl",
+            x_id="anchor",
+            y_id="neg",
+            x_vec="ea",
+            y_vec="eb",
+            x_nrm="na",
+            y_nrm="nb",
+            x_extra=("anchor_label",),
+            y_extra=("neg_label",),
+        )
         .filter(F.col("anchor_label") != F.col("neg_label"))
         .select(
             "anchor",
             "neg",
             "anchor_label",
             "neg_label",
-            F.round(
-                SIM.dot(F.col("ea"), F.col("eb"))
-                / (F.col("na") * F.col("nb")),
-                12,
-            ).alias("cos"),
+            F.round("cos", 12).alias("cos"),
         )
     )
     wr = Window.partitionBy("anchor").orderBy(
@@ -18167,14 +18180,19 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    pr = x.join(y, "cl").select(
-        "anchor",
-        "cand",
-        F.round(
-            SIM.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
-            12,
-        ).alias("cos"),
-    )
+    from aws_pandas_etl_spark.operators.clustering import cell_pair_cos
+
+    pr = cell_pair_cos(
+        x,
+        y,
+        cell_col="cl",
+        x_id="anchor",
+        y_id="cand",
+        x_vec="ea",
+        y_vec="eb",
+        x_nrm="na",
+        y_nrm="nb",
+    ).select("anchor", "cand", F.round("cos", 12).alias("cos"))
     wr = Window.partitionBy("anchor").orderBy(
         F.col("cos").desc(), F.col("cand")
     )
