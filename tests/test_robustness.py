@@ -240,3 +240,62 @@ def test_bloom_decontaminate_invariant_under_partitioning(spark):
         for r in decontaminate_bloom(docs.repartition(32), benchmark_max_id=50).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_cell_pair_cos_invariant_under_partitioning_and_matches_fold(spark):
+    """The Arrow-batched pair scorer must be (a) partitioning-invariant
+    (cogroup shuffles by cell; per-cell math is vectorized but
+    order-fixed) and (b) bit-identical to the interpreted Column fold
+    it replaces — per-dimension outer-product accumulation IS the same
+    IEEE left fold, so every cosine must compare equal as a raw
+    double, not just after rounding."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.operators.clustering import cell_pair_cos
+    from aws_pandas_etl_spark.operators.similarity import dot
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    lab = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 4).alias("cl"),
+        "label",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    x = lab.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("a"),
+        "cl",
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    y = lab.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b"),
+        "cl",
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+
+    def run(xdf, ydf):
+        out = cell_pair_cos(
+            xdf, ydf, cell_col="cl", x_id="a", y_id="b",
+            x_vec="ea", y_vec="eb", x_nrm="na", y_nrm="nb",
+        )
+        return sorted((r["a"], r["b"], r["cos"]) for r in out.collect())
+
+    got = run(x, y)
+    assert got == run(x.repartition(13), y.repartition(3))
+
+    fold = (
+        x.join(y, "cl")
+        .select(
+            "a",
+            "b",
+            (
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+    )
+    want = sorted((r["a"], r["b"], r["cos"]) for r in fold.collect())
+    assert len(got) > 100
+    assert got == want  # raw-double equality, no rounding
