@@ -17508,19 +17508,20 @@ def unigram_entropy_effective_vocab(
 # window froze).  All 29 take seats, plus the 7 queries born THIS
 # round (filtered ANN, PQ recall audit, frame dedup, dedup-aware
 # mixture, time-decayed scores, MinHash estimate-error audit, bitext
-# margin mining), plus 3 re-seats for queries REWORKED
+# margin mining, CCNet cross-perplexity, split-leakage repair), plus
+# 3 re-seats for queries REWORKED
 # after their last green row (rare_token_blocked_pairs: repartition +
 # PPJoin length filter; kmeans_embeddings: the _assign null/ragged
 # guard rewrite touches its mapInPandas twin; streaming_heavy_hitters:
 # the MG store moved into checkpoint snapshots).  mmr_diversified_
 # rerank and cogroup_view_pressure_per_purchase were also reworked
 # this round but sit in the never-verified 29 already.  The remaining
-# 11 seats re-verify one driver-green representative per family
+# 9 seats re-verify one driver-green representative per family
 # (TPC-H flagship, K1/K2 merge pipeline, LSH pair artifact, BPE,
 # multimodal sampler, IVF ANN, decontamination, streaming sketch,
 # mixture sampling — cross-checks the new source_mixture_after_dedup —
 # SemDeDup, temporal join).  A green r10
-# window makes the cumulative union 274/274: every registry entry
+# window makes the cumulative union 276/276: every registry entry
 # driver-witnessed on its CURRENT semantics.  Every seat is
 # exact-value-green in the local sweep at sf0.001/0.01 before seating.
 _DRIVER_WINDOW = [
@@ -17554,7 +17555,7 @@ _DRIVER_WINDOW = [
     "fd_binwidth_recommendation",
     "embedding_outliers_per_label",
     "unigram_entropy_effective_vocab",
-    # -- 7 born this round --
+    # -- 9 born this round --
     "ann_ivf_filtered_topk",
     "pq_recall_at10",
     "frame_near_dup_rate",
@@ -17562,14 +17563,19 @@ _DRIVER_WINDOW = [
     "time_decayed_event_type_scores",
     "minhash_estimate_error",
     "bitext_mining_margin",
+    "cross_perplexity_by_source",
+    "split_leakage_repair",
     # -- 3 reworked-after-last-green re-seats --
     "rare_token_blocked_pairs",
     "kmeans_embeddings",
     "streaming_heavy_hitters",
-    # -- 11 family-representative re-verify seats (all driver-green;
-    # bm25_topk_docs and pagerank_knn_graph vacated for the late-round
-    # newcomers — retrieval keeps mmr_diversified_rerank, graph keeps
-    # lpa_communities_knn + knn_graph_degree_powerlaw above) --
+    # -- 9 family-representative re-verify seats (all driver-green;
+    # bm25_topk_docs, pagerank_knn_graph, semantic_dedup_pairs, and
+    # mixture_sample_by_lang vacated for the late-round newcomers —
+    # retrieval keeps mmr_diversified_rerank, graph keeps
+    # lpa_communities_knn + knn_graph_degree_powerlaw, clustering
+    # keeps the kmeans_embeddings re-seat, sampling keeps the exact-k
+    # seats + source_mixture_after_dedup above) --
     "q1_pricing_summary",
     "pipeline_merge_roundtrip",
     "dedup_minhash_lsh",
@@ -17578,8 +17584,6 @@ _DRIVER_WINDOW = [
     "ann_ivf_topk",
     "decontaminate_bloom",
     "streaming_hll_distinct",
-    "mixture_sample_by_lang",
-    "semantic_dedup_pairs",
     "point_in_time_features",
 ]
 
@@ -18217,6 +18221,180 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cos") / F.col("m"), 6).alias("margin"),
         )
         .orderBy("anchor")
+    )
+
+
+CROSSPPL_REF_MOD = 10  # reference slice: doc_id % 10 == 0
+
+CROSSPPL_ORACLE = f"""
+WITH tok AS (
+  SELECT d.doc_id, d.source, unnest({_dk_toks('d.text')}) AS w
+  FROM documents d
+), ref AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE doc_id % {CROSSPPL_REF_MOD} = 0 GROUP BY w
+), tv AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM ref
+), scored AS (
+  SELECT tok.source,
+         ROUND(-ln((CAST(COALESCE(ref.c, 0) AS DOUBLE) + 1.0)
+                   / (t + v + 1)), 6) AS nlp
+  FROM tok LEFT JOIN ref USING (w) CROSS JOIN tv
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_nlp
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@register("cross_perplexity_by_source", CROSSPPL_ORACLE)
+def cross_perplexity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style cross-perplexity quality signal (Wenzek et al.
+    2020): train an add-one-smoothed unigram LM on a REFERENCE slice
+    (deterministic doc_id % {CROSSPPL_REF_MOD} sample standing in for
+    the "clean" Wikipedia LM) and score every source's token stream
+    against it — the per-source mean negative log-probability that
+    CCNet buckets into head/middle/tail for curation.  Unlike the
+    in-corpus unigram_logprob_quality, the model and the scored text
+    are DIFFERENT distributions, which is what makes the number a
+    quality signal rather than a self-entropy.
+
+    Parity: one libm ln per distinct (token, in-ref) outcome rounded
+    to 6 (the unigram scorer's proven pattern), then an exact
+    DECIMAL(18,6) accumulation — order- and partitioning-independent.
+    Scale shape: one tokenize scan; the LM is a vocabulary-sized
+    aggregate joined back token-keyed (hash join, broadcastable when
+    the reference vocabulary fits); the (t, v) normalizer is a 1-row
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(TX.tokens("text")).alias("w")
+    )
+    ref = (
+        tok.filter(F.col("doc_id") % CROSSPPL_REF_MOD == 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tv = ref.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    nlp = F.round(
+        -F.log(
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.col("t") + F.col("v") + F.lit(1))
+        ),
+        6,
+    )
+    scored = (
+        tok.join(ref, "w", "left")
+        .crossJoin(F.broadcast(tv))
+        .select("source", nlp.cast("decimal(18,6)").alias("nlp"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("nlp").cast("double") / F.count("*"), 6
+            ).alias("mean_nlp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _leak_repair_oracle() -> str:
+    from aws_pandas_etl_spark.functions.hashing import hash_bucket_sql
+
+    bucket = hash_bucket_sql("d.doc_id", "split")
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+), e AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+), reach(node, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+), comp AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id,
+         CASE WHEN {bucket} < 80 THEN 'train'
+              WHEN {bucket} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+), ranked AS (
+  SELECT doc_id, component_id, split,
+         CASE split WHEN 'test' THEN 2 WHEN 'val' THEN 1 ELSE 0 END AS rk,
+         MAX(CASE split WHEN 'test' THEN 2 WHEN 'val' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY component_id) AS crk
+  FROM lab
+)
+SELECT doc_id, component_id, split AS old_split,
+       CASE crk WHEN 2 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END
+         AS new_split
+FROM ranked WHERE rk != crk ORDER BY doc_id
+"""
+
+
+@register("split_leakage_repair", _leak_repair_oracle())
+def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIR step behind the cross_split_leakage_pairs audit:
+    every near-dup component (transitive MinHash cluster) is
+    quarantined into its highest-priority split (test > val > train),
+    and the rows reported are exactly the documents whose assignment
+    must MOVE — run it before training and the eval set can no longer
+    see near-copies of its members in train.  Moving docs INTO eval
+    (rather than deleting) preserves eval coverage; the priority rule
+    is deterministic, so the repair is reproducible across engines.
+
+    Scale shape: rides the shared LSH->CC labeling artifact
+    (_cc_components) plus the hash-assigned split projection; the
+    repair itself is one per-component MAX window over the labeled
+    frame and a row filter — dedup-family economics, no new joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _cc_components(spark, sf_dir).select("doc_id", "component_id")
+    lab = (
+        docs.select(
+            "doc_id", TX.assign_split("doc_id").alias("split")
+        )
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+            "split",
+        )
+    )
+    rk = (
+        F.when(F.col("split") == "test", 2)
+        .when(F.col("split") == "val", 1)
+        .otherwise(0)
+    )
+    wc = Window.partitionBy("component_id")
+    ranked = lab.withColumn("rk", rk).withColumn(
+        "crk", F.max("rk").over(wc)
+    )
+    new_split = (
+        F.when(F.col("crk") == 2, "test")
+        .when(F.col("crk") == 1, "val")
+        .otherwise("train")
+    )
+    return (
+        ranked.filter(F.col("rk") != F.col("crk"))
+        .select(
+            "doc_id",
+            "component_id",
+            F.col("split").alias("old_split"),
+            new_split.alias("new_split"),
+        )
+        .orderBy("doc_id")
     )
 
 

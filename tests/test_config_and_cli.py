@@ -157,9 +157,9 @@ def test_driver_window_spans_operator_families():
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin one representative per family group that must never
     # drift back out of the window (round-10 rotation: 29 seats for
-    # the never-driver-verified r9 entries, 5 for the r10-born queries,
+    # the never-driver-verified r9 entries, 9 for the r10-born queries,
     # 3 re-seats for queries reworked after their last green row, and
-    # 13 driver-green family representatives)
+    # 9 driver-green family representatives)
     for must in [
         "q1_pricing_summary",           # TPC-H-ish relational flagship
         "dedup_minhash_lsh",            # dedup (LSH pair artifact)
@@ -174,10 +174,11 @@ def test_driver_window_spans_operator_families():
         "lpa_communities_knn",          # graph over kNN edges
         "minhash_estimate_error",       # dedup sketch audit (r10-born)
         "bitext_mining_margin",         # bitext mining (r10-born)
+        "cross_perplexity_by_source",   # CCNet quality LM (r10-born)
+        "split_leakage_repair",         # dedup-aware split fix (r10-born)
         "multimodal_frame_sample",      # X5 multimodal
         "frame_near_dup_rate",          # X5 frame dedup (r10-born)
         "pipeline_merge_roundtrip",     # K2 CDC merge sink
-        "mixture_sample_by_lang",       # deterministic sampling
         "source_mixture_after_dedup",   # dedup-aware mixture (r10-born)
         "mmr_diversified_rerank",       # retrieval rerank (reworked)
         "point_in_time_features",       # temporal join family

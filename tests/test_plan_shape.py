@@ -168,6 +168,7 @@ _SCALAR_CROSS_OK = {
     "fd_binwidth_recommendation",    # 1-row (min,max,n) stats broadcast
     "unigram_entropy_effective_vocab",  # 1-row corpus token total
     "source_mixture_after_dedup",    # two 1-row share denominators
+    "cross_perplexity_by_source",    # 1-row (t, v) LM normalizer
 }
 
 # Streaming queries execute a real job on invocation — planning them
