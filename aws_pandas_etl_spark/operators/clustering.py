@@ -145,6 +145,10 @@ def _update(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]]]:
     embedding_label_centroids pattern.  Collects k*dim doubles."""
     rows = (
         assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+        # ragged (non-null, wrong-dim) vectors survive posexplode with a
+        # NULL cluster from _assign; drop them or sorted(by_cid) below
+        # compares None to int and the fit crashes
+        .filter(F.col("cluster").isNotNull())
         .groupBy("cluster", "pos")
         .agg(
             (
@@ -448,6 +452,7 @@ def cell_pair_cos(
     y_nrm: str,
     x_extra: tuple[str, ...] = (),
     y_extra: tuple[str, ...] = (),
+    neq: tuple[str, str] | None = None,
 ) -> DataFrame:
     """All cross pairs within each cell with exact cosine, Arrow-batched
     (the _assign/_topp_assign contract applied to PAIR scoring): per
@@ -460,6 +465,16 @@ def cell_pair_cos(
     (``cos = dot / (na*nb)``, same expression shape).  ``cos`` returns
     UNROUNDED; callers apply ``F.round`` Spark-side so rounding stays
     byte-identical to the Column path.
+
+    ``neq=(x_col, y_col)`` masks pairs whose two columns hold the SAME
+    non-null value BEFORE the outer-product accumulation (per distinct
+    left value, only the right rows with a different value enter the
+    block), so a caller like hard_negative_mining that would filter
+    ``anchor_label != neg_label`` afterwards never pays for the
+    same-label half of the matrix.  NULL-vs-NULL pairs are NOT masked
+    (NaN != NaN) — callers keep their Spark-side filter for exact SQL
+    three-valued-logic parity; the mask only ever drops pairs that
+    filter would drop too.
 
     Scale shape: cogroup shuffles both sides once by cell; per-cell
     work is an occupancy² float64 matrix (bounded by the k∝n rule's
@@ -491,23 +506,57 @@ def cell_pair_cos(
         Y = np.array(
             [np.asarray(v, dtype=np.float64) for v in right[y_vec]]
         )
-        acc = np.zeros((len(X), len(Y)))
-        for i in range(X.shape[1]):
-            acc = acc + np.multiply.outer(X[:, i], Y[:, i])
-        cos = acc / np.multiply.outer(
-            left[x_nrm].to_numpy(), right[y_nrm].to_numpy()
-        )
-        ai = np.repeat(np.arange(len(X)), len(Y))
-        bi = np.tile(np.arange(len(Y)), len(X))
+        xn = left[x_nrm].to_numpy()
+        yn = right[y_nrm].to_numpy()
+
+        def _block(
+            li: np.ndarray, rj: np.ndarray
+        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            Xb, Yb = X[li], Y[rj]
+            acc = np.zeros((len(li), len(rj)))
+            for i in range(X.shape[1]):
+                acc = acc + np.multiply.outer(Xb[:, i], Yb[:, i])
+            cos = acc / np.multiply.outer(xn[li], yn[rj])
+            return (
+                np.repeat(li, len(rj)),
+                np.tile(rj, len(li)),
+                cos.ravel(),
+            )
+
+        if neq is None:
+            blocks = [
+                _block(np.arange(len(X)), np.arange(len(Y)))
+            ]
+        else:
+            lvals = left[neq[0]].to_numpy()
+            rvals = right[neq[1]].to_numpy()
+            blocks = []
+            for la in pd.unique(left[neq[0]]):
+                li = np.flatnonzero(lvals == la)
+                rj = np.flatnonzero(rvals != la)
+                if li.size and rj.size:
+                    blocks.append(_block(li, rj))
+            if not blocks:
+                return pd.DataFrame({n: [] for n in out_names})
+        ai = np.concatenate([b[0] for b in blocks])
+        bi = np.concatenate([b[1] for b in blocks])
+        cos_all = np.concatenate([b[2] for b in blocks])
         data = {x_id: left[x_id].to_numpy()[ai]}
         for c in x_extra:
             data[c] = left[c].to_numpy()[ai]
         data[y_id] = right[y_id].to_numpy()[bi]
         for c in y_extra:
             data[c] = right[c].to_numpy()[bi]
-        data["cos"] = cos.ravel()
+        data["cos"] = cos_all
         return pd.DataFrame(data)
 
+    # re-alias every y column (fresh attribute ids): when both sides
+    # derive from the same parent frame, bare column refs share expr
+    # ids across the cogroup children and Spark's attribute dedup +
+    # column pruning can drop the shared columns from one side under a
+    # pruning parent (e.g. .count()) — the Python worker then receives
+    # a frame missing columns.  A self-alias Project severs the lineage.
+    y = y.select(*[F.col(c).alias(c) for c in y.columns])
     return (
         x.groupBy(cell_col)
         .cogroup(y.groupBy(cell_col))

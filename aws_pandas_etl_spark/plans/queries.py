@@ -15653,6 +15653,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             y_nrm="nb",
             x_extra=("anchor_label",),
             y_extra=("neg_label",),
+            # mask same-label (and self) pairs BEFORE the outer-product
+            # accumulation — the Spark-side filter below stays for exact
+            # three-valued-logic parity but no longer pays for the
+            # discarded half of the pair matrix
+            neq=("anchor_label", "neg_label"),
         )
         .filter(F.col("anchor_label") != F.col("neg_label"))
         .select(
@@ -15969,10 +15974,17 @@ def cogroup_view_pressure_per_purchase(
         "ts",
         F.pmod("user_id", F.lit(COGROUP_BUCKETS)).alias("bucket"),
     )
+    # alias EVERY right-side column (fresh exprIds): both cogroup sides
+    # derive from the same events scan, so bare column refs share
+    # attribute ids with the left — Spark's cogroup attribute dedup +
+    # column pruning then drops the shared user_id/ts from the right
+    # child under a pruning parent (count() was the repro: the Python
+    # worker received right=(n,2) [value,bucket] and KeyError'd), while
+    # collect() worked.  Distinct ids make pruning see both sides' needs.
     v = ev.filter(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        "value",
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("ts"),
+        F.col("value").alias("value"),
         F.pmod("user_id", F.lit(COGROUP_BUCKETS)).alias("bucket"),
     )
     out_schema = T.StructType(
@@ -15994,6 +16006,20 @@ def cogroup_view_pressure_per_purchase(
                     "user_id": pd.Series(dtype="int64"),
                     "n_views_1h": pd.Series(dtype="int64"),
                     "mean_view_value": pd.Series(dtype="float64"),
+                }
+            )
+        if right.empty:
+            # a bucket with purchases but zero views: pyspark hands the
+            # empty cogroup side over WITHOUT columns, so sort_values
+            # would KeyError — the answer is simply n=0 / NULL mean
+            return pd.DataFrame(
+                {
+                    "event_id": left["event_id"].to_numpy(),
+                    "user_id": left["user_id"].to_numpy(),
+                    "n_views_1h": np.zeros(len(left), dtype="int64"),
+                    "mean_view_value": pd.array(
+                        [pd.NA] * len(left), dtype="Float64"
+                    ),
                 }
             )
         r = right.sort_values(["user_id", "ts"])

@@ -406,6 +406,39 @@ def _write_ordered_splits(
     shutil.rmtree(splits, ignore_errors=True)
 
 
+_SPLITS_MARKER = "_splits_marker.json"
+
+
+def _stamp_splits(src_dir: str, **identity: object) -> None:
+    """Record what corpus/shape the ordered splits were built from, so a
+    resumed run against a reused base_dir can refuse a mismatched
+    corpus instead of silently returning wrong results."""
+    import json
+
+    with open(os.path.join(src_dir, _SPLITS_MARKER), "w") as fh:
+        json.dump(identity, fh, sort_keys=True)
+
+
+def _check_splits(src_dir: str, **identity: object) -> None:
+    import json
+
+    path = os.path.join(src_dir, _SPLITS_MARKER)
+    if not os.path.isfile(path):
+        raise RuntimeError(
+            f"reused splits dir {src_dir} has no identity marker; "
+            "rebuild the splits (delete the base_dir) before resuming"
+        )
+    with open(path) as fh:
+        found = json.load(fh)
+    want = json.loads(json.dumps(identity, sort_keys=True))
+    if found != want:
+        raise RuntimeError(
+            f"reused splits dir {src_dir} was built from {found}, "
+            f"but this run wants {want}; refusing to resume against "
+            "a different corpus/split shape"
+        )
+
+
 def run_foreach_batch_merge(
     spark: SparkSession,
     sf_dir: str,
@@ -772,6 +805,10 @@ def run_streaming_heavy_hitters(
     if not os.path.isdir(src_dir):
         os.makedirs(src_dir)
         _write_ordered_splits(docs, ["doc_id"], n_splits, base, src_dir)
+        _stamp_splits(src_dir, sf_dir=sf_dir, n_splits=n_splits)
+    else:
+        # reused base_dir (crash-resume path): refuse a mismatched corpus
+        _check_splits(src_dir, sf_dir=sf_dir, n_splits=n_splits)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -817,10 +854,13 @@ def run_streaming_heavy_hitters(
     store = _mg_load_snapshot(
         state_dir, _mg_latest_snapshot_id(state_dir)
     )
+    if not finished:
+        # leave checkpoint + mg_state snapshots on disk even when the
+        # caller asked for cleanup: they are exactly the crash-recoverable
+        # state a retried run resumes from
+        raise TimeoutError(f"heavy-hitter stream did not finish in {timeout_sec}s")
     if cleanup:
         shutil.rmtree(base, ignore_errors=True)
-    if not finished:
-        raise TimeoutError(f"heavy-hitter stream did not finish in {timeout_sec}s")
 
     all_toks = docs.select(F.explode(tokens("text")).alias("token"))
     cand = spark.createDataFrame(

@@ -1324,3 +1324,115 @@ def test_assign_guards_null_ragged_and_existing_cluster_column(spark):
 
     with _pytest.raises(ValueError, match="at least one centroid"):
         _assign(df, "embedding", [])
+
+
+def test_kmeans_fit_tolerates_ragged_vectors(spark):
+    """ADVICE r10: _update must drop the NULL-cluster rows that ragged
+    (non-null, wrong-dim) vectors produce — they survive posexplode,
+    and sorted(by_cid.items()) would compare None to int and crash the
+    very fit path the null/ragged _assign tolerance feeds."""
+    from aws_pandas_etl_spark.operators.clustering import kmeans_fit
+
+    rows = [
+        Row(vec_id=0, embedding=[0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.5, 0.5]),
+        Row(vec_id=2, embedding=[10.0, 10.0]),
+        Row(vec_id=3, embedding=[9.0, 9.0]),
+        Row(vec_id=4, embedding=[1.0]),  # ragged: NULL cluster in _assign
+        Row(vec_id=5, embedding=None),   # null: vanishes via posexplode
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = kmeans_fit(df, k=2, iters=2)
+    assert sorted(c for c, _ in cents) == [0, 1]
+    # centroids are means over the 4 valid vectors only
+    flat = {cid: v for cid, v in cents}
+    assert all(len(v) == 2 for v in flat.values())
+
+
+def test_cell_pair_cos_neq_matches_post_filter(spark):
+    """ADVICE r10: the neq pair mask must be a pure optimization — the
+    surviving (id, id, cos) set is identical to computing ALL pairs and
+    filtering label != label afterwards (same IEEE fold, same values)."""
+    from aws_pandas_etl_spark.operators.clustering import cell_pair_cos
+
+    rows = []
+    for i in range(12):
+        rows.append(
+            Row(
+                vid=i,
+                cell=i % 2,
+                lbl=["a", "b", "c"][i % 3],
+                v=[float(i + 1), float((i * 7) % 5 + 1), 2.0],
+                n=float(
+                    ((i + 1) ** 2 + ((i * 7) % 5 + 1) ** 2 + 4.0) ** 0.5
+                ),
+            )
+        )
+    df = spark.createDataFrame(rows)
+    x = df.select(
+        F.col("vid").alias("a"),
+        "cell",
+        F.col("lbl").alias("la"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    y = df.select(
+        F.col("vid").alias("b"),
+        "cell",
+        F.col("lbl").alias("lb"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    kw = dict(
+        cell_col="cell", x_id="a", y_id="b", x_vec="va", y_vec="vb",
+        x_nrm="na", y_nrm="nb", x_extra=("la",), y_extra=("lb",),
+    )
+    full = (
+        cell_pair_cos(x, y, **kw)
+        .filter(F.col("la") != F.col("lb"))
+        .select("a", "b", F.round("cos", 12).alias("cos"))
+    )
+    masked = (
+        cell_pair_cos(x, y, neq=("la", "lb"), **kw)
+        .filter(F.col("la") != F.col("lb"))
+        .select("a", "b", F.round("cos", 12).alias("cos"))
+    )
+    f = {(r["a"], r["b"]): r["cos"] for r in full.collect()}
+    m = {(r["a"], r["b"]): r["cos"] for r in masked.collect()}
+    assert f == m and len(f) > 0
+
+
+def test_cogroup_survives_column_pruning_parent(spark):
+    """Regression (r11): when both cogroup children derive from the SAME
+    parent frame via bare column refs, the children share attribute
+    ids; Spark's attribute dedup + column pruning under a pruning
+    parent (count()) then drops the shared columns from one side and
+    the Python worker receives a frame missing columns.  Both
+    cell_pair_cos (self-alias Project) and the cogroup queries (aliased
+    selects) must survive a count() — the repro that caught
+    cogroup_view_pressure_per_purchase failing at sf0.001."""
+    from aws_pandas_etl_spark.operators.clustering import cell_pair_cos
+
+    base = spark.createDataFrame(
+        [Row(vid=i, cell=i % 2, v=[1.0 * i, 2.0], n=1.0) for i in range(6)]
+    )
+    # bare refs on BOTH sides: shared expr ids by construction
+    x = base.select(
+        F.col("vid").alias("a"), "cell",
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    y = base.select(
+        F.col("vid").alias("b"), "cell",
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    out = cell_pair_cos(
+        x, y, cell_col="cell", x_id="a", y_id="b",
+        x_vec="va", y_vec="vb", x_nrm="na", y_nrm="nb",
+    )
+    assert out.count() == 2 * 9  # 3x3 pairs per cell, 2 cells
+
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["cogroup_view_pressure_per_purchase"]
+    df = q(spark, SF)
+    assert df.count() == len(df.collect()) > 0

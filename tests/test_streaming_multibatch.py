@@ -503,3 +503,55 @@ def test_heavy_hitters_mg_store_survives_driver_crash(spark, tmp_path):
     got_rows = sorted(map(tuple, resumed.collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_heavy_hitters_timeout_preserves_recoverable_state(spark, tmp_path):
+    """ADVICE r10: on timeout the runner must NOT rmtree the checkpoint
+    and mg_state snapshots (even with cleanup=True) — they are exactly
+    the crash-recoverable state a retried run resumes from.  A 1 ms
+    deadline forces the timeout deterministically; the retry with a
+    real deadline must then finish from the surviving checkpoint and
+    match the exact batch answer."""
+    from aws_pandas_etl_spark.operators.text import heavy_hitters_exact, tokens
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_streaming_heavy_hitters,
+    )
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "hh_to")
+    with pytest.raises(TimeoutError):
+        run_streaming_heavy_hitters(
+            spark, SF, base_dir=base, cleanup=True, timeout_sec=0.001
+        )
+    assert os.path.isdir(os.path.join(base, "ckpt")), (
+        "timeout destroyed the checkpoint it should preserve"
+    )
+    resumed = run_streaming_heavy_hitters(
+        spark, SF, base_dir=base, cleanup=True
+    )
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    want = heavy_hitters_exact(toks, "token", phi=0.005, counters=400)
+    assert sorted(map(tuple, resumed.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_heavy_hitters_refuses_mismatched_split_reuse(spark, tmp_path):
+    """ADVICE r10: a reused base_dir must carry an identity marker
+    (sf_dir + n_splits) and a resume against a different corpus or
+    split count must fail loudly instead of silently returning results
+    computed from the wrong splits."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_streaming_heavy_hitters,
+    )
+
+    base = str(tmp_path / "hh_id")
+    run_streaming_heavy_hitters(
+        spark, SF, base_dir=base, cleanup=False, n_splits=4
+    ).collect()
+    with pytest.raises(RuntimeError, match="different corpus|no identity"):
+        run_streaming_heavy_hitters(
+            spark, SF, base_dir=base, cleanup=False, n_splits=3
+        )

@@ -56,6 +56,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(REPO, "ORACLE_SWEEP.json"))
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: sweep just these (spot checks)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -65,6 +70,12 @@ def main() -> None:
 
     spark = get_spark(app_name="oracle_sweep")
     queries, oracles = entry.queries(), entry.oracle_sql()
+    if args.only:
+        keep = {n.strip() for n in args.only.split(",") if n.strip()}
+        missing = keep - set(queries)
+        if missing:
+            raise SystemExit(f"unknown query names: {sorted(missing)}")
+        queries = {n: q for n, q in queries.items() if n in keep}
 
     results: dict[str, dict] = {}
     n_ok = 0
