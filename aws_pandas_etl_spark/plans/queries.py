@@ -8193,9 +8193,16 @@ def rare_token_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regression": r8's 1.22 s timed the OLD single-rarest-gram
     semantics (near-zero candidates); the r9 rare-SET rework
     legitimately enumerates ~1M candidate pairs on this corpus
-    (df∈[2,16] blocking keeps ~8% of all pairs at sf0.1 — the
+    (df∈[2,16] blocking keeps 7.68% of all pairs at sf0.1 — the
     template-heavy synthetic tail), so ~2.4 s warm is the steady
-    state for the CURRENT semantics, not a plan defect."""
+    state for the CURRENT semantics, not a plan defect.  MEASURED
+    (BASELINE.md r11 "Rare-token blocking candidate volume",
+    tools/rare_token_volume.py): candidates are bounded by
+    rare_vocab x C(cap,2) — 1x: 26,336 grams x 120 >= 1.16M
+    enumerated (7.68% of 12.5M pairs); on the 10x clone possible
+    pairs grow 100x but candidates FALL to 9,315 (0.0007%) because
+    repeated texts push shared grams past the df cap —
+    vocabulary-proportional, never corpus**2."""
     t = (
         _shingle3_table(spark, sf_dir)
         .select("doc_id", F.col("hashes").alias("g"))
