@@ -69,6 +69,16 @@ def _global_rank_with_total(
         num_partitions = _default_partitions(df)
     ranged = df.repartitionByRange(num_partitions, *order_cols)
     local = _with_local_row_numbers(ranged, order_cols)
+    # pin ONE evaluation: `local` feeds BOTH the offsets aggregate and
+    # the join's probe side, and spark_partition_id() is only
+    # meaningful within a single execution — repartitionByRange samples
+    # its range boundaries from the input, so a nondeterministically
+    # ordered upstream (an aggregate, a union of joins) can produce
+    # DIFFERENT boundaries when the two branches re-execute the
+    # subtree, silently misaligning _off against _lrn.  localCheckpoint
+    # materializes the partitioning once; both branches read the same
+    # partitions (the rare-token artifact fan-out precedent).
+    local = local.localCheckpoint(eager=False)
     # tiny: one row per non-empty partition (local already hash-
     # partitioned on pid, so this aggregation adds no exchange)
     counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
@@ -98,6 +108,62 @@ def global_rank(
     return _global_rank_with_total(df, order_cols, out_col, num_partitions).drop(
         "_n_total"
     )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    out_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column ``global_prefix_sum``: all ``value_cols`` prefix-
+    summed over ONE range exchange / one local window stage / one
+    broadcast-offset join — callers needing several synchronized
+    channels (e.g. a sum and its non-null count for window-NULL
+    semantics, as ``timeseries.sliding_range_sum`` does) pay the
+    machinery once instead of per channel."""
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must align")
+    if num_partitions is None:
+        num_partitions = _default_partitions(df)
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    pid_tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lps = [f"_lps{i}" for i in range(len(value_cols))]
+    local = pid_tagged.withColumns(
+        {
+            l: F.coalesce(F.sum(v).over(w_local), F.lit(0))
+            for l, v in zip(lps, value_cols)
+        }
+    )
+    # pin ONE evaluation of the pid-tagged partitioning — see the
+    # cross-branch re-execution hazard comment in _global_rank_with_total
+    local = local.localCheckpoint(eager=False)
+    tots = [f"_tot{i}" for i in range(len(value_cols))]
+    totals = local.groupBy(_PID).agg(
+        *[F.sum(v).alias(t) for t, v in zip(tots, value_cols)]
+    )
+    w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offs = [f"_off{i}" for i in range(len(value_cols))]
+    offsets = totals.select(
+        _PID,
+        *[
+            F.coalesce(F.sum(t).over(w_prev), F.lit(0)).alias(o)
+            for t, o in zip(tots, offs)
+        ],
+    )
+    out = local.join(F.broadcast(offsets), _PID).withColumns(
+        {
+            oc: F.col(o) + F.col(l)
+            for oc, o, l in zip(out_cols, offs, lps)
+        }
+    )
+    return out.drop(_PID, *lps, *offs)
 
 
 def global_prefix_sum(
@@ -134,6 +200,13 @@ def global_prefix_sum(
     local = pid_tagged.withColumn(
         "_lps", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
     )
+    # pin ONE evaluation of the pid-tagged partitioning — same
+    # cross-branch re-execution hazard as _global_rank_with_total
+    # (see comment there): without this, a nondeterministically
+    # ordered upstream makes the offsets branch and the join branch
+    # disagree on range boundaries and the prefix silently corrupts
+    # (caught by sliding_range_sum at sf0.1, r11).
+    local = local.localCheckpoint(eager=False)
     # tiny: one row per non-empty partition (already hash-partitioned
     # on pid, so the aggregation adds no exchange)
     totals = local.groupBy(_PID).agg(F.sum(value_col).alias("_tot"))

@@ -93,3 +93,107 @@ def ewma_last_per_key(
         # trip Arrow's concat dtype inference)
 
     return src.mapInPandas(scan, schema=schema)
+
+
+def sliding_range_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    window_us: int,
+    out_col: str = "sliding_sum",
+) -> DataFrame:
+    """Skew-robust trailing range-window sum: for every row, the sum of
+    ``value_col`` over rows of the same key with
+    ``ts in [row.ts - window_us, row.ts]`` — semantically identical to
+    ``sum(value) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    window_us PRECEDING AND CURRENT ROW)`` including peer rows (equal
+    timestamps aggregate together), but WITHOUT the per-key window's
+    scale-out failure: a RANGE frame serializes each key on one task,
+    so a hot key holding 50% of the corpus puts 50% of the work on one
+    core (measured 4.3x degradation on the r11 adversarial skew clone —
+    BASELINE.md).
+
+    The classic two-prefix-sum decomposition instead:
+        trail(e) = C(key, ts_e) - C(key, ts_e - W - eps)
+    where C is the per-key inclusive prefix sum in time order.  Both
+    terms ride ONE global prefix sum over (key, ts, probe-flag) —
+    ``ranking.global_prefix_sum``'s range-repartitioned two-pass scheme
+    splits a hot key across partitions by time range — with one probe
+    row injected per distinct (key, ts) at ts - window_us, flagged to
+    sort BEFORE real rows at the same timestamp so its prefix counts
+    exactly the strictly-older-than-boundary rows.  The per-key offset
+    (sum of all earlier keys in the global order) cancels in the
+    difference, so no per-key correction is needed.  Exact for
+    decimal/integer values (the sum type must be order-independent;
+    floats would drift in the last ulps across the two passes).
+
+    Scale shape: one groupBy (key, ts) with map-side combine, one
+    range exchange + broadcast-offset join (the prefix), one
+    equi-join of each (key, ts) group to its probe, one equi-join back
+    to rows.  No per-key serialization anywhere; worst case is the
+    range partitioner's per-partition row bound, independent of key
+    skew."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.operators.ranking import global_prefix_sums
+
+    # RANGE-frame peers aggregate together: one group row per (key, ts).
+    # Two channels ride the same prefix machinery: the null-safe sum
+    # (_gv, nulls as 0) and the non-null COUNT (_gc) — a window sum is
+    # NULL iff its whole frame holds no non-null value, so the count
+    # difference decides null-ness exactly like the frame would.
+    g = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_us_col).alias("_t"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("_k", "_t")
+        .agg(
+            F.coalesce(F.sum("_v"), F.lit(0)).alias("_gv"),
+            F.count("_v").alias("_gc"),
+        )
+    )
+    # probes sort BEFORE real rows at an equal timestamp (flag 0 < 1):
+    # a probe's exclusive prefix then counts rows strictly below the
+    # window boundary — the exact complement of the inclusive frame
+    real = g.select("_k", "_t", F.lit(1).alias("_fl"), "_gv", "_gc")
+    probes = g.select(
+        "_k",
+        (F.col("_t") - F.lit(window_us)).alias("_t"),
+        F.lit(0).alias("_fl"),
+        F.lit(0).cast(real.schema["_gv"].dataType).alias("_gv"),
+        F.lit(0).cast("bigint").alias("_gc"),
+    )  # g rows are distinct (key, ts), so probes are distinct too
+    u = real.unionByName(probes)
+    pref = global_prefix_sums(
+        u, ["_k", "_t", "_fl"], ["_gv", "_gc"], ["_ps", "_pc"]
+    )
+    incl = pref.filter(F.col("_fl") == 1).select(
+        "_k",
+        "_t",
+        (F.col("_ps") + F.col("_gv")).alias("_c_hi"),
+        (F.col("_pc") + F.col("_gc")).alias("_n_hi"),
+    )
+    low = pref.filter(F.col("_fl") == 0).select(
+        F.col("_k").alias("_k2"),
+        (F.col("_t") + F.lit(window_us)).alias("_t2"),
+        F.col("_ps").alias("_c_lo"),
+        F.col("_pc").alias("_n_lo"),
+    )
+    per_group = incl.join(
+        low,
+        (F.col("_k") == F.col("_k2")) & (F.col("_t") == F.col("_t2")),
+    ).select(
+        "_k",
+        "_t",
+        F.when(
+            F.col("_n_hi") - F.col("_n_lo") > 0,
+            F.col("_c_hi") - F.col("_c_lo"),
+        ).alias(out_col),
+    )
+    return df.join(
+        per_group,
+        (F.col(key_col) == F.col("_k")) & (F.col(ts_us_col) == F.col("_t")),
+    ).drop("_k", "_t")

@@ -2440,6 +2440,45 @@ def sliding_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sliding_1h_user_value_prefix", SLIDING_ORACLE)
+def sliding_1h_user_value_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust twin of ``sliding_1h_user_value`` — same oracle,
+    same values, different physical plan: the per-user RANGE window
+    serializes each key on one task, so the r11 adversarial skew probe
+    (one user holding 50% of events at 10x) degraded it 4.3x
+    (BASELINE.md r11 skew table).  This version computes the identical
+    trailing sum via ``timeseries.sliding_range_sum`` — two prefix
+    sums over a range-repartitioned (user, ts, flag) order with probe
+    rows at ts - 1h — so the hot user's rows split across partitions
+    by TIME, and no task ever owns a whole key.  Exact because the
+    accumulation type is decimal (order-independent); measured ~1x on
+    the same skew clone.  The scale path for trailing-window features
+    whenever key skew is possible (i.e., always at 100 TB)."""
+    from aws_pandas_etl_spark.operators.timeseries import sliding_range_sum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("_ts_us"),
+        F.col("value").cast("decimal(18,4)").alias("_vdec"),
+    )
+    out = sliding_range_sum(
+        ev,
+        key_col="user_id",
+        ts_us_col="_ts_us",
+        value_col="_vdec",
+        window_us=3_600_000_000,
+        out_col="_sl",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("_sl").cast("double").alias("value_1h"),
+    )
+
+
 VOCAB_ORACLE = f"""
 WITH t AS (
   SELECT unnest({_dk_toks('text')}) AS token FROM documents

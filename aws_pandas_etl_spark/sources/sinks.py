@@ -74,6 +74,59 @@ def append_load(df: DataFrame, path: str) -> int:
     return int(obs.get["n"])
 
 
+def jdbc_overwrite_load(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    truncate: bool = False,
+    create_table_column_types: str | None = None,
+) -> int:
+    """K2 against a LIVE JDBC database — the reference's TRUNCATE+COPY
+    full refresh (/root/reference/utils/redshift_operations.py:121-167)
+    executed through Spark's JDBC sink instead of a driver-side COPY
+    statement: every partition opens its own connection and batch-
+    inserts in parallel (the distributed analogue of COPY's parallel
+    slices), ``truncate=True`` keeps the table definition and issues
+    TRUNCATE (the reference's exact refresh semantics; False re-creates
+    the table, picking up schema changes), and the returned count is
+    read BACK from the database — reconciliation counts what actually
+    landed, the PG_LAST_COPY_COUNT parity read
+    (redshift_operations.py:154-155), not what the writer thinks it
+    sent.
+
+    Scale shape: the write is numPartitions-parallel with batchsize-d
+    inserts; nothing funnels through the driver.  The read-back count
+    pushes COUNT(*) aggregation to the database (one row returns)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .mode("overwrite")
+    )
+    if truncate:
+        writer = writer.option("truncate", "true")
+    if create_table_column_types:
+        writer = writer.option(
+            "createTableColumnTypes", create_table_column_types
+        )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+    spark = df.sparkSession
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        # push COUNT(*) into the database: ship 1 row, not the table
+        .option("dbtable", f"(SELECT COUNT(*) AS n FROM {table}) t")
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    # positional access: case-folding of the alias differs per database
+    # (Derby uppercases unquoted identifiers)
+    return int(reader.load().collect()[0][0])
+
+
 def _merge_side_paths(path: str) -> tuple[str, str]:
     """Dot-prefixed tmp/old sibling paths for ``merge_load``'s swap.
     The dot prefix matters: Spark's file index skips paths starting

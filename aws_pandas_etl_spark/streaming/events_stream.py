@@ -124,6 +124,20 @@ def _probe_ts_type(spark: SparkSession, directory: str, glob: str) -> str:
     if statuses is None or len(statuses) == 0:
         raise FileNotFoundError(f"no parquet matching {glob!r} in {directory}")
     st = min(statuses, key=lambda s: s.getPath().getName())
+    if st.isDirectory():
+        # the realistic at-scale layout: events.parquet is a DIRECTORY
+        # of part files (any distributed writer's output) — probe the
+        # first part file's footer instead of the directory entry
+        parts = [
+            s
+            for s in fs.listStatus(st.getPath())
+            if s.isFile() and s.getPath().getName().endswith(".parquet")
+        ]
+        if not parts:
+            raise FileNotFoundError(
+                f"no part files inside {st.getPath().toString()}"
+            )
+        st = min(parts, key=lambda s: s.getPath().getName())
     p = st.getPath()
     scheme = p.toUri().getScheme()
     if scheme in (None, "file"):

@@ -326,6 +326,51 @@ def test_jdbc_scan_executes_against_embedded_derby(spark, tmp_path):
     assert pruned.count() == want_n
 
 
+def test_jdbc_overwrite_load_roundtrip_derby(spark, tmp_path):
+    """K2 write-back e2e (VERDICT r10 #7): the JDBC overwrite-load
+    production posture proved against a real database engine, not
+    parquet — write orders into embedded Derby, reconcile the returned
+    count against an in-database COUNT(*), overwrite AGAIN with
+    truncate=True (the reference's TRUNCATE+COPY refresh) and verify
+    no duplication and value-level parity with the source."""
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.sources.sinks import jdbc_overwrite_load
+
+    url = f"jdbc:derby:{tmp_path}/k2db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    n_src = orders.count()
+
+    # first load: table created by the writer
+    n1 = jdbc_overwrite_load(
+        orders,
+        url,
+        "orders_k2",
+        properties=props,
+        create_table_column_types=(
+            "o_orderstatus VARCHAR(4), o_orderpriority VARCHAR(20)"
+        ),
+    )
+    assert n1 == n_src
+
+    # refresh load with TRUNCATE semantics: same count, NOT doubled —
+    # the overwrite is a truncate+reload, not an append
+    n2 = jdbc_overwrite_load(orders, url, "orders_k2", properties=props, truncate=True)
+    assert n2 == n_src
+
+    # value-level parity read back through JDBC
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_k2")
+        .option("driver", props["driver"])
+        .load()
+    )
+    want = sorted(tuple(r) for r in orders.collect())
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == want
+
+
 def test_schema_evolution_merge_on_read(spark, tmp_path):
     """Schema evolution across appended batches: an old batch written
     without a column and a new batch with it must read back as one

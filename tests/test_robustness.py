@@ -299,3 +299,67 @@ def test_cell_pair_cos_invariant_under_partitioning_and_matches_fold(spark):
     want = sorted((r["a"], r["b"], r["cos"]) for r in fold.collect())
     assert len(got) > 100
     assert got == want  # raw-double equality, no rounding
+
+
+def test_sliding_range_sum_matches_window_on_skew(spark):
+    """The skew-robust trailing-sum (two range-partitioned prefix sums
+    with probe rows, timeseries.sliding_range_sum) must equal the
+    per-key RANGE window bit-for-bit on a hot-key frame — including
+    peer rows at equal timestamps and NULL-frame semantics (a window
+    sum is NULL iff the frame holds no non-null value)."""
+    from pyspark.sql import Window
+
+    from aws_pandas_etl_spark.operators.timeseries import sliding_range_sum
+
+    rows = []
+    # hot key: 500 rows, some ts ties, some NULL values
+    for i in range(500):
+        rows.append(("HOT", 1_000_000 * (i // 3), None if i % 7 == 0 else decimal.Decimal(i)))
+    for i in range(40):
+        rows.append((f"c{i % 5}", 1_000_000 * i, decimal.Decimal(i)))
+    # a key whose early frame is ALL NULL values (window sum -> NULL)
+    rows.append(("NULLY", 0, None))
+    rows.append(("NULLY", 10_000_000, decimal.Decimal(5)))
+    df = spark.createDataFrame(
+        rows, "k string, t bigint, v decimal(18,4)"
+    ).withColumn("rid", F.monotonically_increasing_id())
+    W_US = 2_500_000
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rangeBetween(-W_US, Window.currentRow)
+    )
+    want = {
+        r["rid"]: r["sl"]
+        for r in df.select(
+            "rid", F.sum("v").over(w).alias("sl")
+        ).collect()
+    }
+    got = {
+        r["rid"]: r["sl"]
+        for r in sliding_range_sum(df, "k", "t", "v", W_US, "sl")
+        .select("rid", "sl")
+        .collect()
+    }
+    assert got == want and len(got) == len(rows)
+
+
+def test_sliding_prefix_plan_has_no_per_key_window(spark):
+    """Plan shape: the skew-robust twin must not contain a window
+    partitioned by the skewable user key (that is exactly the per-key
+    serialization it exists to avoid); its exchanges are range
+    repartitions plus the pid-hash window of the prefix machinery."""
+    from aws_pandas_etl_spark.plans.queries import QUERIES
+
+    df = QUERIES["sliding_1h_user_value_prefix"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the range exchange lives inside the prefix machinery's pinned
+    # localCheckpoint subtree, which the outer plan reads back as an
+    # existing RDD — assert that boundary is present...
+    assert "existingrdd" in plan.lower()
+    # ...and that NO window in the outer plan partitions by the
+    # skewable user key (peer grouping happens via groupBy(user, ts)
+    # with map-side partials, never a per-user sort frame)
+    for line in plan.splitlines():
+        if "Window" in line and "user_id" in line and "partition" in line.lower():
+            raise AssertionError(f"per-user window found: {line}")

@@ -45,13 +45,24 @@ KEPT = ("region", "nation", "supplier", "part", "lineitem", "embeddings")
 STRIDE = 10**9
 
 
+HOT_USER = 77  # skew mode routes ~50% of events to this user_id
+HOT_LANG = "en"  # skew mode routes ~90% of documents to this lang
+
+
 def build_clone(
     spark,
     src_dir: str,
     out_dir: str,
     factor: int,
     clone_embeddings: bool = False,
+    skew: bool = False,
 ) -> None:
+    """``skew=True`` builds the ADVERSARIAL clone (VERDICT r10 #5): the
+    same N× offset-id union, then one hot key takes ~50% of events
+    (user_id := HOT_USER where event_id is even) and one lang takes
+    ~90% of documents (lang := HOT_LANG where doc_id % 10 < 9).  Wall
+    times against the uniform clone at the same factor expose whether
+    the salting / AQE-skew paths actually engage."""
     cloned = dict(CLONED)
     kept = KEPT
     if clone_embeddings:
@@ -82,6 +93,20 @@ def build_clone(
                     {c: F.col(c) + F.lit(i * STRIDE) for c in id_cols}
                 )
             clones = ci if clones is None else clones.unionByName(ci)
+        if skew and name == "events":
+            clones = clones.withColumn(
+                "user_id",
+                F.when(
+                    F.pmod("event_id", F.lit(2)) == 0, F.lit(HOT_USER)
+                ).otherwise(F.col("user_id")),
+            )
+        if skew and name == "documents":
+            clones = clones.withColumn(
+                "lang",
+                F.when(
+                    F.pmod("doc_id", F.lit(10)) < 9, F.lit(HOT_LANG)
+                ).otherwise(F.col("lang")),
+            )
         clones.write.mode("overwrite").parquet(dst)
 
 
@@ -105,6 +130,13 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--workdir", default="/tmp/spark_graft_probe")
     ap.add_argument("--clone-embeddings", action="store_true")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="ALSO build an adversarially skewed clone at the same "
+        "factor (hot user ~50%% of events, hot lang ~90%% of documents) "
+        "and print uniform-vs-skew columns instead of 1x-vs-Nx",
+    )
     args = ap.parse_args()
 
     unknown = [n for n in args.names if n not in Q.QUERIES]
@@ -119,13 +151,34 @@ def main() -> None:
         spark, args.base, clone_dir, args.factor, args.clone_embeddings
     )
 
-    for name in args.names:
-        t1 = time_query(spark, name, args.base, args.repeats)
-        tn = time_query(spark, name, clone_dir, args.repeats)
-        ratio = tn / t1 if t1 > 0 else float("inf")
-        print(
-            f"| `{name}` | {t1:.1f} s | {tn:.1f} s ({ratio:.1f}x) |  |"
+    skew_dir = None
+    if args.skew:
+        skew_dir = os.path.join(args.workdir, f"x{args.factor}{suffix}_skew")
+        print(f"# building skewed clone at {skew_dir}", file=sys.stderr)
+        build_clone(
+            spark,
+            args.base,
+            skew_dir,
+            args.factor,
+            args.clone_embeddings,
+            skew=True,
         )
+
+    for name in args.names:
+        if args.skew:
+            tu = time_query(spark, name, clone_dir, args.repeats)
+            tsk = time_query(spark, name, skew_dir, args.repeats)
+            ratio = tsk / tu if tu > 0 else float("inf")
+            print(
+                f"| `{name}` | {tu:.1f} s | {tsk:.1f} s ({ratio:.1f}x) |  |"
+            )
+        else:
+            t1 = time_query(spark, name, args.base, args.repeats)
+            tn = time_query(spark, name, clone_dir, args.repeats)
+            ratio = tn / t1 if t1 > 0 else float("inf")
+            print(
+                f"| `{name}` | {t1:.1f} s | {tn:.1f} s ({ratio:.1f}x) |  |"
+            )
         sys.stdout.flush()
 
 
