@@ -756,6 +756,53 @@ def pipeline_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name")
 
 
+def _error_isolation_leg(which: str):
+    """One leg of pipeline_error_isolation as its own timeable unit
+    (VERDICT r10 #8: the composite timed three load jobs plus an
+    intentional failure as ONE number, hiding per-leg regressions)."""
+
+    def leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from aws_pandas_etl_spark.plans.pipeline import TableSpec, run
+
+        spec = {
+            "ok": TableSpec(name="orders_ok"),
+            "bad": TableSpec(
+                name="orders_bad", decimal_cols=["o_orderpriority"]
+            ),
+            "skip": TableSpec(name="part_inactive", active_flag="F"),
+        }[which]
+
+        def source(s: SparkSession, name: str) -> DataFrame:
+            return load_table(
+                s, sf_dir, "part" if name == "part_inactive" else "orders"
+            )
+
+        target = artifact_path("error_isolation_leg", which, f"pid{os.getpid()}")
+        results = run(spark, {spec.name: spec}, source, target)
+        return spark.createDataFrame(
+            [(r.table, r.status, r.rows) for r in results],
+            "table_name string, status string, loaded_rows bigint",
+        )
+
+    return leg
+
+
+# Composite bench queries decomposed into separately-timeable legs.
+# bench.py times each leg AFTER the main loop and reports them under
+# "legs" in the output map (NOT added to the headline total — they
+# re-run work the composite already timed), so a regression in any
+# single leg is visible round-over-round.
+COMPOSITE_LEGS: dict = {
+    "pipeline_error_isolation": {
+        "load_ok": _error_isolation_leg("ok"),
+        "fail_bad": _error_isolation_leg("bad"),
+        "skip_inactive": _error_isolation_leg("skip"),
+    }
+}
+
+
 # ===========================================================================
 # Dedup (X1/X2) — exact, MinHash-LSH, SimHash
 # ===========================================================================

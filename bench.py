@@ -132,6 +132,38 @@ def main() -> None:
             errors.pop(name, None)  # a later repeat succeeded
             print(f"# {name}: {timings[name]}s (min of {len(samples)})", file=sys.stderr)
 
+    # composite-query legs: timed separately so a regression in one leg
+    # of a multi-job query is visible, but NOT in the headline total
+    # (they re-run work the composite already timed)
+    legs: dict[str, dict[str, float]] = {}
+    for comp, leg_fns in getattr(Q, "COMPOSITE_LEGS", {}).items():
+        if comp not in timings:
+            continue
+        legs[comp] = {}
+        for leg_name, leg_fn in leg_fns.items():
+            samples = []
+            for _ in range(repeats):
+                t0 = time.monotonic()
+                try:
+                    leg_fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    samples.append(time.monotonic() - t0)
+                except Exception as exc:
+                    print(
+                        f"# leg {comp}/{leg_name}: ERROR {exc}",
+                        file=sys.stderr,
+                    )
+                    break
+                finally:
+                    spark.catalog.clearCache()
+            if samples:
+                legs[comp][leg_name] = round(min(samples), 3)
+                print(
+                    f"# leg {comp}/{leg_name}: {legs[comp][leg_name]}s",
+                    file=sys.stderr,
+                )
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_wall_sec_all_queries",
@@ -144,6 +176,8 @@ def main() -> None:
         "n_ok": len(timings),
         "n_failed": len(errors),
     }
+    if legs:
+        result["legs"] = legs
     if errors:
         # the headline total covers only the queries that ran — flag it
         # so round-over-round comparison can't mistake a smaller query
