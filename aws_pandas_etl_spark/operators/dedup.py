@@ -760,3 +760,135 @@ def exact_span_duplicates(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# Winnowing geometry: token k-grams hashed, windows of w consecutive
+# gram hashes, min-of-window (tie -> rightmost) selected.  Guarantee
+# (Schleimer et al., SIGMOD'03 "Winnowing: local algorithms for
+# document fingerprinting"): any shared run of >= k + w - 1 tokens
+# yields at least one shared fingerprint; expected selection density
+# is 2/(w+1) of gram positions.
+WINNOW_K = 4
+WINNOW_W = 4
+WINNOW_DF_CAP = 16
+WINNOW_MIN_SHARED = 3
+# (hash, pos) packed into one BIGINT so one MIN() implements
+# argmin-with-rightmost-tiebreak portably: key = h * 2^20 +
+# (2^20 - 1 - pos).  h is the 28-bit base hash -> key < 2^48; docs are
+# bounded at 2^20 gram positions (a million tokens — far above any
+# training document; enforce upstream if ingesting books whole).
+WINNOW_POS_MOD = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing fingerprint table: (id, fp, pos) — the MOSS
+    plagiarism-detector selection, the third near-dup family next to
+    MinHash-LSH (probabilistic, set-level) and rare-shingle blocking
+    (frequency-selective): winnowing is POSITION-ROBUST — it
+    guarantees detection of any shared substring of >= k+w-1 tokens,
+    which set-level Jaccard dilutes away when the shared passage is a
+    small fraction of each document.
+
+    Plan: the ENTIRE selection is document-local by definition, so it
+    runs inside one Arrow-batched ``mapInPandas`` scan — tokenize,
+    hash k-grams (pytext md5-prefix invariant, byte-identical to the
+    Column/oracle twins), pack (hash, rightmost-pos), numpy sliding
+    min, per-doc unique — emitting ~2/(w+1) of gram positions as
+    (id, fp, pos) rows with NO explode, NO per-doc window shuffle and
+    NO distinct (a Column + Window draft of the same selection
+    measured ~4x slower at sf0.1: per-element HOF gram building plus
+    two shuffles).  One Python call per Arrow batch; a document is
+    the only serial unit."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_pandas_etl_spark.functions import pytext
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("fp", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    )
+
+    def _extract(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            poss: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = pytext.tokens(text)
+                n = len(toks) - k + 1
+                if n < w:
+                    # strict full-window form: docs with < w grams emit
+                    # no fingerprints, mirrored by the oracle
+                    continue
+                keys = np.fromiter(
+                    (
+                        pytext.md5_int(" ".join(toks[i : i + k]), 7)
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                packed = keys * WINNOW_POS_MOD + (
+                    WINNOW_POS_MOD - 1 - np.arange(n, dtype=np.int64)
+                )
+                sel = np.unique(sliding_window_view(packed, w).min(axis=1))
+                ids.extend([doc_id] * len(sel))
+                fps.extend((sel // WINNOW_POS_MOD).tolist())
+                poss.extend(
+                    ((WINNOW_POS_MOD - 1) - (sel % WINNOW_POS_MOD)).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                    "pos": pd.Series(poss, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_extract, schema=out_schema)
+
+
+def winnow_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = WINNOW_DF_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Near-duplicate pairs from a winnowing fingerprint table: docs
+    sharing >= min_shared distinct fingerprints, blocked per
+    fingerprint with the rare-token df cap (a fingerprint in > df_cap
+    docs is boilerplate — template headers — and would form a
+    quadratic bucket; dropping it loses only pairs ALSO joined by a
+    rarer fingerprint, the same recall argument as LSH's max_bucket).
+
+    Returns (a, b, n_shared).  Scale shape: candidate volume is
+    bounded by |fingerprint vocabulary| x C(df_cap, 2), vocabulary-
+    proportional like rare-token blocking (BASELINE.md r11 measured
+    that bound's behavior directly)."""
+    f = fps.select(F.col(id_col).alias("___d"), "fp").distinct()
+    dfreq = f.groupBy("fp").agg(F.count("*").alias("___df"))
+    kept = f.join(
+        dfreq.filter(F.col("___df") <= df_cap).select("fp"), "fp"
+    )
+    return (
+        kept.alias("x")
+        .join(kept.alias("y"), "fp")
+        .filter(F.col("x.___d") < F.col("y.___d"))
+        .groupBy(
+            F.col("x.___d").alias("a"), F.col("y.___d").alias("b")
+        )
+        .agg(F.count_distinct(F.col("fp")).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -2526,6 +2526,183 @@ def sliding_1h_user_value_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_fp_ctes() -> str:
+    """WITH-prefix ending in CTE ``fp(doc_id, fp)`` — the winnowing
+    fingerprint selection, shared by the pair and density oracles.
+    Mirrors operators/dedup.py::winnow_fingerprints exactly: ordered
+    positional k-grams, 28-bit base hash packed with the rightmost-pos
+    tiebreak, per-doc sliding MIN, full windows only."""
+    from aws_pandas_etl_spark.functions.hashing import BASE_HASH_HEX_DIGITS
+
+    k, w, m = D.WINNOW_K, D.WINNOW_W, D.WINNOW_POS_MOD
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_dk_toks('text')} AS toks FROM documents
+), gl AS (
+  SELECT doc_id, list_transform(
+           generate_series(1, greatest(len(toks) - {k - 1}, 0)),
+           i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' ')) AS grams
+  FROM t
+), g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(grams))) - 1 AS pos,
+         unnest(grams) AS gram
+  FROM gl
+), win AS (
+  SELECT doc_id, pos,
+         MIN(CAST(('0x'||substr(md5(gram),1,{BASE_HASH_HEX_DIGITS})) AS BIGINT)
+             * {m} + ({m - 1} - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS selkey
+  FROM g
+), sel AS (
+  -- positional fingerprints: distinct (doc, hash, pos) like the Spark
+  -- operator (the same hash selected at two positions = two rows)
+  SELECT DISTINCT doc_id, selkey FROM win WHERE pos >= {w - 1}
+), fp AS (
+  -- doc-level hash set (what pairing joins on)
+  SELECT DISTINCT doc_id, selkey // {m} AS fp FROM sel
+)"""
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/query-many winnowing fingerprint table (doc_id, fp,
+    pos) at the family dials (k=4, w=4) — the _shingle3_table contract
+    for the winnowing family: the pair query and the density audit
+    both read the same selection, and a deployment fingerprints a
+    corpus snapshot once.  Deterministic (pytext md5 invariant), so
+    cached and fresh tables are value-identical."""
+    import hashlib
+    import os
+
+    from aws_pandas_etl_spark.operators.clustering import (
+        read_knn_graph,
+        write_knn_graph,
+    )
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return D.winnow_fingerprints(docs)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    src_id = source_ident(src)
+    if src_id is None:
+        return _build()
+    ident = f"{src_id}|winnow-v1|k={D.WINNOW_K}|w={D.WINNOW_W}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = artifact_path(f"winnow_{tag}")
+    if not os.path.isdir(path):
+        write_knn_graph(_build(), path)  # generic atomic parquet publish
+    return read_knn_graph(spark, path)
+
+
+def _winnow_pairs_oracle() -> str:
+    return f"""{_winnow_fp_ctes()}, kept AS (
+  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {D.WINNOW_DF_CAP}
+), fpk AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN kept USING (fp)
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(COUNT(DISTINCT x.fp) AS BIGINT) AS n_shared
+FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY a, b HAVING COUNT(DISTINCT x.fp) >= {D.WINNOW_MIN_SHARED}
+"""
+
+
+@register("winnowing_fingerprint_pairs", _winnow_pairs_oracle())
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2, third near-dup family — winnowing document fingerprints
+    (Schleimer et al., SIGMOD'03; the MOSS algorithm): per-document
+    sliding-window minima over positional k-gram hashes, then pairs
+    sharing >= {min_shared} selected fingerprints.  The guarantee the
+    other two families lack: any shared TOKEN RUN of >= k+w-1 tokens
+    produces a shared fingerprint, so a copied passage is detected
+    even when it is a small fraction of each document (set-level
+    Jaccard dilutes it; MinHash bands need whole-signature agreement).
+
+    Scale shape: per-doc window (bounded by doc length, not a skew
+    surface), selection keeps ~2/(w+1) of gram rows, and pairing is
+    fingerprint-blocked with the df<=cap guard — candidate volume
+    bounded by |fp vocabulary| x C(cap,2), the rare-token economics
+    measured in BASELINE.md r11."""
+    return winnow_pairs_ordered(_winnow_fps(spark, sf_dir))
+
+
+def winnow_pairs_ordered(fps: DataFrame) -> DataFrame:
+    return D.winnow_pairs(fps).orderBy("a", "b")
+
+
+def _winnow_density_oracle() -> str:
+    k = D.WINNOW_K
+    return f"""{_winnow_fp_ctes()}, per_doc AS (
+  SELECT t.doc_id, greatest(len(t.toks) - {k - 1}, 0) AS n_grams,
+         (SELECT COUNT(*) FROM sel WHERE sel.doc_id = t.doc_id) AS n_fps
+  FROM t
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_fps) AS BIGINT) AS total_fps,
+       ROUND(CAST(SUM(p.n_fps) AS DOUBLE) / GREATEST(SUM(p.n_grams), 1), 6)
+         AS density
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+@register("winnowing_fingerprint_density", _winnow_density_oracle())
+def winnowing_fingerprint_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing selection-density audit: fingerprints kept per gram,
+    by language — the empirical check of the 2/(w+1) expected density
+    (w={w}: ~0.4), the knob that trades index size against the k+w-1
+    detection guarantee.  The operator's cost model at 100 TB IS this
+    number (fingerprint index bytes = density x token volume), so the
+    audit belongs next to the operator like pq_recall_at10 does for
+    PQ."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(
+            F.trim(
+                F.lower(
+                    F.regexp_replace(
+                        F.coalesce(F.col("text"), F.lit("")),
+                        r"[^a-zA-Z0-9]+",
+                        " ",
+                    )
+                )
+            ),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(
+            F.size(toks) - F.lit(D.WINNOW_K - 1), F.lit(0)
+        ).alias("n_grams"),
+    )
+    fps = (
+        _winnow_fps(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_fps"))
+    )
+    per_doc = grams.join(fps, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_fps").cast("bigint").alias("total_fps"),
+        F.round(
+            F.sum("n_fps").cast("double")
+            / F.greatest(F.sum("n_grams"), F.lit(1)),
+            6,
+        ).alias("density"),
+    )
+
+
 VOCAB_ORACLE = f"""
 WITH t AS (
   SELECT unnest({_dk_toks('text')}) AS token FROM documents
@@ -18530,6 +18707,7 @@ def prebuild_shared_artifacts(spark: SparkSession, sf_dir: str) -> None:
     artifact BUILD cost is measured separately by the BASELINE.md
     scaling probes, which start from a fresh root on purpose."""
     _shingle3_table(spark, sf_dir)
+    _winnow_fps(spark, sf_dir)
     _minhash_pairs(spark, sf_dir)
     _cc_components(spark, sf_dir)
     _kmeans_cents(spark, sf_dir)

@@ -1436,3 +1436,56 @@ def test_cogroup_survives_column_pruning_parent(spark):
     q = entrymod.queries()["cogroup_view_pressure_per_purchase"]
     df = q(spark, SF)
     assert df.count() == len(df.collect()) > 0
+
+
+def test_winnowing_shared_passage_guarantee(spark):
+    """Schleimer et al.'s detection guarantee: any shared token run of
+    >= k + w - 1 tokens yields at least one SHARED fingerprint, no
+    matter where the passage sits in each document (the property
+    set-level Jaccard and MinHash bands lack for small passages)."""
+    k, w = D.WINNOW_K, D.WINNOW_W
+    passage = " ".join(f"p{i}" for i in range(k + w - 1))
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma " * 10 + passage),
+        Row(doc_id=2, text=passage + " delta epsilon zeta " * 10),
+        Row(doc_id=3, text="unrelated words only here " * 12),
+    ]
+    docs = spark.createDataFrame(rows)
+    fps = D.winnow_fingerprints(docs)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared passage produced no shared fp"
+    assert not (by_doc[1] & by_doc[3] & by_doc[2])
+
+    # winnow_pairs finds (1, 2) once min_shared is met
+    pairs = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in D.winnow_pairs(fps, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+
+
+def test_winnowing_density_and_determinism(spark):
+    """Expected selection density is ~2/(w+1) of gram positions on
+    random-ish text, and the selection is deterministic (two runs,
+    identical (doc, fp, pos) sets)."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(5000)}" for _ in range(4000)]
+    rows = [
+        Row(doc_id=i, text=" ".join(words[i * 400 : (i + 1) * 400]))
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows)
+    k, w = D.WINNOW_K, D.WINNOW_W
+    a = sorted(map(tuple, D.winnow_fingerprints(docs).collect()))
+    b = sorted(map(tuple, D.winnow_fingerprints(docs).collect()))
+    assert a == b and len(a) > 0
+    n_grams = sum(400 - k + 1 for _ in rows)
+    density = len(a) / n_grams
+    assert 0.25 < density < 0.55, density  # 2/(w+1) = 0.4 +/- slack
