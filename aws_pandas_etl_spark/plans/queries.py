@@ -17798,6 +17798,15 @@ def unigram_entropy_effective_vocab(
 # 2 newcomers — every registry entry driver-witnessed on its CURRENT
 # semantics.  Every seat is exact-value-green in the local sweep at
 # sf0.001/0.01 before seating.
+# Round-11 rotation: after CORRECTNESS_r10 (50/50 green) the cumulative
+# driver-verified union is 276/276.  This round adds 3 queries (the
+# skew-robust sliding-sum twin and the winnowing fingerprint pair +
+# density family) and REWORKS 7 after their last green row (listed in
+# the window comment below) — all take seats, every seat exact-value
+# green in the local sweep at sf0.001/0.01/0.1 before seating.  The
+# remaining 40 seats re-verify one driver-green representative per
+# family.  A green r11 window keeps the union 279/279 on current
+# semantics.
 # Round-10 rotation: after CORRECTNESS_r09 (50/50 green) the cumulative
 # driver-verified union is 238/267; exactly 29 registry entries have
 # never had a driver row (all round-9 additions born after the r9
@@ -17821,66 +17830,68 @@ def unigram_entropy_effective_vocab(
 # driver-witnessed on its CURRENT semantics.  Every seat is
 # exact-value-green in the local sweep at sf0.001/0.01 before seating.
 _DRIVER_WINDOW = [
-    # -- 29 never-driver-verified seats (round-9 additions) --
-    "zone_map_pruning_stats",
-    "compaction_plan_small_files",
-    "hll_cumulative_daily_distinct",
-    "attribution_position_based",
-    "heaps_law_fit",
-    "ece_quality_calibration",
-    "embedding_isotropy_probe",
-    "knn_graph_degree_powerlaw",
-    "exact_percentiles_histogram_refine",
-    "uniform_sample_exact_k",
-    "raking_weights_lang_source",
-    "hard_negative_mining",
-    "mmr_diversified_rerank",
-    "lpa_communities_knn",
+    # -- 3 born this round (r11) --
+    "sliding_1h_user_value_prefix",
+    "winnowing_fingerprint_pairs",
+    "winnowing_fingerprint_density",
+    # -- 7 reworked-after-last-green re-seats (r11): cogroup right-side
+    # re-alias + empty-bucket guard; cell_pair_cos neq mask + self-alias
+    # (hard-negative, bitext); kmeans _update NULL-cluster filter
+    # (kmeans family rep); heavy-hitters timeout/marker runner changes;
+    # global_prefix_sum/global_rank localCheckpoint pin (pack, pctrank) --
     "cogroup_view_pressure_per_purchase",
-    "retention_gc_plan",
-    "freshness_lag_by_type",
-    "exact_dup_lsh_recall",
-    "curriculum_phase_stats",
-    "ann_ivf_batch_topk",
-    "multimodal_audio_frame_rms",
-    "consistent_hash_rebalance",
-    "cdc_time_travel_diff",
-    "stratified_sample_exact_k",
-    "contrastive_positive_pairs",
-    "exact_median_per_type_refine",
-    "fd_binwidth_recommendation",
-    "embedding_outliers_per_label",
-    "unigram_entropy_effective_vocab",
-    # -- 9 born this round --
-    "ann_ivf_filtered_topk",
-    "pq_recall_at10",
-    "frame_near_dup_rate",
-    "source_mixture_after_dedup",
-    "time_decayed_event_type_scores",
-    "minhash_estimate_error",
+    "hard_negative_mining",
     "bitext_mining_margin",
-    "cross_perplexity_by_source",
-    "split_leakage_repair",
-    # -- 3 reworked-after-last-green re-seats --
-    "rare_token_blocked_pairs",
     "kmeans_embeddings",
     "streaming_heavy_hitters",
-    # -- 9 family-representative re-verify seats (all driver-green;
-    # bm25_topk_docs, pagerank_knn_graph, semantic_dedup_pairs, and
-    # mixture_sample_by_lang vacated for the late-round newcomers —
-    # retrieval keeps mmr_diversified_rerank, graph keeps
-    # lpa_communities_knn + knn_graph_degree_powerlaw, clustering
-    # keeps the kmeans_embeddings re-seat, sampling keeps the exact-k
-    # seats + source_mixture_after_dedup above) --
+    "pack_sequences_greedy",
+    "user_spend_percent_rank",
+    # -- 40 family-representative re-verify seats (all driver-green on
+    # current semantics; spread chosen to touch every §2a/§2b family:
+    # TPC-H/relational, pipeline K1/K2/E1, dedup x4, ANN/PQ x4, text x6,
+    # clustering/graph x4, retrieval x3, sketches x3, sampling x3,
+    # streaming x4, timeseries/behavioral x5, quality/audit x4) --
     "q1_pricing_summary",
+    "q21_sole_returning_supplier",
+    "window_topk_orders_per_customer",
+    "pipeline_roundtrip",
     "pipeline_merge_roundtrip",
+    "pipeline_error_isolation",
+    "dedup_exact_documents",
     "dedup_minhash_lsh",
-    "bpe_top_merges",
-    "multimodal_frame_sample",
-    "ann_ivf_topk",
+    "rare_token_blocked_pairs",
     "decontaminate_bloom",
+    "ann_ivf_topk",
+    "ann_ivf_filtered_topk",
+    "pq_recall_at10",
+    "ann_ivf_batch_topk",
+    "bpe_top_merges",
+    "cross_perplexity_by_source",
+    "text_stats_by_lang",
+    "quality_score_documents",
+    "token_vocabulary_top20",
+    "unigram_entropy_effective_vocab",
+    "semantic_dedup_pairs",
+    "lpa_communities_knn",
+    "knn_graph_degree_powerlaw",
+    "split_leakage_repair",
+    "bm25_topk_docs",
+    "mmr_diversified_rerank",
+    "hybrid_retrieval_rrf",
+    "hll_distinct_users",
+    "heavy_hitter_tokens",
+    "countmin_token_frequencies",
+    "stratified_sample_exact_k",
+    "source_mixture_after_dedup",
+    "mixture_sample_by_lang",
     "streaming_hll_distinct",
+    "streaming_sessionize_stateful",
+    "streaming_range_join_errors_clicks",
+    "streaming_foreach_batch_merge",
+    "sliding_1h_user_value",
     "point_in_time_features",
+    "cdc_time_travel_diff",
+    "multimodal_frame_sample",
 ]
 
 
