@@ -17869,7 +17869,6 @@ _DRIVER_WINDOW = [
     "cross_perplexity_by_source",
     "text_stats_by_lang",
     "quality_score_documents",
-    "token_vocabulary_top20",
     "unigram_entropy_effective_vocab",
     "semantic_dedup_pairs",
     "lpa_communities_knn",

@@ -156,32 +156,37 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin one representative per family group that must never
-    # drift back out of the window (round-10 rotation: 29 seats for
-    # the never-driver-verified r9 entries, 9 for the r10-born queries,
-    # 3 re-seats for queries reworked after their last green row, and
-    # 9 driver-green family representatives)
+    # drift back out of the window (round-11 rotation: 3 seats for the
+    # r11-born queries, 7 re-seats for queries reworked after their
+    # last green row, and 40 driver-green family representatives)
     for must in [
-        "q1_pricing_summary",           # TPC-H-ish relational flagship
-        "dedup_minhash_lsh",            # dedup (LSH pair artifact)
-        "rare_token_blocked_pairs",     # dedup (reworked -> re-witness)
-        "streaming_hll_distinct",       # streaming (mergeable sketch)
-        "streaming_heavy_hitters",      # streaming (MG store reworked)
-        "bpe_top_merges",               # text / tokenizer training
-        "pq_recall_at10",               # embeddings / PQ index audit
-        "ann_ivf_topk",                 # ANN (shared quantizer)
-        "ann_ivf_filtered_topk",        # filtered ANN (r10-born)
-        "kmeans_embeddings",            # clustering (_assign rework)
-        "lpa_communities_knn",          # graph over kNN edges
-        "minhash_estimate_error",       # dedup sketch audit (r10-born)
-        "bitext_mining_margin",         # bitext mining (r10-born)
-        "cross_perplexity_by_source",   # CCNet quality LM (r10-born)
-        "split_leakage_repair",         # dedup-aware split fix (r10-born)
-        "multimodal_frame_sample",      # X5 multimodal
-        "frame_near_dup_rate",          # X5 frame dedup (r10-born)
-        "pipeline_merge_roundtrip",     # K2 CDC merge sink
-        "source_mixture_after_dedup",   # dedup-aware mixture (r10-born)
-        "mmr_diversified_rerank",       # retrieval rerank (reworked)
-        "point_in_time_features",       # temporal join family
+        "sliding_1h_user_value_prefix",  # r11-born (skew-robust twin)
+        "winnowing_fingerprint_pairs",   # r11-born (third near-dup family)
+        "winnowing_fingerprint_density", # r11-born (selection audit)
+        "cogroup_view_pressure_per_purchase",  # reworked (alias + guard)
+        "hard_negative_mining",          # reworked (neq pair mask)
+        "bitext_mining_margin",          # reworked (cell_pair_cos re-alias)
+        "kmeans_embeddings",             # reworked (_update NULL filter)
+        "streaming_heavy_hitters",       # reworked (timeout/marker runner)
+        "pack_sequences_greedy",         # reworked (prefix checkpoint pin)
+        "user_spend_percent_rank",       # reworked (rank checkpoint pin)
+        "q1_pricing_summary",            # TPC-H-ish relational flagship
+        "dedup_minhash_lsh",             # dedup (LSH pair artifact)
+        "rare_token_blocked_pairs",      # dedup (rare-gram blocking)
+        "streaming_hll_distinct",        # streaming (mergeable sketch)
+        "bpe_top_merges",                # text / tokenizer training
+        "pq_recall_at10",                # embeddings / PQ index audit
+        "ann_ivf_topk",                  # ANN (shared quantizer)
+        "ann_ivf_filtered_topk",         # filtered ANN
+        "lpa_communities_knn",           # graph over kNN edges
+        "cross_perplexity_by_source",    # CCNet quality LM
+        "split_leakage_repair",          # dedup-aware split fix
+        "multimodal_frame_sample",       # X5 multimodal
+        "pipeline_merge_roundtrip",      # K2 CDC merge sink
+        "source_mixture_after_dedup",    # dedup-aware mixture
+        "mmr_diversified_rerank",        # retrieval rerank
+        "point_in_time_features",        # temporal join family
+        "sliding_1h_user_value",         # the window twin stays seated
     ]:
         assert must in Q._DRIVER_WINDOW, must
 
