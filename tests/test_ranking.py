@@ -74,3 +74,47 @@ def test_global_rank_plan_has_no_global_sort(spark):
     for line in plan.splitlines():
         if line.strip().startswith(("Sort ", "+- Sort ", ":- Sort ")) or "Sort [" in line:
             assert ", true," not in line, f"global sort in plan: {line}"
+
+
+def test_global_prefix_sums_multi_channel_matches_single(spark):
+    """The one-exchange multi-column variant must equal N independent
+    global_prefix_sum calls channel-for-channel (exclusive prefix in
+    (k, t) order), including the zero for the first row."""
+    from pyspark.sql import Window
+
+    from aws_pandas_etl_spark.operators.ranking import (
+        global_prefix_sum,
+        global_prefix_sums,
+    )
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 3 + 1).alias("b"),
+    )
+    multi = {
+        r["id"]: (r["pa"], r["pb"])
+        for r in global_prefix_sums(
+            df, ["id"], ["a", "b"], ["pa", "pb"], num_partitions=8
+        ).collect()
+    }
+    sa = {
+        r["id"]: r["pa"]
+        for r in global_prefix_sum(df, ["id"], "a", "pa", 8).collect()
+    }
+    sb = {
+        r["id"]: r["pb"]
+        for r in global_prefix_sum(df, ["id"], "b", "pb", 8).collect()
+    }
+    assert multi == {k: (sa[k], sb[k]) for k in sa}
+    # and both equal the single-partition window oracle
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    oracle = {
+        r["id"]: (r["pa"] or 0, r["pb"] or 0)
+        for r in df.select(
+            "id",
+            F.sum("a").over(w).alias("pa"),
+            F.sum("b").over(w).alias("pb"),
+        ).collect()
+    }
+    assert multi == oracle
