@@ -2632,6 +2632,68 @@ def winnow_pairs_ordered(fps: DataFrame) -> DataFrame:
     return D.winnow_pairs(fps).orderBy("a", "b")
 
 
+def _winnow_spans_oracle() -> str:
+    return f"""{_winnow_fp_ctes()}, fpp AS (
+  SELECT doc_id, selkey // {D.WINNOW_POS_MOD} AS fp,
+         {D.WINNOW_POS_MOD - 1} - (selkey % {D.WINNOW_POS_MOD}) AS pos
+  FROM sel
+), kept AS (
+  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fpp)
+  GROUP BY fp HAVING COUNT(*) <= {D.WINNOW_DF_CAP}
+), fk AS (
+  SELECT f.doc_id, f.fp, f.pos FROM fpp f JOIN kept USING (fp)
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(COUNT(DISTINCT x.fp) AS BIGINT) AS n_shared,
+       CAST(MIN(x.pos) AS INT) AS a_pos_min, CAST(MAX(x.pos) AS INT) AS a_pos_max,
+       CAST(MIN(y.pos) AS INT) AS b_pos_min, CAST(MAX(y.pos) AS INT) AS b_pos_max
+FROM fk x JOIN fk y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY a, b HAVING COUNT(DISTINCT x.fp) >= {D.WINNOW_MIN_SHARED}
+"""
+
+
+@register("winnowing_shared_spans", _winnow_spans_oracle())
+def winnowing_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span LOCALIZATION — the capability that distinguishes winnowing
+    from MinHash/rare-token blocking: because fingerprints carry gram
+    POSITIONS, a matched pair comes with the extent of the shared
+    material in EACH document (min/max matched position per side) —
+    what a curation pipeline needs to EXCISE a duplicated passage
+    (license header, quoted template) instead of dropping whole
+    documents.  Same artifact, df-cap and min-shared dials as the pair
+    query; one extra min/max per side in the pair aggregate.
+
+    Scale shape: identical to winnowing_fingerprint_pairs (fingerprint-
+    blocked, vocabulary-bounded candidates) — the span columns are
+    map-side-combinable aggregates on the same shuffle."""
+    fps = _winnow_fps(spark, sf_dir)
+    f = fps.select(F.col("doc_id").alias("___d"), "fp", "pos")
+    docfreq = (
+        f.select("___d", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("___df"))
+    )
+    kept = f.join(
+        docfreq.filter(F.col("___df") <= D.WINNOW_DF_CAP).select("fp"), "fp"
+    )
+    return (
+        kept.alias("x")
+        .join(kept.alias("y"), "fp")
+        .filter(F.col("x.___d") < F.col("y.___d"))
+        .groupBy(F.col("x.___d").alias("a"), F.col("y.___d").alias("b"))
+        .agg(
+            F.count_distinct(F.col("fp")).alias("n_shared"),
+            F.min(F.col("x.pos")).alias("a_pos_min"),
+            F.max(F.col("x.pos")).alias("a_pos_max"),
+            F.min(F.col("y.pos")).alias("b_pos_min"),
+            F.max(F.col("y.pos")).alias("b_pos_max"),
+        )
+        .filter(F.col("n_shared") >= D.WINNOW_MIN_SHARED)
+        .orderBy("a", "b")
+    )
+
+
 def _winnow_density_oracle() -> str:
     k = D.WINNOW_K
     return f"""{_winnow_fp_ctes()}, per_doc AS (
@@ -17799,13 +17861,13 @@ def unigram_entropy_effective_vocab(
 # semantics.  Every seat is exact-value-green in the local sweep at
 # sf0.001/0.01 before seating.
 # Round-11 rotation: after CORRECTNESS_r10 (50/50 green) the cumulative
-# driver-verified union is 276/276.  This round adds 3 queries (the
+# driver-verified union is 276/276.  This round adds 4 queries (the
 # skew-robust sliding-sum twin and the winnowing fingerprint pair +
-# density family) and REWORKS 7 after their last green row (listed in
+# density + span-localization family) and REWORKS 7 after their last green row (listed in
 # the window comment below) — all take seats, every seat exact-value
 # green in the local sweep at sf0.001/0.01/0.1 before seating.  The
-# remaining 40 seats re-verify one driver-green representative per
-# family.  A green r11 window keeps the union 279/279 on current
+# remaining 39 seats re-verify one driver-green representative per
+# family.  A green r11 window keeps the union 280/280 on current
 # semantics.
 # Round-10 rotation: after CORRECTNESS_r09 (50/50 green) the cumulative
 # driver-verified union is 238/267; exactly 29 registry entries have
@@ -17834,6 +17896,7 @@ _DRIVER_WINDOW = [
     "sliding_1h_user_value_prefix",
     "winnowing_fingerprint_pairs",
     "winnowing_fingerprint_density",
+    "winnowing_shared_spans",
     # -- 7 reworked-after-last-green re-seats (r11): cogroup right-side
     # re-alias + empty-bucket guard; cell_pair_cos neq mask + self-alias
     # (hard-negative, bitext); kmeans _update NULL-cluster filter
@@ -17876,7 +17939,6 @@ _DRIVER_WINDOW = [
     "split_leakage_repair",
     "bm25_topk_docs",
     "mmr_diversified_rerank",
-    "hybrid_retrieval_rrf",
     "hll_distinct_users",
     "heavy_hitter_tokens",
     "countmin_token_frequencies",

@@ -156,13 +156,14 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin one representative per family group that must never
-    # drift back out of the window (round-11 rotation: 3 seats for the
+    # drift back out of the window (round-11 rotation: 4 seats for the
     # r11-born queries, 7 re-seats for queries reworked after their
-    # last green row, and 40 driver-green family representatives)
+    # last green row, and 39 driver-green family representatives)
     for must in [
         "sliding_1h_user_value_prefix",  # r11-born (skew-robust twin)
         "winnowing_fingerprint_pairs",   # r11-born (third near-dup family)
         "winnowing_fingerprint_density", # r11-born (selection audit)
+        "winnowing_shared_spans",        # r11-born (span localization)
         "cogroup_view_pressure_per_purchase",  # reworked (alias + guard)
         "hard_negative_mining",          # reworked (neq pair mask)
         "bitext_mining_margin",          # reworked (cell_pair_cos re-alias)

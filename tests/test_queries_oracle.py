@@ -88,3 +88,17 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_disc_price" in df.columns
+
+
+def test_composite_legs_reference_registered_queries():
+    """Every COMPOSITE_LEGS key must be a registered query (bench pairs
+    leg timings with the composite's own bench row), and leg callables
+    must be distinct from the composite itself."""
+    from aws_pandas_etl_spark.plans.queries import COMPOSITE_LEGS, QUERIES
+
+    for comp, legs in COMPOSITE_LEGS.items():
+        assert comp in QUERIES, comp
+        assert legs, comp
+        for name, fn in legs.items():
+            assert callable(fn), (comp, name)
+            assert fn is not QUERIES[comp], (comp, name)
