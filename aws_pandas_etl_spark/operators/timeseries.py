@@ -135,8 +135,20 @@ def sliding_range_sum(
     range partitioner's per-partition row bound, independent of key
     skew."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from aws_pandas_etl_spark.operators.ranking import global_prefix_sums
+
+    vtype = df.schema[value_col].dataType
+    if isinstance(vtype, (T.FloatType, T.DoubleType)):
+        # the two prefix passes re-associate the additions, so float
+        # accumulation can differ from the sequential window frame in
+        # the last ulps — refuse loudly instead of drifting silently
+        # (cast to decimal at the precision the column warrants first)
+        raise TypeError(
+            f"sliding_range_sum needs an order-independent accumulation "
+            f"type (integer/decimal); {value_col} is {vtype.simpleString()}"
+        )
 
     # RANGE-frame peers aggregate together: one group row per (key, ts).
     # Two channels ride the same prefix machinery: the null-safe sum

@@ -363,3 +363,18 @@ def test_sliding_prefix_plan_has_no_per_key_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "user_id" in line and "partition" in line.lower():
             raise AssertionError(f"per-user window found: {line}")
+
+
+def test_sliding_range_sum_rejects_float_accumulation(spark):
+    """Float values would drift in the last ulps across the two prefix
+    passes vs the sequential window frame — the operator must refuse
+    loudly rather than return almost-right sums."""
+    import pytest as _pytest
+
+    from aws_pandas_etl_spark.operators.timeseries import sliding_range_sum
+
+    df = spark.createDataFrame(
+        [("k", 0, 1.5)], "k string, t bigint, v double"
+    )
+    with _pytest.raises(TypeError, match="order-independent"):
+        sliding_range_sum(df, "k", "t", "v", 1000)
