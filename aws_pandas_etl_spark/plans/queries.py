@@ -6521,6 +6521,45 @@ def _kmeans_cents(
     return k, cents
 
 
+def _pca_fit_cached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], list[float]]:
+    """Fit-once/project-many PCA for the embeddings table: (per-dim
+    exact-decimal mean, unit top component) at the standard dials
+    (PCA_ITERS power-iteration rounds), cached as a tiny JSON artifact
+    keyed by the source parquet identity — the _kmeans_cents contract
+    applied to the second fitted model: pca_top_component reports this
+    axis and pca_projection_by_label projects onto it, and a deployment
+    fits once per corpus snapshot.  pca_fit is deterministic (decimal
+    folds, fixed e_1 start), so cached and fresh fits are identical and
+    oracle parity is untouched.  Non-stat-able sf_dirs fit fresh."""
+    import hashlib
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    from aws_pandas_etl_spark.operators.clustering import pca_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    src_id = source_ident(src)
+    if src_id is None:
+        return pca_fit(emb, iters=PCA_ITERS)
+    ident = f"{src_id}|pca-v1|iters={PCA_ITERS}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = artifact_path(f"pca_fit_{tag}.json")
+    if os.path.isfile(path):
+        with open(path) as fh:
+            d = _json.load(fh)
+        return d["mean"], d["v"]
+    mean, v = pca_fit(emb, iters=PCA_ITERS)
+    tmp = f"{path}.__build_{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        _json.dump({"mean": mean, "v": v}, fh)
+    os.replace(tmp, path)  # atomic on POSIX; losers overwrite identically
+    return mean, v
+
+
 def _kmeans_ctes(
     iters: int = KMEANS_ITERS, src: str = "embeddings", pre: str = "",
     tag: str = "",
@@ -6762,11 +6801,10 @@ def pca_projection_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pca_fit's bounded driver rounds (dim doubles each),
     then ONE projection pass (in-order fold, rounded) + a label-
     bounded aggregate of DECIMAL-summed projections."""
-    from aws_pandas_etl_spark.operators.clustering import pca_fit
     from aws_pandas_etl_spark.operators.similarity import dot as _dot
 
     emb = load_table(spark, sf_dir, "embeddings")
-    mean, v = pca_fit(emb, iters=PCA_ITERS)
+    mean, v = _pca_fit_cached(spark, sf_dir)
     mean_lit = F.array(*[F.lit(float(m)) for m in mean])
     vlit = F.array(*[F.lit(float(c)) for c in v])
     xc = F.zip_with(F.col("embedding"), mean_lit, lambda x, m: x.cast("double") - m)
@@ -6800,10 +6838,9 @@ def pca_top_component_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per round one projection pass + a |dim|-row shuffle;
     driver traffic is dim doubles per round."""
-    from aws_pandas_etl_spark.operators.clustering import pca_top_component
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pca_top_component(emb, iters=PCA_ITERS)
+    _, v = _pca_fit_cached(spark, sf_dir)
+    rows = [(i + 1, round(c, 6)) for i, c in enumerate(v)]
+    return spark.createDataFrame(rows, "dim int, loading double")
 
 
 def _ivf_balance_oracle() -> str:
@@ -17863,10 +17900,10 @@ def unigram_entropy_effective_vocab(
 # Round-11 rotation: after CORRECTNESS_r10 (50/50 green) the cumulative
 # driver-verified union is 276/276.  This round adds 4 queries (the
 # skew-robust sliding-sum twin and the winnowing fingerprint pair +
-# density + span-localization family) and REWORKS 7 after their last green row (listed in
+# density + span-localization family) and REWORKS 9 after their last green row (listed in
 # the window comment below) — all take seats, every seat exact-value
 # green in the local sweep at sf0.001/0.01/0.1 before seating.  The
-# remaining 39 seats re-verify one driver-green representative per
+# remaining 37 seats re-verify one driver-green representative per
 # family.  A green r11 window keeps the union 280/280 on current
 # semantics.
 # Round-10 rotation: after CORRECTNESS_r09 (50/50 green) the cumulative
@@ -17897,11 +17934,12 @@ _DRIVER_WINDOW = [
     "winnowing_fingerprint_pairs",
     "winnowing_fingerprint_density",
     "winnowing_shared_spans",
-    # -- 7 reworked-after-last-green re-seats (r11): cogroup right-side
+    # -- 9 reworked-after-last-green re-seats (r11): cogroup right-side
     # re-alias + empty-bucket guard; cell_pair_cos neq mask + self-alias
     # (hard-negative, bitext); kmeans _update NULL-cluster filter
     # (kmeans family rep); heavy-hitters timeout/marker runner changes;
-    # global_prefix_sum/global_rank localCheckpoint pin (pack, pctrank) --
+    # global_prefix_sum/global_rank localCheckpoint pin (pack, pctrank);
+    # PCA fit-once artifact (_pca_fit_cached) for the pca pair --
     "cogroup_view_pressure_per_purchase",
     "hard_negative_mining",
     "bitext_mining_margin",
@@ -17909,6 +17947,8 @@ _DRIVER_WINDOW = [
     "streaming_heavy_hitters",
     "pack_sequences_greedy",
     "user_spend_percent_rank",
+    "pca_top_component",
+    "pca_projection_by_label",
     # -- 40 family-representative re-verify seats (all driver-green on
     # current semantics; spread chosen to touch every §2a/§2b family:
     # TPC-H/relational, pipeline K1/K2/E1, dedup x4, ANN/PQ x4, text x6,
@@ -17927,7 +17967,6 @@ _DRIVER_WINDOW = [
     "ann_ivf_topk",
     "ann_ivf_filtered_topk",
     "pq_recall_at10",
-    "ann_ivf_batch_topk",
     "bpe_top_merges",
     "cross_perplexity_by_source",
     "text_stats_by_lang",
@@ -17941,7 +17980,6 @@ _DRIVER_WINDOW = [
     "mmr_diversified_rerank",
     "hll_distinct_users",
     "heavy_hitter_tokens",
-    "countmin_token_frequencies",
     "stratified_sample_exact_k",
     "source_mixture_after_dedup",
     "mixture_sample_by_lang",
@@ -18780,6 +18818,7 @@ def prebuild_shared_artifacts(spark: SparkSession, sf_dir: str) -> None:
     scaling probes, which start from a fresh root on purpose."""
     _shingle3_table(spark, sf_dir)
     _winnow_fps(spark, sf_dir)
+    _pca_fit_cached(spark, sf_dir)
     _minhash_pairs(spark, sf_dir)
     _cc_components(spark, sf_dir)
     _kmeans_cents(spark, sf_dir)

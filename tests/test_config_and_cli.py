@@ -157,8 +157,8 @@ def test_driver_window_spans_operator_families():
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin one representative per family group that must never
     # drift back out of the window (round-11 rotation: 4 seats for the
-    # r11-born queries, 7 re-seats for queries reworked after their
-    # last green row, and 39 driver-green family representatives)
+    # r11-born queries, 9 re-seats for queries reworked after their
+    # last green row, and 37 driver-green family representatives)
     for must in [
         "sliding_1h_user_value_prefix",  # r11-born (skew-robust twin)
         "winnowing_fingerprint_pairs",   # r11-born (third near-dup family)
@@ -171,6 +171,8 @@ def test_driver_window_spans_operator_families():
         "streaming_heavy_hitters",       # reworked (timeout/marker runner)
         "pack_sequences_greedy",         # reworked (prefix checkpoint pin)
         "user_spend_percent_rank",       # reworked (rank checkpoint pin)
+        "pca_top_component",             # reworked (fit-once artifact)
+        "pca_projection_by_label",       # reworked (fit-once artifact)
         "q1_pricing_summary",            # TPC-H-ish relational flagship
         "dedup_minhash_lsh",             # dedup (LSH pair artifact)
         "rare_token_blocked_pairs",      # dedup (rare-gram blocking)
