@@ -440,6 +440,12 @@ def _topp_assign(
     )
 
 
+# neq per-label blocking is a win while distinct labels per cell stay
+# small (each label pays one numpy call); past this it degenerates to
+# O(labels) tiny calls and the single-block + post-mask path wins
+NEQ_MAX_DISTINCT = 64
+
+
 def cell_pair_cos(
     x: DataFrame,
     y: DataFrame,
@@ -471,10 +477,17 @@ def cell_pair_cos(
     left value, only the right rows with a different value enter the
     block), so a caller like hard_negative_mining that would filter
     ``anchor_label != neg_label`` afterwards never pays for the
-    same-label half of the matrix.  NULL-vs-NULL pairs are NOT masked
-    (NaN != NaN) — callers keep their Spark-side filter for exact SQL
-    three-valued-logic parity; the mask only ever drops pairs that
-    filter would drop too.
+    same-label half of the matrix.  NULL handling: a NULL-labeled LEFT
+    row produces NO pairs under the mask (the SQL ``!=`` filter drops
+    those pairs too, so nothing is lost); a NULL-labeled RIGHT row
+    still pairs with every non-null-labeled left row — callers keep
+    their Spark-side ``!=`` filter for exact three-valued-logic parity,
+    and the mask only ever drops pairs that filter would drop too.
+    Above ``NEQ_MAX_DISTINCT`` distinct left labels per cell the
+    per-label blocking would degenerate to O(labels) tiny numpy calls,
+    so it falls back to ONE full block with the mask applied after —
+    per-pair accumulation is element-wise, so both paths produce
+    bit-identical cos values.
 
     Scale shape: cogroup shuffles both sides once by cell; per-cell
     work is an occupancy² float64 matrix (bounded by the k∝n rule's
@@ -530,12 +543,24 @@ def cell_pair_cos(
         else:
             lvals = left[neq[0]].to_numpy()
             rvals = right[neq[1]].to_numpy()
-            blocks = []
-            for la in pd.unique(left[neq[0]]):
-                li = np.flatnonzero(lvals == la)
-                rj = np.flatnonzero(rvals != la)
-                if li.size and rj.size:
-                    blocks.append(_block(li, rj))
+            uniq = pd.unique(left[neq[0]])
+            if len(uniq) > NEQ_MAX_DISTINCT:
+                # high-cardinality fallback: one full block, mask after
+                # (identical element-wise accumulation -> identical cos)
+                ai_f, bi_f, cos_f = _block(
+                    np.arange(len(X)), np.arange(len(Y))
+                )
+                lnull = pd.isna(left[neq[0]]).to_numpy()
+                eq = lvals[:, None] == rvals[None, :]
+                keep = ((~lnull)[:, None] & ~eq).ravel()
+                blocks = [(ai_f[keep], bi_f[keep], cos_f[keep])]
+            else:
+                blocks = []
+                for la in uniq:
+                    li = np.flatnonzero(lvals == la)
+                    rj = np.flatnonzero(rvals != la)
+                    if li.size and rj.size:
+                        blocks.append(_block(li, rj))
             if not blocks:
                 return pd.DataFrame({n: [] for n in out_names})
         ai = np.concatenate([b[0] for b in blocks])

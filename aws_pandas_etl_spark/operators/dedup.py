@@ -776,7 +776,12 @@ WINNOW_MIN_SHARED = 3
 # argmin-with-rightmost-tiebreak portably: key = h * 2^20 +
 # (2^20 - 1 - pos).  h is the 28-bit base hash -> key < 2^48; docs are
 # bounded at 2^20 gram positions (a million tokens — far above any
-# training document; enforce upstream if ingesting books whole).
+# training document).  The bound is ENFORCED per document inside the
+# extraction scan — a longer doc would make the packed position go
+# negative and silently corrupt every fingerprint after position 2^20,
+# so winnow_fingerprints refuses loudly (the sliding_range_sum
+# float-refusal posture) instead of drifting; chunk book-length inputs
+# upstream (text.chunk_documents) before fingerprinting.
 WINNOW_POS_MOD = 1 << 20
 
 
@@ -832,6 +837,17 @@ def winnow_fingerprints(
                     # strict full-window form: docs with < w grams emit
                     # no fingerprints, mirrored by the oracle
                     continue
+                if n > WINNOW_POS_MOD:
+                    # past 2^20 gram positions the packed (hash, pos)
+                    # key goes NEGATIVE and every later fingerprint is
+                    # silently wrong — refuse loudly instead
+                    raise ValueError(
+                        f"winnow_fingerprints: document {doc_id!r} has "
+                        f"{n} gram positions, above the packed-key "
+                        f"bound {WINNOW_POS_MOD} (2^20); chunk long "
+                        f"documents (text.chunk_documents) before "
+                        f"fingerprinting"
+                    )
                 keys = np.fromiter(
                     (
                         pytext.md5_int(" ".join(toks[i : i + k]), 7)
@@ -891,4 +907,86 @@ def winnow_pairs(
         )
         .agg(F.count_distinct(F.col("fp")).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def excise_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+) -> DataFrame:
+    """Span-excision curation: consume winnowing's localized shared
+    spans (the ``winnowing_shared_spans`` shape — (a, b, n_shared,
+    a_pos_min/max, b_pos_min/max) with a < b) and CUT the duplicated
+    passage out of the losing document instead of dropping whole
+    documents — the curation move the positional fingerprint family
+    exists to enable (a license header or quoted template should not
+    cost the unique 95% of a document).
+
+    Keep-longest policy: per pair, the doc with FEWER tokens loses
+    (tie → the larger doc_id, i.e. ``b``); the loser's matched extent
+    [pos_min, pos_max + k - 1] (gram positions widened to token
+    positions by the k-gram span) is removed.  A doc losing several
+    pairs accumulates all its ranges; overlaps union naturally.
+
+    Returns one row per EXCISED doc: (id, n_tokens_before,
+    n_tokens_after, text_excised) where the rebuilt text is the kept
+    normalized tokens space-joined (normalization is the corpus-wide
+    invariant all fingerprint families share; originals stay
+    untouched upstream).
+
+    Scale shape: ranges ∝ duplicate pairs (vocabulary-bounded by the
+    winnowing df-cap), one groupBy(loser) to collect each doc's
+    ranges (bounded by pairs-per-doc, ≤ df_cap per fingerprint), one
+    equi-join to the docs table that prunes to losing docs only, and
+    the rebuild is a JVM-side higher-order filter over the token
+    array — no Python, no explode, no shuffle of non-losing docs."""
+    toks_expr = F.filter(
+        F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+    lens = docs.select(
+        F.col(id_col).alias("___d"), F.size(toks_expr).alias("___n")
+    )
+    la = lens.select(
+        F.col("___d").alias("___da"), F.col("___n").alias("___na")
+    )
+    lb = lens.select(
+        F.col("___d").alias("___db"), F.col("___n").alias("___nb")
+    )
+    s = (
+        spans.join(la, F.col("a") == F.col("___da"))
+        .join(lb, F.col("b") == F.col("___db"))
+    )
+    b_loses = F.col("___nb") <= F.col("___na")  # tie -> larger id (b)
+    ranges = s.select(
+        F.when(b_loses, F.col("b")).otherwise(F.col("a")).alias("___loser"),
+        F.when(b_loses, F.col("b_pos_min"))
+        .otherwise(F.col("a_pos_min"))
+        .alias("___s"),
+        (
+            F.when(b_loses, F.col("b_pos_max")).otherwise(F.col("a_pos_max"))
+            + F.lit(k - 1)
+        ).alias("___e"),
+    )
+    per_doc = ranges.groupBy("___loser").agg(
+        F.collect_list(F.struct("___s", "___e")).alias("___rng")
+    )
+    joined = docs.select(id_col, toks_expr.alias("___toks")).join(
+        per_doc, F.col(id_col) == F.col("___loser")
+    )
+    kept = F.filter(
+        F.col("___toks"),
+        lambda t, i: ~F.exists(
+            F.col("___rng"),
+            lambda r: (i >= r["___s"]) & (i <= r["___e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("___toks").cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+        F.concat_ws(" ", kept).alias("text_excised"),
     )

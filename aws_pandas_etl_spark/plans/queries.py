@@ -365,6 +365,42 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("running_total_prefix", RUNNING_ORACLE)
+def running_total_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust twin of ``window_running_total`` — same oracle, same
+    values, different physical plan: the per-user ROWS frame serializes
+    each key on one task (r11 skew table: 1.4x on the p=50 hot-key
+    clone, degrading linearly with the hot share).  This version is
+    ``timeseries.running_rows_sum`` — one global prefix sum over the
+    range-repartitioned (user, ts, event_id) order minus per-key
+    offsets from the (one row per user) key-totals prefix — so a hot
+    user's rows split across partitions by position and no task ever
+    owns a whole key.  Exact because the accumulation is decimal.  The
+    window form stays registered as the idiomatic skew-free default;
+    this is the documented escape hatch made a first-class plan."""
+    from aws_pandas_etl_spark.operators.timeseries import running_rows_sum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,4)").alias("_vdec"),
+    )
+    out = running_rows_sum(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="_vdec",
+        out_col="_run",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("_run").cast("double").alias("running_value"),
+    )
+
+
 DISTRIBUTION_WINDOW_ORACLE = """
 SELECT event_id, user_id,
        CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS value_cume_dist,
@@ -794,12 +830,43 @@ def _error_isolation_leg(which: str):
 # "legs" in the output map (NOT added to the headline total — they
 # re-run work the composite already timed), so a regression in any
 # single leg is visible round-over-round.
+def _q1_leg(which: str):
+    """q1_pricing_summary floor decomposition (VERDICT r11 #8): the
+    flagship's 1.4-1.5 s bench line splits as per-query fixed cost
+    (plan+jobs+noop-sink on a 1-row frame), parquet scan+filter+project
+    of the 7 input columns, grouping machinery without decimal math,
+    and — by subtraction — the 8-way decimal aggregate itself."""
+
+    def leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if which == "fixed_floor":
+            return spark.range(1).select(F.col("id").alias("n"))
+        li = load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= _ts("2000-09-02 00:00:00")
+        )
+        if which == "scan_project":
+            return li.select(
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+            )
+        # group_count_only: the shuffle/grouping machinery alone
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("count_order")
+        )
+
+    return leg
+
+
 COMPOSITE_LEGS: dict = {
     "pipeline_error_isolation": {
         "load_ok": _error_isolation_leg("ok"),
         "fail_bad": _error_isolation_leg("bad"),
         "skip_inactive": _error_isolation_leg("skip"),
-    }
+    },
+    "q1_pricing_summary": {
+        "fixed_floor": _q1_leg("fixed_floor"),
+        "scan_project": _q1_leg("scan_project"),
+        "group_count_only": _q1_leg("group_count_only"),
+    },
 }
 
 
@@ -1813,6 +1880,30 @@ def streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("streaming_partitioned_merge", UPSERT_ORACLE)
+def streaming_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of ``streaming_foreach_batch_merge`` — same
+    oracle, same final state, different target layout: the flat merge
+    reads and rewrites the WHOLE target every micro-batch (cost ∝
+    target size — a full-table rewrite per trigger at 100 TB), while
+    this one partitions the target by ``pmod(user_id, 8)`` (a pure
+    function of the merge keys) and each batch merges through
+    ``sinks.merge_load_partitioned``: read pruned to the partitions
+    the batch's keys touch, latest-row-per-key compaction, dynamic
+    partition overwrite of ONLY those partitions.  Per-batch cost is
+    ∝ touched-partition bytes (tools/merge_probe.py measures the
+    economics on key-localized batches at 10x; BASELINE.md r12) — the
+    continuous-CDC-apply shape that survives a 100 TB target.  The
+    flat form stays registered as the small-target default."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_foreach_batch_merge,
+    )
+
+    return run_foreach_batch_merge(spark, sf_dir, partition_buckets=8).select(
+        "user_id", "event_type", "event_id", "ts", "props"
+    )
+
+
 DISTINCT_ORACLE = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
 FROM events GROUP BY event_type ORDER BY event_type
@@ -2666,7 +2757,12 @@ def winnowing_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to winnowing_fingerprint_pairs (fingerprint-
     blocked, vocabulary-bounded candidates) — the span columns are
     map-side-combinable aggregates on the same shuffle."""
-    fps = _winnow_fps(spark, sf_dir)
+    return _winnow_spans(_winnow_fps(spark, sf_dir)).orderBy("a", "b")
+
+
+def _winnow_spans(fps: DataFrame) -> DataFrame:
+    """Localized shared spans from a winnowing fingerprint table —
+    shared by ``winnowing_shared_spans`` and the excision consumer."""
     f = fps.select(F.col("doc_id").alias("___d"), "fp", "pos")
     docfreq = (
         f.select("___d", "fp")
@@ -2690,7 +2786,6 @@ def winnowing_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("y.pos")).alias("b_pos_max"),
         )
         .filter(F.col("n_shared") >= D.WINNOW_MIN_SHARED)
-        .orderBy("a", "b")
     )
 
 
@@ -2763,6 +2858,79 @@ def winnowing_fingerprint_density(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("density"),
     )
+
+
+def _winnow_excision_oracle() -> str:
+    k = D.WINNOW_K
+    return f"""{_winnow_fp_ctes()}, fpp AS (
+  SELECT doc_id, selkey // {D.WINNOW_POS_MOD} AS fp,
+         {D.WINNOW_POS_MOD - 1} - (selkey % {D.WINNOW_POS_MOD}) AS pos
+  FROM sel
+), keptfp AS (
+  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fpp)
+  GROUP BY fp HAVING COUNT(*) <= {D.WINNOW_DF_CAP}
+), fk AS (
+  SELECT f.doc_id, f.fp, f.pos FROM fpp f JOIN keptfp USING (fp)
+), spans AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         MIN(x.pos) AS a_pos_min, MAX(x.pos) AS a_pos_max,
+         MIN(y.pos) AS b_pos_min, MAX(y.pos) AS b_pos_max
+  FROM fk x JOIN fk y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  GROUP BY a, b HAVING COUNT(DISTINCT x.fp) >= {D.WINNOW_MIN_SHARED}
+), lens AS (
+  SELECT doc_id, len(toks) AS n FROM t
+), rng AS (
+  SELECT CASE WHEN lb.n <= la.n THEN s.b ELSE s.a END AS doc_id,
+         CASE WHEN lb.n <= la.n THEN s.b_pos_min ELSE s.a_pos_min END AS rs,
+         CASE WHEN lb.n <= la.n THEN s.b_pos_max ELSE s.a_pos_max END
+           + {k - 1} AS re
+  FROM spans s
+  JOIN lens la ON la.doc_id = s.a
+  JOIN lens lb ON lb.doc_id = s.b
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) - 1 AS pos
+  FROM t WHERE doc_id IN (SELECT doc_id FROM rng)
+), keptt AS (
+  SELECT tk.doc_id, tk.tok, tk.pos FROM tok tk
+  WHERE NOT EXISTS (SELECT 1 FROM rng r
+                    WHERE r.doc_id = tk.doc_id
+                      AND tk.pos BETWEEN r.rs AND r.re)
+)
+SELECT d.doc_id,
+       CAST(l.n AS BIGINT) AS n_tokens_before,
+       CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_tokens_after,
+       COALESCE(kt.txt, '') AS text_excised
+FROM (SELECT DISTINCT doc_id FROM rng) d
+JOIN lens l USING (doc_id)
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept FROM keptt GROUP BY doc_id) kc
+  USING (doc_id)
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+           FROM keptt GROUP BY doc_id) kt USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("winnowing_span_excision", _winnow_excision_oracle())
+def winnowing_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 curation closing the winnowing loop: the spans query
+    LOCALIZES the shared passage; this one CONSUMES it —
+    ``dedup.excise_duplicate_spans`` cuts the matched token extent
+    [pos_min, pos_max + k - 1] out of the LOSING document of each pair
+    (keep-longest policy, tie → larger doc_id), so curation removes a
+    duplicated license header / quoted template instead of dropping a
+    95%-unique document.  Emits (doc, tokens before/after, rebuilt
+    text) for every excised doc; the before/after token counts
+    reconcile exactly against the removed-range union (tested).
+
+    Scale shape: ranges ∝ duplicate pairs (vocabulary-bounded by the
+    winnowing df-cap); one groupBy(loser) collects each doc's ranges;
+    an equi-join prunes the docs scan to losing docs; the rebuild is a
+    JVM-side higher-order token filter — no Python, no explode, and
+    non-losing docs never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _winnow_spans(_winnow_fps(spark, sf_dir))
+    return D.excise_duplicate_spans(docs, spans).orderBy("doc_id")
 
 
 VOCAB_ORACLE = f"""

@@ -93,11 +93,32 @@ def jdbc_overwrite_load(
     read BACK from the database — reconciliation counts what actually
     landed, the PG_LAST_COPY_COUNT parity read
     (redshift_operations.py:154-155), not what the writer thinks it
-    sent.
+    sent.  Unlike PG_LAST_COPY_COUNT (same-transaction) the read-back
+    is a separate post-commit statement, so the count reflects TABLE
+    STATE at read time, not rows-written: a concurrent writer landing
+    between save() and the read-back is included.  Single-writer
+    refresh jobs (the reference's deployment) are unaffected; callers
+    needing writer-isolated counts should reconcile inside the
+    database's own transaction machinery.
+
+    ``table`` is interpolated into the COUNT subquery, so it must be a
+    plain (optionally schema-qualified) identifier — validated loudly;
+    names needing quoting should be passed pre-quoted by the caller
+    with their database's quote character.
 
     Scale shape: the write is numPartitions-parallel with batchsize-d
     inserts; nothing funnels through the driver.  The read-back count
     pushes COUNT(*) aggregation to the database (one row returns)."""
+    import re
+
+    # permit bare/qualified identifiers and caller-prequoted parts;
+    # refuse anything that could smuggle SQL into the subquery
+    if not re.fullmatch(r'[A-Za-z0-9_."`]+', table):
+        raise ValueError(
+            f"jdbc_overwrite_load: table {table!r} is not a plain "
+            f"identifier; pre-quote exotic names with the database's "
+            f"quote character"
+        )
     writer = (
         df.write.format("jdbc")
         .option("url", url)
@@ -274,6 +295,93 @@ def merge_load(
     # read, not overwritten, during the write.
     swap.publish(merged)
     return spark.read.parquet(path).count()
+
+
+def merge_load_partitioned(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    partition_col: str,
+    tiebreak_col: str | None = None,
+) -> int:
+    """Partition-pruned incremental upsert — ``merge_load`` for targets
+    that matter at 100 TB: the flat merge reads and REWRITES the whole
+    target every batch (cost ∝ target size), so a micro-batch CDC
+    apply degenerates to a full-table rewrite per trigger.  This
+    version touches only the partitions whose keys appear in the
+    batch:
+
+    1. collect the batch's distinct ``partition_col`` values (bounded
+       by partitions-touched-per-batch — the quantity a CDC feed keeps
+       small by construction; NOT corpus-scaling),
+    2. read the target pruned to those partitions (`isin` on the
+       partition column ⇒ directory-level partition pruning — the
+       untouched 99% of the table is never opened),
+    3. same latest-row-per-key compaction as ``merge_load``,
+    4. write back with dynamic partition overwrite — only the touched
+       partitions are replaced; every other partition's files are not
+       rewritten, moved, or read.
+
+    CONTRACT: ``partition_col`` must be a deterministic function of the
+    merge ``keys`` (e.g. a key hash-bucket or the key's date) and be
+    present in ``df`` — otherwise a key could live in two partitions
+    and the pruned merge would miss its older copy.  Per-batch cost is
+    ∝ touched-partition bytes, not target bytes (measured:
+    tools/merge_probe.py, BASELINE.md r12).
+
+    The merged touched-partition rows are localCheckpointed before the
+    write (bounded by touched-partition size) — that breaks the
+    read-the-path-being-overwritten cycle without the flat merge's
+    whole-target tmp+rename swap.  Dynamic partition overwrite commits
+    per job, not transactionally across partitions; production swaps
+    in Delta/Iceberg MERGE INTO for the commit, keeping this identical
+    pruned plan.  Returns the post-merge row count of the TOUCHED
+    partitions (the untouched remainder was provably not modified)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark.errors import AnalysisException
+
+    spark = df.sparkSession
+    touched = [
+        r[0] for r in df.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return 0
+    src_col, rn_col = "_merge_src", "_merge_rn"
+    while src_col in df.columns:
+        src_col = "_" + src_col
+    while rn_col in df.columns:
+        rn_col = "_" + rn_col
+    try:
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(touched))
+            .withColumn(src_col, F.lit(0))
+        )
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise  # same posture as merge_load: only absence is benign
+        existing = None
+    incoming = df.withColumn(src_col, F.lit(1))
+    allrows = incoming if existing is None else existing.unionByName(incoming)
+    order = [F.col(order_col).desc(), F.col(src_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    merged = (
+        allrows.withColumn(rn_col, F.row_number().over(w))
+        .filter(F.col(rn_col) == 1)
+        .drop(rn_col, src_col)
+    ).localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return merged.count()
 
 
 def compact_table(spark: SparkSession, path: str, target_file_mb: int = 512) -> tuple[int, int]:

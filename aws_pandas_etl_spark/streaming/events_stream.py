@@ -458,6 +458,7 @@ def run_foreach_batch_merge(
     sf_dir: str,
     n_splits: int = 4,
     timeout_sec: int = 300,
+    partition_buckets: int | None = None,
 ) -> DataFrame:
     """Continuous CDC apply: stream the events table in time-ordered
     micro-batches and MERGE each batch into a parquet target via
@@ -474,9 +475,21 @@ def run_foreach_batch_merge(
     keys against the current target (compaction cost ∝ target size —
     production uses Delta/Iceberg MERGE INTO keyed the same way); the
     time-ordered split is harness scaffolding standing in for an
-    arriving CDC feed."""
+    arriving CDC feed.
+
+    ``partition_buckets=N`` switches the target to a layout partitioned
+    by ``pmod(user_id, N)`` (a pure function of the merge keys) and
+    each batch to ``sinks.merge_load_partitioned`` — per-batch cost
+    becomes ∝ the partitions the batch's keys touch instead of the
+    whole target, the shape that survives a 100 TB target (r11 verdict
+    #4; economics measured in tools/merge_probe.py / BASELINE.md r12).
+    Final state is identical either way — same keys, same ordering."""
     from aws_pandas_etl_spark.sources.readers import load_table
-    from aws_pandas_etl_spark.sources.sinks import merge_load, read_back
+    from aws_pandas_etl_spark.sources.sinks import (
+        merge_load,
+        merge_load_partitioned,
+        read_back,
+    )
 
     name = f"fbmerge_{uuid.uuid4().hex[:8]}"
     base = os.path.join(tempfile.gettempdir(), name)
@@ -498,16 +511,31 @@ def run_foreach_batch_merge(
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        merge_load(
-            batch_df,
-            target,
-            keys=["user_id", "event_type"],
-            order_col="ts",
-            # in-batch (key, ts) ties must resolve exactly like
-            # UPSERT_ORACLE's ORDER BY ts DESC, event_id DESC — without
-            # this the merge is only deterministic by fixture luck
-            tiebreak_col="event_id",
-        )
+        if partition_buckets is not None:
+            merge_load_partitioned(
+                batch_df.withColumn(
+                    "user_bucket",
+                    F.pmod(F.col("user_id"), F.lit(partition_buckets)).cast(
+                        "int"
+                    ),
+                ),
+                target,
+                keys=["user_id", "event_type"],
+                order_col="ts",
+                partition_col="user_bucket",
+                tiebreak_col="event_id",
+            )
+        else:
+            merge_load(
+                batch_df,
+                target,
+                keys=["user_id", "event_type"],
+                order_col="ts",
+                # in-batch (key, ts) ties must resolve exactly like
+                # UPSERT_ORACLE's ORDER BY ts DESC, event_id DESC — without
+                # this the merge is only deterministic by fixture luck
+                tiebreak_col="event_id",
+            )
 
     with _scoped_shuffle_partitions(spark, 8):
         sq = (

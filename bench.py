@@ -136,10 +136,11 @@ def main() -> None:
     # of a multi-job query is visible, but NOT in the headline total
     # (they re-run work the composite already timed)
     legs: dict[str, dict[str, float]] = {}
+    leg_errors: dict[str, str] = {}
     for comp, leg_fns in getattr(Q, "COMPOSITE_LEGS", {}).items():
         if comp not in timings:
             continue
-        legs[comp] = {}
+        comp_legs: dict[str, float] = {}
         for leg_name, leg_fn in leg_fns.items():
             samples = []
             for _ in range(repeats):
@@ -150,6 +151,11 @@ def main() -> None:
                     ).save()
                     samples.append(time.monotonic() - t0)
                 except Exception as exc:
+                    # recorded like the headline errors: a fully-failing
+                    # leg set must look different from "no leg data"
+                    leg_errors[f"{comp}/{leg_name}"] = (
+                        f"{type(exc).__name__}: {exc}"[:500]
+                    )
                     print(
                         f"# leg {comp}/{leg_name}: ERROR {exc}",
                         file=sys.stderr,
@@ -158,11 +164,14 @@ def main() -> None:
                 finally:
                     spark.catalog.clearCache()
             if samples:
-                legs[comp][leg_name] = round(min(samples), 3)
+                comp_legs[leg_name] = round(min(samples), 3)
+                leg_errors.pop(f"{comp}/{leg_name}", None)
                 print(
-                    f"# leg {comp}/{leg_name}: {legs[comp][leg_name]}s",
+                    f"# leg {comp}/{leg_name}: {comp_legs[leg_name]}s",
                     file=sys.stderr,
                 )
+        if comp_legs:  # never report an empty {} as benign leg data
+            legs[comp] = comp_legs
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -178,6 +187,8 @@ def main() -> None:
     }
     if legs:
         result["legs"] = legs
+    if leg_errors:
+        result["leg_errors"] = leg_errors
     if errors:
         # the headline total covers only the queries that ran — flag it
         # so round-over-round comparison can't mistake a smaller query

@@ -1,5 +1,7 @@
 import hashlib
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -1489,3 +1491,61 @@ def test_winnowing_density_and_determinism(spark):
     n_grams = sum(400 - k + 1 for _ in rows)
     density = len(a) / n_grams
     assert 0.25 < density < 0.55, density  # 2/(w+1) = 0.4 +/- slack
+
+
+def test_excise_duplicate_spans_reconciles_token_counts(spark):
+    """excise_duplicate_spans must (a) cut exactly the union of the
+    loser's matched ranges widened by k-1 (token-count reconciliation
+    against an independent Python replay), (b) keep the LONGER doc of
+    each pair untouched, and (c) rebuild the kept tokens in order."""
+    from aws_pandas_etl_spark.functions import pytext
+
+    k, w = D.WINNOW_K, D.WINNOW_W
+    passage = " ".join(f"p{i}" for i in range(k + w + 6))
+    long_doc = "alpha beta gamma delta " * 30 + passage + " tail words here " * 10
+    short_doc = "intro bit " * 3 + passage + " outro " * 4
+    rows = [
+        Row(doc_id=1, text=long_doc),
+        Row(doc_id=2, text=short_doc),
+        Row(doc_id=3, text="completely unrelated material " * 20),
+    ]
+    docs = spark.createDataFrame(rows)
+    fps = D.winnow_fingerprints(docs)
+    from aws_pandas_etl_spark.plans.queries import _winnow_spans
+
+    spans = _winnow_spans(fps)
+    span_rows = spans.collect()
+    assert {(r["a"], r["b"]) for r in span_rows} == {(1, 2)}
+
+    out = {r["doc_id"]: r for r in D.excise_duplicate_spans(docs, spans).collect()}
+    # only the SHORTER doc (2) is excised; 1 and 3 emit no row
+    assert set(out) == {2}
+
+    # independent replay: union of [pos_min, pos_max + k - 1] on doc 2
+    toks = pytext.tokens(short_doc)
+    removed = set()
+    for r in span_rows:
+        removed.update(
+            range(r["b_pos_min"], min(r["b_pos_max"] + k - 1, len(toks) - 1) + 1)
+        )
+    got = out[2]
+    assert got["n_tokens_before"] == len(toks)
+    assert got["n_tokens_after"] == len(toks) - len(removed)
+    want_text = " ".join(
+        t for i, t in enumerate(toks) if i not in removed
+    )
+    assert got["text_excised"] == want_text
+    # the shared passage is gone from the rebuilt text
+    assert passage not in got["text_excised"]
+
+
+def test_winnowing_position_bound_refuses_loudly(spark):
+    """A document with more than 2^20 gram positions would make the
+    packed (hash, pos) key negative and silently corrupt every later
+    fingerprint — the extraction must refuse LOUDLY instead (r11
+    verdict: the bound was documented but unenforced)."""
+    n_toks = D.WINNOW_POS_MOD + D.WINNOW_K  # n_grams = 2^20 + 1
+    rows = [Row(doc_id=1, text=" ".join(["tok"] * n_toks))]
+    docs = spark.createDataFrame(rows)
+    with pytest.raises(Exception, match="gram positions"):
+        D.winnow_fingerprints(docs).collect()

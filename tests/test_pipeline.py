@@ -152,6 +152,72 @@ def test_merge_load_tiebreak_col_resolves_in_batch_ties(spark, tmp_path):
     assert got[1] == "incoming"
 
 
+def test_merge_load_partitioned_prunes_untouched_partitions(spark, tmp_path):
+    """The partitioned merge must (a) produce the same final state as
+    the flat merge, (b) physically NOT rewrite partitions whose keys
+    the batch does not touch (their part-files survive byte-identical
+    at the same paths), and (c) count only touched-partition rows."""
+    import glob
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        merge_load,
+        merge_load_partitioned,
+    )
+
+    flat = str(tmp_path / "flat")
+    part = str(tmp_path / "part")
+    # bucket = k % 2: keys 1,3 -> bucket 1; keys 2,4 -> bucket 0
+    b1 = spark.createDataFrame(
+        [Row(k=1, v="a", ver=1), Row(k=2, v="b", ver=1),
+         Row(k=3, v="c", ver=1), Row(k=4, v="d", ver=1)]
+    ).withColumn("bkt", (F.col("k") % 2).cast("int"))
+    merge_load(b1.drop("bkt"), flat, keys=["k"], order_col="ver")
+    assert (
+        merge_load_partitioned(
+            b1, part, keys=["k"], order_col="ver", partition_col="bkt"
+        )
+        == 4
+    )
+
+    untouched_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(part, "bkt=0", "part-*"))
+    }
+    assert untouched_before
+
+    # batch 2 touches ONLY bucket 1 (odd keys): update k=1, insert k=5
+    b2 = spark.createDataFrame(
+        [Row(k=1, v="a2", ver=2), Row(k=5, v="e", ver=1)]
+    ).withColumn("bkt", (F.col("k") % 2).cast("int"))
+    merge_load(b2.drop("bkt"), flat, keys=["k"], order_col="ver")
+    n = merge_load_partitioned(
+        b2, part, keys=["k"], order_col="ver", partition_col="bkt"
+    )
+    assert n == 3  # touched bucket 1 now holds k=1,3,5
+
+    untouched_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(part, "bkt=0", "part-*"))
+    }
+    assert untouched_after == untouched_before  # bucket 0 never rewritten
+
+    want = {
+        (r["k"]): (r["v"], r["ver"])
+        for r in spark.read.parquet(flat).collect()
+    }
+    got = {
+        (r["k"]): (r["v"], r["ver"])
+        for r in spark.read.parquet(part).drop("bkt").collect()
+    }
+    assert got == want == {
+        1: ("a2", 2), 2: ("b", 1), 3: ("c", 1), 4: ("d", 1), 5: ("e", 1)
+    }
+
+
 def test_pipeline_merge_mode(spark, tmp_path):
     from pyspark.sql import Row
 

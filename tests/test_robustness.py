@@ -301,6 +301,72 @@ def test_cell_pair_cos_invariant_under_partitioning_and_matches_fold(spark):
     assert got == want  # raw-double equality, no rounding
 
 
+def test_cell_pair_cos_neq_high_cardinality_fallback_identical(spark):
+    """The neq mask's two physical paths — per-label blocking (low
+    cardinality) and single-block + post-mask (above NEQ_MAX_DISTINCT)
+    — must emit the SAME pair set with bit-identical cosines, and both
+    must equal the unmasked scorer filtered by ``!=`` afterwards
+    (including NULL-label three-valued-logic: null-left rows emit no
+    pairs either way)."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.operators import clustering as CL
+    from aws_pandas_etl_spark.operators.similarity import dot
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # high-cardinality label: vec_id % 97 (> NEQ_MAX_DISTINCT=64 per
+    # cell), with some NULLs injected on both sides
+    lab = emb.limit(400).select(
+        "vec_id",
+        (F.col("vec_id") % 2).alias("cl"),
+        F.when(F.col("vec_id") % 19 != 0, F.col("vec_id") % 97).alias("lb"),
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    x = lab.select(
+        F.col("vec_id").alias("a"), "cl", F.col("lb").alias("la"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    y = lab.select(
+        F.col("vec_id").alias("b"), "cl", F.col("lb").alias("lbb"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+
+    def run(threshold):
+        old = CL.NEQ_MAX_DISTINCT
+        CL.NEQ_MAX_DISTINCT = threshold
+        try:
+            out = cell_pair_cos(
+                x, y, cell_col="cl", x_id="a", y_id="b",
+                x_vec="ea", y_vec="eb", x_nrm="na", y_nrm="nb",
+                x_extra=("la",), y_extra=("lbb",), neq=("la", "lbb"),
+            )
+            return {
+                (r["a"], r["b"]): r["cos"]
+                for r in out.filter(F.col("la") != F.col("lbb")).collect()
+            }
+        finally:
+            CL.NEQ_MAX_DISTINCT = old
+
+    from aws_pandas_etl_spark.operators.clustering import cell_pair_cos
+
+    per_label = run(10_000)   # forces the per-label path
+    post_mask = run(0)        # forces the fallback path
+    assert per_label == post_mask and len(per_label) > 1000
+
+    unmasked = cell_pair_cos(
+        x, y, cell_col="cl", x_id="a", y_id="b",
+        x_vec="ea", y_vec="eb", x_nrm="na", y_nrm="nb",
+        x_extra=("la",), y_extra=("lbb",),
+    )
+    want = {
+        (r["a"], r["b"]): r["cos"]
+        for r in unmasked.filter(F.col("la") != F.col("lbb")).collect()
+    }
+    assert per_label == want
+
+
 def test_sliding_range_sum_matches_window_on_skew(spark):
     """The skew-robust trailing-sum (two range-partitioned prefix sums
     with probe rows, timeseries.sliding_range_sum) must equal the
@@ -363,6 +429,113 @@ def test_sliding_prefix_plan_has_no_per_key_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "user_id" in line and "partition" in line.lower():
             raise AssertionError(f"per-user window found: {line}")
+
+
+def test_sliding_range_sum_null_key_and_ts_match_window(spark):
+    """r11 ADVICE (medium): the join back used null-unequal conditions,
+    so NULL-keyed / NULL-ts rows vanished from the output while the
+    RANGE window keeps them (NULL key = its own partition; NULL order
+    keys are mutual peers).  Now null-safe: every row survives and the
+    values match the window bit-for-bit."""
+    from pyspark.sql import Window
+
+    from aws_pandas_etl_spark.operators.timeseries import sliding_range_sum
+
+    rows = [
+        # NULL key partition with ties and a null value
+        (None, 0, decimal.Decimal(1)),
+        (None, 1_000_000, decimal.Decimal(2)),
+        (None, 1_000_000, None),
+        (None, 9_000_000, decimal.Decimal(4)),
+        # NULL timestamps: mutual peers within their key
+        ("a", None, decimal.Decimal(10)),
+        ("a", None, decimal.Decimal(20)),
+        ("a", 0, decimal.Decimal(3)),
+        ("a", 2_000_000, decimal.Decimal(7)),
+        # NULL ts in NULL key too
+        (None, None, decimal.Decimal(100)),
+        ("b", 5_000_000, decimal.Decimal(9)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, t bigint, v decimal(18,4)"
+    ).withColumn("rid", F.monotonically_increasing_id())
+    W_US = 2_500_000
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rangeBetween(-W_US, Window.currentRow)
+    )
+    want = {
+        r["rid"]: r["sl"]
+        for r in df.select("rid", F.sum("v").over(w).alias("sl")).collect()
+    }
+    got = {
+        r["rid"]: r["sl"]
+        for r in sliding_range_sum(df, "k", "t", "v", W_US, "sl")
+        .select("rid", "sl")
+        .collect()
+    }
+    assert got == want and len(got) == len(rows)
+
+
+def test_running_rows_sum_matches_window(spark):
+    """The skew-robust running total (one global prefix sum minus
+    per-key offsets, timeseries.running_rows_sum) must equal the
+    per-key ROWS frame bit-for-bit — including NULL keys (their own
+    partition), NULL values (running sum NULL until the first non-null)
+    and a hot key owning most rows."""
+    from pyspark.sql import Window
+
+    from aws_pandas_etl_spark.operators.timeseries import running_rows_sum
+
+    rows = []
+    for i in range(300):  # hot key, leading NULL values
+        rows.append(("HOT", i, None if i < 5 or i % 11 == 0 else decimal.Decimal(i)))
+    for i in range(40):
+        rows.append((f"c{i % 7}", i, decimal.Decimal(2 * i)))
+    rows.append((None, 0, decimal.Decimal(1)))
+    rows.append((None, 1, None))
+    rows.append((None, 2, decimal.Decimal(3)))
+    rows.append(("ALLNULL", 0, None))
+    rows.append(("ALLNULL", 1, None))
+    df = spark.createDataFrame(rows, "k string, o bigint, v decimal(18,4)")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["k"], r["o"]): r["rs"]
+        for r in df.select("k", "o", F.sum("v").over(w).alias("rs")).collect()
+    }
+    got = {
+        (r["k"], r["o"]): r["rs"]
+        for r in running_rows_sum(df, "k", ["o"], "v", "rs")
+        .select("k", "o", "rs")
+        .collect()
+    }
+    assert got == want and len(got) == len(rows)
+
+
+def test_running_total_prefix_plan_and_float_refusal(spark):
+    """The registered twin's outer plan must not window-partition by
+    the skewable user key, and the operator refuses float accumulation
+    (same posture as sliding_range_sum)."""
+    import pytest as _pytest
+
+    from aws_pandas_etl_spark.operators.timeseries import running_rows_sum
+    from aws_pandas_etl_spark.plans.queries import QUERIES
+
+    df = QUERIES["running_total_prefix"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "existingrdd" in plan.lower()
+    for line in plan.splitlines():
+        if "Window" in line and "user_id" in line and "partition" in line.lower():
+            raise AssertionError(f"per-user window found: {line}")
+
+    fdf = spark.createDataFrame([("k", 0, 1.5)], "k string, o bigint, v double")
+    with _pytest.raises(TypeError, match="order-independent"):
+        running_rows_sum(fdf, "k", ["o"], "v")
 
 
 def test_sliding_range_sum_rejects_float_accumulation(spark):

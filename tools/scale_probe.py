@@ -56,13 +56,16 @@ def build_clone(
     factor: int,
     clone_embeddings: bool = False,
     skew: bool = False,
+    hot_pct: int = 50,
 ) -> None:
     """``skew=True`` builds the ADVERSARIAL clone (VERDICT r10 #5): the
-    same N× offset-id union, then one hot key takes ~50% of events
-    (user_id := HOT_USER where event_id is even) and one lang takes
-    ~90% of documents (lang := HOT_LANG where doc_id % 10 < 9).  Wall
-    times against the uniform clone at the same factor expose whether
-    the salting / AQE-skew paths actually engage."""
+    same N× offset-id union, then one hot key takes ~``hot_pct``% of
+    events (user_id := HOT_USER where event_id % 100 < hot_pct) and one
+    lang takes ~90% of documents (lang := HOT_LANG where
+    doc_id % 10 < 9).  Wall times against the uniform clone at the same
+    factor expose whether the salting / AQE-skew paths actually engage;
+    ``hot_pct=90`` is the r11 verdict #6 escalation for the operators
+    whose serial-unit bound is linear in the hot share."""
     cloned = dict(CLONED)
     kept = KEPT
     if clone_embeddings:
@@ -97,7 +100,7 @@ def build_clone(
             clones = clones.withColumn(
                 "user_id",
                 F.when(
-                    F.pmod("event_id", F.lit(2)) == 0, F.lit(HOT_USER)
+                    F.pmod("event_id", F.lit(100)) < hot_pct, F.lit(HOT_USER)
                 ).otherwise(F.col("user_id")),
             )
         if skew and name == "documents":
@@ -134,8 +137,16 @@ def main() -> None:
         "--skew",
         action="store_true",
         help="ALSO build an adversarially skewed clone at the same "
-        "factor (hot user ~50%% of events, hot lang ~90%% of documents) "
-        "and print uniform-vs-skew columns instead of 1x-vs-Nx",
+        "factor (hot user ~--hot-pct%% of events, hot lang ~90%% of "
+        "documents) and print uniform-vs-skew columns instead of "
+        "1x-vs-Nx",
+    )
+    ap.add_argument(
+        "--hot-pct",
+        type=int,
+        default=50,
+        help="hot-user share of events in the skew clone (default 50; "
+        "90 = the serial-unit escalation probe)",
     )
     args = ap.parse_args()
 
@@ -153,7 +164,8 @@ def main() -> None:
 
     skew_dir = None
     if args.skew:
-        skew_dir = os.path.join(args.workdir, f"x{args.factor}{suffix}_skew")
+        tag = f"_skew{args.hot_pct}" if args.hot_pct != 50 else "_skew"
+        skew_dir = os.path.join(args.workdir, f"x{args.factor}{suffix}{tag}")
         print(f"# building skewed clone at {skew_dir}", file=sys.stderr)
         build_clone(
             spark,
@@ -162,6 +174,7 @@ def main() -> None:
             args.factor,
             args.clone_embeddings,
             skew=True,
+            hot_pct=args.hot_pct,
         )
 
     for name in args.names:

@@ -240,6 +240,38 @@ DECOMPOSE = {
 }
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+class _scoped_state_store:
+    """Set/restore the state-store provider around a streaming run —
+    the conf is read at query START, so a session-scoped set works for
+    availableNow runs that start and finish inside the scope."""
+
+    def __init__(self, spark, provider: str | None):
+        self.spark = spark
+        self.provider = provider
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(_PROVIDER_KEY)
+        except Exception:
+            self.prev = None
+        if self.provider:
+            self.spark.conf.set(_PROVIDER_KEY, self.provider)
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(_PROVIDER_KEY)
+        else:
+            self.spark.conf.set(_PROVIDER_KEY, self.prev)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
@@ -248,6 +280,13 @@ def main() -> None:
         action="store_true",
         help="also time the four slow streaming queries at sf0.1 in the "
         "same session and print floor/total/work per query",
+    )
+    ap.add_argument(
+        "--state-store-ab",
+        action="store_true",
+        help="A/B the stateful scaffolds and the two stateful sf0.1 "
+        "queries under the default (HDFS-backed) vs RocksDB state "
+        "store provider (VERDICT r11 #5)",
     )
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     args = ap.parse_args()
@@ -270,6 +309,37 @@ def main() -> None:
         print(f"# {name}: {floors[name]} s (samples {samples})", file=sys.stderr)
 
     out = {"metric": "streaming_floor_sec", "floors": floors}
+
+    if args.state_store_ab:
+        from aws_pandas_etl_spark.plans import queries as Q
+
+        ab = {}
+        for label, provider in (("hdfs_default", None), ("rocksdb", ROCKSDB_PROVIDER)):
+            with _scoped_state_store(spark, provider):
+                row = {}
+                for name, fn in (
+                    ("stateful_4", floor_stateful),
+                    ("stateful_1", lambda s: floor_stateful(s, n_batches=1)),
+                    ("join_sink", floor_join_sink),
+                ):
+                    samples = [fn(spark) for _ in range(args.repeats)]
+                    row[name] = round(min(samples), 2)
+                for qname in (
+                    "streaming_sessionize_stateful",
+                    "streaming_heavy_hitters",
+                    "streaming_range_join_errors_clicks",
+                ):
+                    samples = []
+                    for _ in range(max(2, args.repeats - 1)):
+                        t0 = time.monotonic()
+                        Q.QUERIES[qname](spark, args.sf).write.format(
+                            "noop"
+                        ).mode("overwrite").save()
+                        samples.append(time.monotonic() - t0)
+                    row[qname] = round(min(samples), 2)
+                ab[label] = row
+                print(f"# state_store {label}: {row}", file=sys.stderr)
+        out["state_store_ab"] = ab
 
     if args.decompose:
         from aws_pandas_etl_spark.plans import queries as Q
