@@ -344,6 +344,26 @@ def merge_load_partitioned(
     from pyspark.errors import AnalysisException
 
     spark = df.sparkSession
+    # contract guard (batch-sized, one small agg): a key carrying TWO
+    # partition values in one batch proves partition_col is not a
+    # function of the keys — the pruned read would then miss the key's
+    # copy in the unread partition and silently resurrect stale rows.
+    # (The target side is covered by induction: every prior merge
+    # enforced the same check on its batch.)
+    viol = (
+        df.groupBy(*keys)
+        .agg(F.count_distinct(F.col(partition_col)).alias("_np"))
+        .filter(F.col("_np") > 1)
+        .limit(1)
+        .collect()
+    )
+    if viol:
+        raise ValueError(
+            f"merge_load_partitioned: key {tuple(viol[0][k] for k in keys)!r} "
+            f"maps to {viol[0]['_np']} distinct {partition_col!r} values in "
+            f"this batch — partition_col must be a deterministic function "
+            f"of the merge keys"
+        )
     touched = [
         r[0] for r in df.select(partition_col).distinct().collect()
     ]

@@ -156,40 +156,33 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin one representative per family group that must never
-    # drift back out of the window (round-11 rotation: 4 seats for the
-    # r11-born queries, 9 re-seats for queries reworked after their
-    # last green row, and 37 driver-green family representatives)
+    # drift back out of the window (round-12 rotation: 3 seats for the
+    # r12-born queries, 8 re-seats for queries reworked after their
+    # last green row, and 39 stalest driver-green family reps)
     for must in [
-        "sliding_1h_user_value_prefix",  # r11-born (skew-robust twin)
-        "winnowing_fingerprint_pairs",   # r11-born (third near-dup family)
-        "winnowing_fingerprint_density", # r11-born (selection audit)
-        "winnowing_shared_spans",        # r11-born (span localization)
-        "cogroup_view_pressure_per_purchase",  # reworked (alias + guard)
-        "hard_negative_mining",          # reworked (neq pair mask)
-        "bitext_mining_margin",          # reworked (cell_pair_cos re-alias)
-        "kmeans_embeddings",             # reworked (_update NULL filter)
-        "streaming_heavy_hitters",       # reworked (timeout/marker runner)
-        "pack_sequences_greedy",         # reworked (prefix checkpoint pin)
-        "user_spend_percent_rank",       # reworked (rank checkpoint pin)
-        "pca_top_component",             # reworked (fit-once artifact)
-        "pca_projection_by_label",       # reworked (fit-once artifact)
-        "q1_pricing_summary",            # TPC-H-ish relational flagship
-        "dedup_minhash_lsh",             # dedup (LSH pair artifact)
-        "rare_token_blocked_pairs",      # dedup (rare-gram blocking)
-        "streaming_hll_distinct",        # streaming (mergeable sketch)
-        "bpe_top_merges",                # text / tokenizer training
-        "pq_recall_at10",                # embeddings / PQ index audit
-        "ann_ivf_topk",                  # ANN (shared quantizer)
-        "ann_ivf_filtered_topk",         # filtered ANN
-        "lpa_communities_knn",           # graph over kNN edges
-        "cross_perplexity_by_source",    # CCNet quality LM
-        "split_leakage_repair",          # dedup-aware split fix
-        "multimodal_frame_sample",       # X5 multimodal
+        "running_total_prefix",          # r12-born (skew-robust ROWS twin)
+        "streaming_partitioned_merge",   # r12-born (partition-pruned CDC)
+        "winnowing_span_excision",       # r12-born (span-excision curation)
+        "q1_pricing_summary",            # reworked (decimal pre-projection)
+        "sliding_1h_user_value_prefix",  # reworked (null-safe joins)
+        "hard_negative_mining",          # reworked (neq fallback path)
+        "bitext_mining_margin",          # reworked (neq fallback path)
+        "winnowing_fingerprint_pairs",   # reworked (2^20 loud bound)
+        "winnowing_fingerprint_density", # reworked (2^20 loud bound)
+        "winnowing_shared_spans",        # reworked (bound + _winnow_spans)
+        "streaming_foreach_batch_merge", # reworked (partitioned-mode runner)
+        "window_running_total",          # the ROWS-window twin stays seated
+        "pipeline_roundtrip",            # K1 parquet sink
         "pipeline_merge_roundtrip",      # K2 CDC merge sink
-        "source_mixture_after_dedup",    # dedup-aware mixture
-        "mmr_diversified_rerank",        # retrieval rerank
-        "point_in_time_features",        # temporal join family
-        "sliding_1h_user_value",         # the window twin stays seated
+        "dedup_simhash",                 # dedup family rep
+        "ann_lsh_topk",                  # ANN family rep
+        "multimodal_features",           # X5 multimodal
+        "pagerank_knn_graph",            # graph family rep
+        "approx_distinct_users_linear",  # sketch family rep
+        "train_val_test_split",          # sampling family rep
+        "sessionize_events",             # behavioral family rep
+        "streaming_dedup_within_watermark",  # streaming family rep
+        "upsert_latest_events",          # the merge queries' oracle twin
     ]:
         assert must in Q._DRIVER_WINDOW, must
 

@@ -218,6 +218,25 @@ def test_merge_load_partitioned_prunes_untouched_partitions(spark, tmp_path):
     }
 
 
+def test_merge_load_partitioned_rejects_non_key_derived_partition(spark, tmp_path):
+    """A key carrying two partition values in one batch proves the
+    partition column is not key-derived — the pruned merge would
+    silently resurrect stale rows, so it must refuse loudly."""
+    import pytest
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import merge_load_partitioned
+
+    bad = spark.createDataFrame(
+        [Row(k=1, v="a", ver=1, bkt=0), Row(k=1, v="b", ver=2, bkt=1)]
+    )
+    with pytest.raises(ValueError, match="deterministic function"):
+        merge_load_partitioned(
+            bad, str(tmp_path / "t"), keys=["k"], order_col="ver",
+            partition_col="bkt",
+        )
+
+
 def test_pipeline_merge_mode(spark, tmp_path):
     from pyspark.sql import Row
 
