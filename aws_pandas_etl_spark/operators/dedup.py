@@ -774,14 +774,16 @@ WINNOW_DF_CAP = 16
 WINNOW_MIN_SHARED = 3
 # (hash, pos) packed into one BIGINT so one MIN() implements
 # argmin-with-rightmost-tiebreak portably: key = h * 2^20 +
-# (2^20 - 1 - pos).  h is the 28-bit base hash -> key < 2^48; docs are
-# bounded at 2^20 gram positions (a million tokens — far above any
-# training document).  The bound is ENFORCED per document inside the
-# extraction scan — a longer doc would make the packed position go
-# negative and silently corrupt every fingerprint after position 2^20,
-# so winnow_fingerprints refuses loudly (the sliding_range_sum
-# float-refusal posture) instead of drifting; chunk book-length inputs
-# upstream (text.chunk_documents) before fingerprinting.
+# (2^20 - 1 - pos).  h is the 28-bit base hash -> key < 2^48; the
+# PACKED position is chunk-LOCAL and bounded at 2^20 by construction:
+# docs with more gram positions are processed in overlapping chunks
+# (overlap w-1 grams), which computes EVERY w-gram window exactly once
+# or twice with identical contents — same min, same rightmost
+# tiebreak, same (hash, global-pos) after offset correction — so the
+# deduped union equals the unchunked selection EXACTLY (the r11
+# verdict's silent-corruption hazard is closed by construction, not by
+# refusal; tests pin chunked == unchunked).  Emitted positions are
+# document-global int32 (docs up to 2^31 grams).
 WINNOW_POS_MOD = 1 << 20
 
 
@@ -791,6 +793,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    chunk_grams: int = WINNOW_POS_MOD,
 ) -> DataFrame:
     """Winnowing fingerprint table: (id, fp, pos) — the MOSS
     plagiarism-detector selection, the third near-dup family next to
@@ -809,11 +812,28 @@ def winnow_fingerprints(
     NO distinct (a Column + Window draft of the same selection
     measured ~4x slower at sf0.1: per-element HOF gram building plus
     two shuffles).  One Python call per Arrow batch; a document is
-    the only serial unit."""
+    the only serial unit.
+
+    Documents beyond ``chunk_grams`` gram positions (default 2^20, the
+    packed-key bound) are processed in overlapping chunks (overlap
+    w-1 grams): every w-gram window lands fully inside at least one
+    chunk with identical contents, so the per-window min and its
+    rightmost tiebreak are computed identically and the deduped union
+    of (hash, chunk_start + local_pos) EQUALS the unchunked selection
+    exactly — book-length inputs fingerprint correctly instead of
+    corrupting packed keys (r11 verdict #2; equality is pinned by
+    test_winnowing_chunked_equals_unchunked)."""
     import numpy as np
     import pandas as pd
 
     from aws_pandas_etl_spark.functions import pytext
+
+    if chunk_grams < 2 * w:
+        raise ValueError(f"chunk_grams must be >= {2 * w} (got {chunk_grams})")
+    if chunk_grams > WINNOW_POS_MOD:
+        raise ValueError(
+            f"chunk_grams above the packed-key bound {WINNOW_POS_MOD}"
+        )
 
     out_schema = T.StructType(
         [
@@ -826,6 +846,15 @@ def winnow_fingerprints(
     def _extract(batches):
         from numpy.lib.stride_tricks import sliding_window_view
 
+        def _select(keys: np.ndarray) -> np.ndarray:
+            """Packed sliding-window min over one chunk's keys; returns
+            distinct packed (hash, local_pos) selections."""
+            m = len(keys)
+            packed = keys * WINNOW_POS_MOD + (
+                WINNOW_POS_MOD - 1 - np.arange(m, dtype=np.int64)
+            )
+            return np.unique(sliding_window_view(packed, w).min(axis=1))
+
         for pdf in batches:
             ids: list[int] = []
             fps: list[int] = []
@@ -837,17 +866,6 @@ def winnow_fingerprints(
                     # strict full-window form: docs with < w grams emit
                     # no fingerprints, mirrored by the oracle
                     continue
-                if n > WINNOW_POS_MOD:
-                    # past 2^20 gram positions the packed (hash, pos)
-                    # key goes NEGATIVE and every later fingerprint is
-                    # silently wrong — refuse loudly instead
-                    raise ValueError(
-                        f"winnow_fingerprints: document {doc_id!r} has "
-                        f"{n} gram positions, above the packed-key "
-                        f"bound {WINNOW_POS_MOD} (2^20); chunk long "
-                        f"documents (text.chunk_documents) before "
-                        f"fingerprinting"
-                    )
                 keys = np.fromiter(
                     (
                         pytext.md5_int(" ".join(toks[i : i + k]), 7)
@@ -856,15 +874,31 @@ def winnow_fingerprints(
                     dtype=np.int64,
                     count=n,
                 )
-                packed = keys * WINNOW_POS_MOD + (
-                    WINNOW_POS_MOD - 1 - np.arange(n, dtype=np.int64)
-                )
-                sel = np.unique(sliding_window_view(packed, w).min(axis=1))
-                ids.extend([doc_id] * len(sel))
-                fps.extend((sel // WINNOW_POS_MOD).tolist())
-                poss.extend(
-                    ((WINNOW_POS_MOD - 1) - (sel % WINNOW_POS_MOD)).tolist()
-                )
+                if n <= chunk_grams:
+                    sel = _select(keys)
+                    h = sel // WINNOW_POS_MOD
+                    gp = (WINNOW_POS_MOD - 1) - (sel % WINNOW_POS_MOD)
+                else:
+                    # overlapped chunking: step so consecutive chunks
+                    # share w-1 grams — every w-window fully inside a
+                    # chunk; same min + rightmost tiebreak, positions
+                    # rebased to document-global before the dedup
+                    step = chunk_grams - (w - 1)
+                    parts = []
+                    for start in range(0, n - w + 1, step):
+                        sub = keys[start : min(start + chunk_grams, n)]
+                        s = _select(sub)
+                        lh = s // WINNOW_POS_MOD
+                        lp = (WINNOW_POS_MOD - 1) - (s % WINNOW_POS_MOD)
+                        # (hash, global pos) packed for the cross-chunk
+                        # dedup: h < 2^28, gpos < 2^31 -> fits int64
+                        parts.append(lh * (1 << 31) + (start + lp))
+                    u = np.unique(np.concatenate(parts))
+                    h = u >> 31
+                    gp = u & ((1 << 31) - 1)
+                ids.extend([doc_id] * len(h))
+                fps.extend(h.tolist())
+                poss.extend(gp.tolist())
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),

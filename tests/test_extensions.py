@@ -1539,13 +1539,57 @@ def test_excise_duplicate_spans_reconciles_token_counts(spark):
     assert passage not in got["text_excised"]
 
 
-def test_winnowing_position_bound_refuses_loudly(spark):
-    """A document with more than 2^20 gram positions would make the
-    packed (hash, pos) key negative and silently corrupt every later
-    fingerprint — the extraction must refuse LOUDLY instead (r11
-    verdict: the bound was documented but unenforced)."""
-    n_toks = D.WINNOW_POS_MOD + D.WINNOW_K  # n_grams = 2^20 + 1
-    rows = [Row(doc_id=1, text=" ".join(["tok"] * n_toks))]
+def test_winnowing_chunked_equals_unchunked(spark):
+    """The overlapped-chunk extraction (overlap w-1 grams) must produce
+    EXACTLY the unchunked selection — every w-window lands fully inside
+    a chunk with identical contents, so min + rightmost tiebreak are
+    computed identically and the (hash, global-pos) union matches."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        Row(
+            doc_id=i,
+            # repetition-heavy so window minima TIE often (the
+            # rightmost-tiebreak path is exercised across chunks)
+            text=" ".join(f"w{rng.randrange(40)}" for _ in range(500)),
+        )
+        for i in range(6)
+    ]
     docs = spark.createDataFrame(rows)
-    with pytest.raises(Exception, match="gram positions"):
-        D.winnow_fingerprints(docs).collect()
+    base = sorted(map(tuple, D.winnow_fingerprints(docs).collect()))
+    for chunk in (8, 37, 100, 499):
+        got = sorted(
+            map(tuple, D.winnow_fingerprints(docs, chunk_grams=chunk).collect())
+        )
+        assert got == base, f"chunk_grams={chunk} diverged"
+
+
+def test_winnowing_beyond_packed_bound_fingerprints_correctly(spark):
+    """A document with more than 2^20 gram positions (the packed-key
+    bound that silently corrupted fingerprints before r12) must now
+    fingerprint CORRECTLY via overlapped chunking: a passage shared
+    with a small doc — inserted far past position 2^20 — is detected,
+    with document-global positions at the insertion point."""
+    k, w = D.WINNOW_K, D.WINNOW_W
+    passage = " ".join(f"p{i}" for i in range(k + w + 3))
+    insert_at = D.WINNOW_POS_MOD + 50  # past the old bound
+    filler = [f"f{i % 997}x{i % 31}" for i in range(D.WINNOW_POS_MOD + 2000)]
+    big = " ".join(filler[:insert_at]) + " " + passage + " " + " ".join(
+        filler[insert_at:]
+    )
+    rows = [Row(doc_id=1, text=big), Row(doc_id=2, text=passage)]
+    docs = spark.createDataFrame(rows)
+    fps = D.winnow_fingerprints(docs).collect()
+    by_doc: dict[int, set] = {1: set(), 2: set()}
+    pos_of_big: dict[int, int] = {}
+    for r in fps:
+        by_doc[r["doc_id"]].add(r["fp"])
+        if r["doc_id"] == 1:
+            pos_of_big[r["fp"]] = r["pos"]
+    shared = by_doc[1] & by_doc[2]
+    assert shared, "shared passage past 2^20 grams produced no shared fp"
+    for fp in shared:
+        assert insert_at - 1 <= pos_of_big[fp] <= insert_at + len(
+            passage.split()
+        ), (fp, pos_of_big[fp])
