@@ -971,19 +971,24 @@ def excise_duplicate_spans(
     invariant all fingerprint families share; originals stay
     untouched upstream).
 
-    Scale shape: ranges ∝ duplicate pairs (vocabulary-bounded by the
-    winnowing df-cap), one groupBy(loser) to collect each doc's
-    ranges (bounded by pairs-per-doc, ≤ df_cap per fingerprint), one
-    equi-join to the docs table that prunes to losing docs only, and
-    the rebuild is a JVM-side higher-order filter over the token
-    array — no Python, no explode, no shuffle of non-losing docs."""
+    Scale shape: ONE tokenizing scan of the corpus builds the length
+    table (localCheckpoint-pinned so both pair-side joins read one
+    materialization instead of re-running the scan per alias); ranges
+    ∝ duplicate pairs (vocabulary-bounded by the winnowing df-cap);
+    one groupBy(loser) collects each doc's ranges (bounded by
+    pairs-per-doc, ≤ df_cap per fingerprint); the docs equi-join runs
+    BEFORE tokenization, so only losing documents are ever tokenized
+    for the rebuild — a JVM-side higher-order filter over the token
+    array, no Python, no explode, no shuffle of non-losing docs."""
     toks_expr = F.filter(
         F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
         lambda t: t != "",
     )
+    # one row per doc; pin ONE evaluation — la/lb below would otherwise
+    # each re-run the full tokenize scan for their branch of the join
     lens = docs.select(
         F.col(id_col).alias("___d"), F.size(toks_expr).alias("___n")
-    )
+    ).localCheckpoint(eager=False)
     la = lens.select(
         F.col("___d").alias("___da"), F.col("___n").alias("___na")
     )
@@ -1008,8 +1013,12 @@ def excise_duplicate_spans(
     per_doc = ranges.groupBy("___loser").agg(
         F.collect_list(F.struct("___s", "___e")).alias("___rng")
     )
-    joined = docs.select(id_col, toks_expr.alias("___toks")).join(
-        per_doc, F.col(id_col) == F.col("___loser")
+    # join FIRST, tokenize after: only losing docs pay the rebuild
+    # tokenization (and the probe side stays the raw two-column scan)
+    joined = (
+        docs.select(id_col, text_col)
+        .join(per_doc, F.col(id_col) == F.col("___loser"))
+        .select(F.col(id_col), toks_expr.alias("___toks"), "___rng")
     )
     kept = F.filter(
         F.col("___toks"),

@@ -218,6 +218,32 @@ def test_merge_load_partitioned_prunes_untouched_partitions(spark, tmp_path):
     }
 
 
+def test_merge_load_partitioned_read_is_directory_pruned(spark, tmp_path):
+    """The pruned target read must prune at the DIRECTORY level — the
+    scan's input files for a touched-partition filter are only the
+    touched partition's files (this is the mechanism that makes
+    per-batch cost ∝ touched partitions at 100 TB, not a row filter
+    over a full scan)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.sinks import merge_load_partitioned
+
+    p = str(tmp_path / "t")
+    b = spark.createDataFrame(
+        [Row(k=i, v=f"v{i}", ver=1) for i in range(8)]
+    ).withColumn("bkt", (F.col("k") % 4).cast("int"))
+    merge_load_partitioned(b, p, keys=["k"], order_col="ver", partition_col="bkt")
+
+    pruned = spark.read.parquet(p).filter(F.col("bkt").isin([2]))
+    # the physical scan must carry the filter as a PARTITION filter
+    # (directory pruning), not a data filter over a full scan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines and any("bkt" in l for l in scan_lines), plan
+    assert pruned.count() == 2  # k=2 and k=6 only
+
+
 def test_merge_load_partitioned_rejects_non_key_derived_partition(spark, tmp_path):
     """A key carrying two partition values in one batch proves the
     partition column is not key-derived — the pruned merge would
