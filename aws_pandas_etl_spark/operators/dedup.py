@@ -866,28 +866,34 @@ def winnow_fingerprints(
                     # strict full-window form: docs with < w grams emit
                     # no fingerprints, mirrored by the oracle
                     continue
-                keys = np.fromiter(
-                    (
-                        pytext.md5_int(" ".join(toks[i : i + k]), 7)
-                        for i in range(n)
-                    ),
-                    dtype=np.int64,
-                    count=n,
-                )
+
+                def _keys(lo: int, hi: int) -> np.ndarray:
+                    return np.fromiter(
+                        (
+                            pytext.md5_int(" ".join(toks[i : i + k]), 7)
+                            for i in range(lo, hi)
+                        ),
+                        dtype=np.int64,
+                        count=hi - lo,
+                    )
+
                 if n <= chunk_grams:
-                    sel = _select(keys)
+                    sel = _select(_keys(0, n))
                     h = sel // WINNOW_POS_MOD
                     gp = (WINNOW_POS_MOD - 1) - (sel % WINNOW_POS_MOD)
                 else:
                     # overlapped chunking: step so consecutive chunks
                     # share w-1 grams — every w-window fully inside a
                     # chunk; same min + rightmost tiebreak, positions
-                    # rebased to document-global before the dedup
+                    # rebased to document-global before the dedup.
+                    # Keys are hashed PER CHUNK (the w-1 overlap grams
+                    # re-hash, ~0.0003% at the default dials), so peak
+                    # memory is O(chunk_grams) per doc, not O(doc)
                     step = chunk_grams - (w - 1)
                     parts = []
                     for start in range(0, n - w + 1, step):
-                        sub = keys[start : min(start + chunk_grams, n)]
-                        s = _select(sub)
+                        end = min(start + chunk_grams, n)
+                        s = _select(_keys(start, end))
                         lh = s // WINNOW_POS_MOD
                         lp = (WINNOW_POS_MOD - 1) - (s % WINNOW_POS_MOD)
                         # (hash, global pos) packed for the cross-chunk

@@ -1565,6 +1565,16 @@ def test_winnowing_chunked_equals_unchunked(spark):
         assert got == base, f"chunk_grams={chunk} diverged"
 
 
+def test_winnowing_chunk_grams_validation(spark):
+    """chunk_grams outside [2w, 2^20] is a configuration error, not a
+    silent behavior change."""
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e f g h")])
+    with pytest.raises(ValueError, match="chunk_grams"):
+        D.winnow_fingerprints(docs, chunk_grams=3)
+    with pytest.raises(ValueError, match="packed-key bound"):
+        D.winnow_fingerprints(docs, chunk_grams=D.WINNOW_POS_MOD + 1)
+
+
 def test_winnowing_beyond_packed_bound_fingerprints_correctly(spark):
     """A document with more than 2^20 gram positions (the packed-key
     bound that silently corrupted fingerprints before r12) must now

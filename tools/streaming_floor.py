@@ -235,6 +235,7 @@ def floor_join_sink(spark) -> float:
 DECOMPOSE = {
     "streaming_range_join_errors_clicks": "join_sink",     # 2 sources + join state + parquet sink, 1 batch/side
     "streaming_foreach_batch_merge": "foreach_noop_4",     # 4 foreachBatch rounds + checkpoint
+    "streaming_partitioned_merge": "foreach_noop_4",       # same scaffold; work = 4 pruned merges + dynamic-overwrite commits
     "streaming_heavy_hitters": "foreach_noop_4",           # 4 foreachBatch rounds + checkpoint
     "streaming_sessionize_stateful": "stateful_1",         # state store, single availableNow batch
 }
