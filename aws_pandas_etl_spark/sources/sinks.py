@@ -297,6 +297,51 @@ def merge_load(
     return spark.read.parquet(path).count()
 
 
+_LAYOUT_MARKER = "_layout.json"
+
+
+def _layout_marker_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _LAYOUT_MARKER)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def read_layout_marker(spark: SparkSession, path: str) -> dict | None:
+    """Read the ``_layout.json`` stamp of a ``merge_load_partitioned``
+    target (None if absent — pre-stamp target or first write).  The
+    leading underscore makes Spark's parquet reader skip the file, so
+    the stamp rides inside the target directory itself and travels
+    with copies/renames of the target."""
+    import json
+
+    fs, jpath = _layout_marker_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # commons-io rides on Spark's classpath; a py4j bytearray read
+        # would NOT round-trip (Java-side writes into a passed byte[]
+        # never propagate back to Python)
+        data = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(data)
+
+
+def _write_layout_marker(spark: SparkSession, path: str, spec: dict) -> None:
+    import json
+
+    fs, jpath = _layout_marker_path(spark, path)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(json.dumps(spec, sort_keys=True).encode("utf-8"))
+    finally:
+        stream.close()
+
+
 def merge_load_partitioned(
     df: DataFrame,
     path: str,
@@ -304,6 +349,7 @@ def merge_load_partitioned(
     order_col: str,
     partition_col: str,
     tiebreak_col: str | None = None,
+    layout_spec: str | None = None,
 ) -> int:
     """Partition-pruned incremental upsert — ``merge_load`` for targets
     that matter at 100 TB: the flat merge reads and REWRITES the whole
@@ -323,12 +369,34 @@ def merge_load_partitioned(
        partitions are replaced; every other partition's files are not
        rewritten, moved, or read.
 
-    CONTRACT: ``partition_col`` must be a deterministic function of the
-    merge ``keys`` (e.g. a key hash-bucket or the key's date) and be
-    present in ``df`` — otherwise a key could live in two partitions
-    and the pruned merge would miss its older copy.  Per-batch cost is
-    ∝ touched-partition bytes, not target bytes (measured:
-    tools/merge_probe.py, BASELINE.md r12).
+    CONTRACT: ``partition_col`` must be a deterministic, NON-NULL
+    function of the merge ``keys`` (e.g. a key hash-bucket or the
+    key's date) and be present in ``df`` — otherwise a key could live
+    in two partitions and the pruned merge would miss its older copy.
+    NULL partition values are rejected loudly: ``isin(touched)`` can
+    never match NULL (three-valued logic), so rows in a null partition
+    would be invisible to the pruned read yet still overwritten by the
+    dynamic-partition commit — a silent row-loss mode, converted here
+    into an error.  Per-batch cost is ∝ touched-partition bytes, not
+    target bytes (measured: tools/merge_probe.py, BASELINE.md r12).
+
+    LAYOUT STAMP: the per-batch guard proves the CONTRACT for each
+    batch, and induction extends it to the target — but the induction
+    breaks if the key→partition mapping itself CHANGES between runs
+    (e.g. ``pmod(key, 32)`` becomes ``pmod(key, 16)``: a key's old
+    copy lives in a bucket the new mapping never reads, and the merge
+    silently resurrects stale rows).  The first write therefore stamps
+    ``_layout.json`` (partition_col, sorted keys, order_col, and the
+    caller's ``layout_spec`` — a free-form description of HOW
+    partition_col derives from the keys, e.g. ``"pmod(user_id,32)"``)
+    into the target directory; every later merge refuses loudly on any
+    mismatch.  Callers that compute the partition column from a
+    parameter (bucket count, date granularity) should always pass
+    ``layout_spec`` — without it only the column/key NAMES are pinned
+    and a re-bucketing under the same column name is undetectable.
+    A pre-stamp target (marker absent but data present) is
+    grandfathered: the current spec is stamped and the merge proceeds,
+    since the old mapping is unrecoverable from data alone.
 
     The merged touched-partition rows are localCheckpointed before the
     write (bounded by touched-partition size) — that breaks the
@@ -344,29 +412,83 @@ def merge_load_partitioned(
     from pyspark.errors import AnalysisException
 
     spark = df.sparkSession
-    # contract guard (batch-sized, one small agg): a key carrying TWO
-    # partition values in one batch proves partition_col is not a
-    # function of the keys — the pruned read would then miss the key's
-    # copy in the unread partition and silently resurrect stale rows.
-    # (The target side is covered by induction: every prior merge
-    # enforced the same check on its batch.)
-    viol = (
+    # layout stamp: refuse a target whose recorded key→partition layout
+    # differs from this call's — the silent-resurrection mode the
+    # per-batch guard's induction can't see (see docstring).
+    layout = {
+        "partition_col": partition_col,
+        "keys": sorted(keys),
+        "order_col": order_col,
+        "layout_spec": layout_spec,
+    }
+    stamped = read_layout_marker(spark, path)
+    if stamped is not None and stamped != layout:
+        raise ValueError(
+            f"merge_load_partitioned: target {path!r} was written with "
+            f"layout {stamped!r} but this merge declares {layout!r} — a "
+            f"changed key→partition mapping would make the pruned read "
+            f"miss keys' old copies and silently resurrect stale rows. "
+            f"Rewrite the target under the new layout (full merge_load + "
+            f"re-stamp) instead of merging across layouts."
+        )
+    # contract guard + touched-partition set + NULL rejection, folded
+    # into ONE job (r12 ran guard and touched as two separate actions
+    # per micro-batch): per key, the distinct-partition count proves
+    # partition_col is a function of the keys (two values for one key
+    # ⇒ the pruned read would miss that key's copy in the unread
+    # partition); the per-key null flag catches NULL partition values
+    # (count_distinct ignores NULLs, so nulls need their own channel);
+    # and because every valid key carries exactly ONE partition value,
+    # collect_set of the per-key representative IS the batch's touched
+    # set.  Both aggregates are bounded: one row per batch key, then
+    # one row total.  (The target side is covered by induction: every
+    # prior merge enforced the same check on its batch, and the layout
+    # stamp pins the mapping across runs.)
+    stats = (
         df.groupBy(*keys)
-        .agg(F.count_distinct(F.col(partition_col)).alias("_np"))
-        .filter(F.col("_np") > 1)
-        .limit(1)
-        .collect()
+        .agg(
+            F.count_distinct(F.col(partition_col)).alias("_np"),
+            F.max(F.col(partition_col).isNull()).alias("_kn"),
+            F.first(partition_col, ignorenulls=True).alias("_pv"),
+        )
+        .agg(
+            F.max("_np").alias("_max_np"),
+            F.max("_kn").alias("_any_null"),
+            F.collect_set("_pv").alias("_touched"),
+        )
+        .collect()[0]
     )
-    if viol:
+    if stats["_any_null"]:
+        bad = (
+            df.filter(F.col(partition_col).isNull())
+            .select(*keys)
+            .limit(1)
+            .collect()
+        )
+        raise ValueError(
+            f"merge_load_partitioned: key "
+            f"{tuple(bad[0][k] for k in keys) if bad else '?'} carries a "
+            f"NULL {partition_col!r} — isin-pruning can never read a null "
+            f"partition back, so its prior rows would be silently lost on "
+            f"overwrite; make partition_col a non-null function of the keys"
+        )
+    if stats["_max_np"] is not None and stats["_max_np"] > 1:
+        # error path only: re-derive WHICH key violated (cost is fine
+        # here; the happy path stays one job)
+        viol = (
+            df.groupBy(*keys)
+            .agg(F.count_distinct(F.col(partition_col)).alias("_np"))
+            .filter(F.col("_np") > 1)
+            .limit(1)
+            .collect()
+        )
         raise ValueError(
             f"merge_load_partitioned: key {tuple(viol[0][k] for k in keys)!r} "
             f"maps to {viol[0]['_np']} distinct {partition_col!r} values in "
             f"this batch — partition_col must be a deterministic function "
             f"of the merge keys"
         )
-    touched = [
-        r[0] for r in df.select(partition_col).distinct().collect()
-    ]
+    touched = list(stats["_touched"])
     if not touched:
         return 0
     src_col, rn_col = "_merge_src", "_merge_rn"
@@ -401,6 +523,11 @@ def merge_load_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+    if stamped is None:
+        # first write (or grandfathered pre-stamp target): pin the
+        # layout AFTER the data lands so a failed write never leaves a
+        # stamp without data
+        _write_layout_marker(spark, path, layout)
     return merged.count()
 
 

@@ -512,6 +512,14 @@ def run_foreach_batch_merge(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if partition_buckets is not None:
+            # pmod(NULL, N) is NULL — a NULL user_id would route a null
+            # partition value into the merge, where it is now rejected
+            # loudly (sinks.merge_load_partitioned null guard) instead
+            # of silently dropping the null partition's prior rows.
+            # layout_spec pins the bucket count into the target's
+            # _layout.json: re-running with a different
+            # partition_buckets against the same target refuses instead
+            # of resurrecting stale rows from unread buckets.
             merge_load_partitioned(
                 batch_df.withColumn(
                     "user_bucket",
@@ -524,6 +532,7 @@ def run_foreach_batch_merge(
                 order_col="ts",
                 partition_col="user_bucket",
                 tiebreak_col="event_id",
+                layout_spec=f"pmod(user_id,{partition_buckets})",
             )
         else:
             merge_load(

@@ -263,6 +263,136 @@ def test_merge_load_partitioned_rejects_non_key_derived_partition(spark, tmp_pat
         )
 
 
+def test_merge_load_partitioned_rejects_null_partition_value(spark, tmp_path):
+    """NULL partition values must refuse loudly: isin-pruning can never
+    match NULL, so a null partition's prior rows would be invisible to
+    the pruned read yet replaced by the dynamic overwrite — silent row
+    loss (r12 ADVICE).  Also covers the count_distinct blindspot: a key
+    mapping to both NULL and a non-NULL value passes the per-key
+    distinct guard (count_distinct ignores NULLs) but is caught here."""
+    import pytest
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.sources.sinks import merge_load_partitioned
+
+    t = str(tmp_path / "t")
+    bad = spark.createDataFrame(
+        [Row(k=1, v="a", ver=1, bkt=0), Row(k=2, v="b", ver=1, bkt=None)]
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_load_partitioned(bad, t, keys=["k"], order_col="ver", partition_col="bkt")
+    # the blindspot shape: one key, NULL + non-NULL partition values
+    bad2 = spark.createDataFrame(
+        [Row(k=1, v="a", ver=1, bkt=0), Row(k=1, v="b", ver=2, bkt=None)]
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_load_partitioned(bad2, t, keys=["k"], order_col="ver", partition_col="bkt")
+
+
+def test_merge_load_partitioned_rejects_layout_change(spark, tmp_path):
+    """A changed key→partition mapping against an existing target must
+    raise instead of corrupting: with pmod(k,N) → pmod(k,N') a key's
+    old copy lives in a bucket the new mapping never reads, so the
+    pruned merge would silently resurrect stale rows (r12 verdict #2).
+    The first write stamps _layout.json; mismatched partition_col,
+    keys, order_col, or layout_spec all refuse; the matching layout
+    keeps merging."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        merge_load_partitioned,
+        read_layout_marker,
+    )
+
+    t = str(tmp_path / "t")
+
+    def batch(rows, buckets):
+        return spark.createDataFrame(rows).withColumn(
+            "bkt", (F.col("k") % buckets).cast("int")
+        )
+
+    b1 = batch([Row(k=1, v="a", ver=1), Row(k=6, v="b", ver=1)], 4)
+    merge_load_partitioned(
+        b1, t, keys=["k"], order_col="ver", partition_col="bkt",
+        layout_spec="pmod(k,4)",
+    )
+    assert read_layout_marker(spark, t) == {
+        "partition_col": "bkt",
+        "keys": ["k"],
+        "order_col": "ver",
+        "layout_spec": "pmod(k,4)",
+    }
+    # the dangerous case: same column name, different bucket count —
+    # k=6 now maps to bkt=0, its old copy sits unread in bkt=2
+    b2 = batch([Row(k=6, v="b2", ver=2)], 2)
+    with pytest.raises(ValueError, match="layout"):
+        merge_load_partitioned(
+            b2, t, keys=["k"], order_col="ver", partition_col="bkt",
+            layout_spec="pmod(k,2)",
+        )
+    # other mismatches refuse too
+    with pytest.raises(ValueError, match="layout"):
+        merge_load_partitioned(
+            batch([Row(k=6, v="b2", ver=2)], 4).withColumnRenamed("bkt", "bkt2"),
+            t, keys=["k"], order_col="ver", partition_col="bkt2",
+            layout_spec="pmod(k,4)",
+        )
+    with pytest.raises(ValueError, match="layout"):
+        merge_load_partitioned(
+            batch([Row(k=6, v="b2", ver=2)], 4),
+            t, keys=["k", "v"], order_col="ver", partition_col="bkt",
+            layout_spec="pmod(k,4)",
+        )
+    # the matching layout still merges, and the stamp survives
+    n = merge_load_partitioned(
+        batch([Row(k=6, v="b3", ver=3)], 4), t,
+        keys=["k"], order_col="ver", partition_col="bkt",
+        layout_spec="pmod(k,4)",
+    )
+    assert n == 1
+    got = {r["k"]: r["v"] for r in spark.read.parquet(t).collect()}
+    assert got == {1: "a", 6: "b3"}
+    assert read_layout_marker(spark, t)["layout_spec"] == "pmod(k,4)"
+
+
+def test_merge_load_partitioned_grandfathers_prestamp_target(spark, tmp_path):
+    """A pre-stamp target (data present, marker absent — e.g. written
+    before the layout stamp existed) is grandfathered: the merge
+    proceeds and stamps the CURRENT spec, since the original mapping is
+    unrecoverable from the data alone."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        merge_load_partitioned,
+        read_layout_marker,
+    )
+
+    t = str(tmp_path / "t")
+    b1 = spark.createDataFrame([Row(k=1, v="a", ver=1)]).withColumn(
+        "bkt", (F.col("k") % 2).cast("int")
+    )
+    merge_load_partitioned(
+        b1, t, keys=["k"], order_col="ver", partition_col="bkt",
+        layout_spec="pmod(k,2)",
+    )
+    os.remove(os.path.join(t, "_layout.json"))  # simulate pre-stamp target
+    b2 = spark.createDataFrame([Row(k=1, v="a2", ver=2)]).withColumn(
+        "bkt", (F.col("k") % 2).cast("int")
+    )
+    assert merge_load_partitioned(
+        b2, t, keys=["k"], order_col="ver", partition_col="bkt",
+        layout_spec="pmod(k,2)",
+    ) == 1
+    assert read_layout_marker(spark, t)["layout_spec"] == "pmod(k,2)"
+    got = {r["k"]: r["v"] for r in spark.read.parquet(t).collect()}
+    assert got == {1: "a2"}
+
+
 def test_pipeline_merge_mode(spark, tmp_path):
     from pyspark.sql import Row
 
