@@ -95,6 +95,134 @@ def ewma_last_per_key(
     return src.mapInPandas(scan, schema=schema)
 
 
+def ewma_last_per_key_parallel(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-robust twin of ``ewma_last_per_key`` — same recurrence,
+    NO serial per-key unit, explicitly NOT bit-parity (r12 verdict #3).
+
+    The EWMA step y_i = alpha*x_i + beta*y_{i-1} is an AFFINE map
+    y -> beta*y + alpha*x_i, and affine maps compose associatively:
+    (a2,b2)∘(a1,b1) = (a1*a2, b1*a2 + b2).  So the fold over a key's
+    history can be computed as a two-level scan instead of one serial
+    replay:
+
+    1. range-repartition by (key, *order) — a hot key SPLITS across
+       partitions by order position, exactly like ``running_rows_sum``;
+    2. one Arrow ``mapInPandas`` pass emits ONE partial per
+       (partition, key-run): the composed map (a = beta^cnt,
+       b = alpha * sum_j x_j * beta^(cnt-1-j), numpy-vectorized), the
+       run length, and the run's first value;
+    3. per key, the partials (at most one per partition — bounded by
+       cluster width, NOT corpus size) fold in partition order with a
+       JVM-side ``F.aggregate``: y := a*y + b, seeded with the key's
+       first value (y_0 = x_1 reproduces the y_1 = x_1 convention:
+       alpha*x_1 + beta*x_1 = x_1 up to one rounding).
+
+    Numerics: beta^cnt underflows gracefully to 0 for long runs
+    (history older than ~5000 steps at alpha=0.5 is below double
+    precision anyway), and the partial's weighted sum associates
+    differently from the serial Horner order — both effects bound the
+    drift at ~1 ulp per reassociation.  Measured max |Δ| vs the serial
+    form: BASELINE.md r13 (≈1e-13 at sf0.1, alpha=0.5).  Callers who
+    need bit-parity with the sequential replay (the documented
+    contract of ``ewma_last_per_key``) must keep the serial form; this
+    twin is for hot-key-skewed inputs where one key owning half the
+    corpus would serialize half the work onto one task.
+
+    Returns (key_col, n_events, ewma) — same shape as the serial form.
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    beta = 1.0 - alpha
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    src = (
+        df.select(key_col, *order_cols, value_col)
+        .repartitionByRange(num_partitions, key_col, *order_cols)
+        .sortWithinPartitions(key_col, *order_cols)
+    )
+    part_schema = (
+        f"{key_col} bigint, _pid int, _cnt bigint, _a double, "
+        f"_b double, _x0 double"
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pid = TaskContext.get().partitionId()
+        started = False
+        cur = 0
+        cnt = 0
+        a = 1.0
+        b = 0.0
+        x0 = 0.0
+        out: list[tuple[int, int, int, float, float, float]] = []
+
+        def seg_compose(x: "np.ndarray") -> tuple[float, float]:
+            # composed map of a contiguous run: a = beta^m,
+            # b = alpha * dot(x, beta^[m-1 .. 0]) — the vectorized
+            # closed form of folding (beta, alpha*x_j) left to right
+            m = len(x)
+            w = beta ** np.arange(m - 1, -1, -1, dtype="float64")
+            return float(beta**m), float(alpha * np.dot(x, w))
+
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+            if len(keys) == 0:
+                continue
+            # contiguous same-key run boundaries within the batch
+            cuts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(keys)]))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                k = int(keys[s])
+                sa, sb = seg_compose(vals[s:e])
+                if started and k == cur:
+                    # extend the carried run: carry ∘ segment
+                    a, b = a * sa, b * sa + sb
+                    cnt += e - s
+                else:
+                    if started:
+                        out.append((cur, pid, cnt, a, b, x0))
+                    started, cur, cnt = True, k, e - s
+                    a, b, x0 = sa, sb, float(vals[s])
+        if started:
+            out.append((cur, pid, cnt, a, b, x0))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key_col, "_pid", "_cnt", "_a", "_b", "_x0"]
+            )
+
+    parts = src.mapInPandas(partials, schema=part_schema)
+    # fold partials per key in partition (= order) position: struct
+    # sort is lexicographic by field order, so _pid leads
+    folded = parts.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_pid", "_cnt", "_a", "_b", "_x0"))
+        ).alias("_ps")
+    )
+    y0 = F.element_at(F.col("_ps"), 1)["_x0"]
+    return folded.select(
+        key_col,
+        F.aggregate(
+            "_ps", F.lit(0).cast("bigint"), lambda acc, p: acc + p["_cnt"]
+        ).alias("n_events"),
+        F.aggregate(
+            "_ps", y0, lambda acc, p: p["_a"] * acc + p["_b"]
+        ).alias("ewma"),
+    )
+
+
 def running_rows_sum(
     df: DataFrame,
     key_col: str,

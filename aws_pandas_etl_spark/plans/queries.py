@@ -7642,6 +7642,35 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ewma_user_value_parallel", EWMA_ORACLE)
+def ewma_user_value_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust twin of ``ewma_user_value`` — same oracle, same
+    rounded values, no serial per-key unit (r12 verdict #3's escape
+    hatch as code): the EWMA recurrence is a fold of affine maps,
+    which compose associatively, so a hot key's history splits across
+    range partitions, each partition emits one composed partial
+    (numpy-vectorized), and a JVM-side ``F.aggregate`` folds the ≤
+    #partitions partials per key in order.  NOT bit-parity with the
+    sequential replay (reassociation drifts ~1 ulp; measured max |Δ|
+    2.8e-14 at sf0.1 — BASELINE.md r13 — against a rounding-boundary
+    headroom of 1e-4, so the ROUND(·,6) oracle projection is exact on
+    the harness data at both driver scales).  Serial-form cost at
+    50x/p=90 skew was 2.3x (BASELINE.md r12, documented then as
+    inherent); this twin removes the bound for callers who accept the
+    drift."""
+    from aws_pandas_etl_spark.operators.timeseries import (
+        ewma_last_per_key_parallel,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma_last_per_key_parallel(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=EWMA_ALPHA
+    )
+    return out.select(
+        "user_id", "n_events", F.round("ewma", 6).alias("ewma")
+    )
+
+
 @register("streaming_ewma_per_user", EWMA_ORACLE)
 def streaming_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ewma_user_value: applyInPandasWithState

@@ -738,6 +738,76 @@ def test_ewma_recurrence_values(spark):
     assert out[2] == (1, 7.0)
 
 
+def test_ewma_parallel_matches_serial_and_splits_hot_key(spark):
+    """The affine-composition twin must (a) reproduce the serial
+    recurrence's values within reassociation drift (well under the
+    oracle's 1e-6 rounding grid), (b) report identical n_events, and
+    (c) actually SPLIT a hot key across partitions — multiple partials
+    per key — which is the whole point (the serial form binds one key
+    to one task)."""
+    import datetime as dt
+
+    from aws_pandas_etl_spark.operators.timeseries import (
+        ewma_last_per_key,
+        ewma_last_per_key_parallel,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # hot key 1 owns 90% of rows; keys 2..6 are tiny
+    rows = [
+        Row(user_id=1, event_id=i, ts=base + dt.timedelta(seconds=i),
+            value=float((i * 37) % 101) - 50.0)
+        for i in range(900)
+    ] + [
+        Row(user_id=k, event_id=1000 * k + j,
+            ts=base + dt.timedelta(seconds=j), value=float(k + j))
+        for k in range(2, 7)
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    ser = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_last_per_key(
+            df, "user_id", ["ts", "event_id"], "value", alpha=0.5
+        ).collect()
+    }
+    par_df = ewma_last_per_key_parallel(
+        df, "user_id", ["ts", "event_id"], "value", alpha=0.5,
+        num_partitions=8,
+    )
+    par = {
+        r["user_id"]: (r["n_events"], r["ewma"]) for r in par_df.collect()
+    }
+    assert set(ser) == set(par)
+    for k in ser:
+        assert ser[k][0] == par[k][0], k
+        assert abs(ser[k][1] - par[k][1]) < 1e-9, (k, ser[k], par[k])
+    # (c) the hot key's history must span >1 partial (>= 2 partitions)
+    from pyspark.sql import functions as F
+
+    src = (
+        df.select("user_id", "ts", "event_id", "value")
+        .repartitionByRange(8, "user_id", "ts", "event_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    npids = (
+        src.filter(F.col("user_id") == 1)
+        .select("_pid").distinct().count()
+    )
+    assert npids >= 2, f"hot key stayed on {npids} partition(s)"
+
+    # the exact serial value on a single key is pinned by
+    # test_ewma_recurrence_values; spot-check the twin agrees there too
+    mini = spark.createDataFrame(
+        [Row(user_id=1, event_id=i, ts=base + dt.timedelta(minutes=i), value=v)
+         for i, v in enumerate([4.0, 2.0, 8.0])]
+    )
+    got = ewma_last_per_key_parallel(
+        mini, "user_id", ["ts", "event_id"], "value", alpha=0.5
+    ).collect()[0]
+    assert (got["n_events"], got["ewma"]) == (3, 5.5)
+
+
 def test_semantic_dedup_subset_and_probe_recall_vs_bruteforce(spark):
     """Cluster-blocked pairs must be a SUBSET of the all-pairs
     threshold scan (exactness), and multi-probe assignment must be
