@@ -2963,6 +2963,56 @@ def winnowing_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.excise_duplicate_spans(docs, spans).orderBy("doc_id")
 
 
+def _curate_excision_oracle() -> str:
+    return f"""
+SELECT cur.doc_id, cur.lang, cur.quality,
+       cur.n_tokens AS n_tokens_before,
+       COALESCE(exc.n_tokens_after, cur.n_tokens) AS n_tokens_after
+FROM ( {_curation_oracle()} ) cur
+LEFT JOIN ( {_winnow_excision_oracle()} ) exc ON cur.doc_id = exc.doc_id
+"""
+
+
+@register("curate_with_excision", _curate_excision_oracle())
+def curate_with_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation CONSUMING span excision (r12 verdict #7):
+    ``curate_training_corpus`` still drops whole documents for
+    full-document near-duplicates (minhash b-side) — correct when the
+    documents really are copies — but its survivors may still carry a
+    LOCALIZED duplicated passage (license header, quoted template)
+    that winnowing localizes and ``excise_duplicate_spans`` cuts.
+    This query is the composed pipeline: exact-dedup survivors ∩ not a
+    near-dup ∩ quality ≥ 0.5, with per-document token accounting
+    before/after excision — ``n_tokens_after < n_tokens_before``
+    exactly for the curated docs that lost a span (the standalone
+    excision query's numbers, reconciliation-tested), equal otherwise.
+    All three token counts share one token space (``normalize_text``
+    whitespace tokens — the corpus-wide invariant), so the accounting
+    is a plain left join, not a re-tokenization.
+
+    Scale shape: both inputs are verified queries (the curation plan's
+    semi/anti joins; the excision plan's vocabulary-bounded ranges +
+    losers-only rebuild); the composition adds ONE equi-join on doc_id
+    between a corpus-sized side and a duplicate-pairs-sized side —
+    broadcastable at any real duplicate rate."""
+    exc = winnowing_span_excision(spark, sf_dir).select(
+        "doc_id", "n_tokens_after"
+    )
+    return (
+        curate_training_corpus(spark, sf_dir)
+        .join(exc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.col("n_tokens").alias("n_tokens_before"),
+            F.coalesce("n_tokens_after", F.col("n_tokens")).alias(
+                "n_tokens_after"
+            ),
+        )
+    )
+
+
 VOCAB_ORACLE = f"""
 WITH t AS (
   SELECT unnest({_dk_toks('text')}) AS token FROM documents
@@ -7654,10 +7704,13 @@ def ewma_user_value_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential replay (reassociation drifts ~1 ulp; measured max |Δ|
     2.8e-14 at sf0.1 — BASELINE.md r13 — against a rounding-boundary
     headroom of 1e-4, so the ROUND(·,6) oracle projection is exact on
-    the harness data at both driver scales).  Serial-form cost at
-    50x/p=90 skew was 2.3x (BASELINE.md r12, documented then as
-    inherent); this twin removes the bound for callers who accept the
-    drift."""
+    the harness data at both driver scales; data whose EWMA lands
+    EXACTLY on a boundary — dyadic values with alpha=1/2 — can round
+    differently, measured on the 50x skew clone, so bit-parity callers
+    keep the serial form).  Serial-form cost at 50x/p=90 skew was 2.3x
+    (BASELINE.md r12, documented then as inherent); this twin measures
+    0.8x at the same dial — the bound removed for callers who accept
+    the drift."""
     from aws_pandas_etl_spark.operators.timeseries import (
         ewma_last_per_key_parallel,
     )
@@ -16676,6 +16729,154 @@ def cogroup_view_pressure_per_purchase(
     )
 
 
+@register("cogroup_view_pressure_preagg", COGROUP_ORACLE)
+def cogroup_view_pressure_preagg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-robust twin of ``cogroup_view_pressure_per_purchase`` —
+    same oracle, same values, the r12 escape-hatch sentence as code
+    (verdict #6): the view side is PRE-AGGREGATED per (user_id, ts)
+    BEFORE the cogroup.  RANGE peers (same user, same timestamp)
+    collapse exactly — the trailing count becomes a sum of per-instant
+    counts and the decimal sum a sum of per-instant micro sums, both
+    exact in int64 — so a hot user whose event clones share timestamps
+    (the skew clone's shape, and any real burst/bot feed's) shrinks to
+    its DISTINCT-instant row count before a single byte crosses the
+    Arrow boundary.  The groupBy is a map-side-combining shuffle: the
+    collapse happens in each scan task, not on the hot bucket's
+    callback.
+
+    The callback itself is also fully vectorized (the original does
+    one Python-level searchsorted per purchase): user-blocked
+    composite int64 keys (user_rank * SPAN + ts_offset with SPAN >
+    time range + 2h, so no cross-user bleed and the [-1h, now) probe
+    stays inside its user's block) turn both window bounds into two
+    whole-array ``np.searchsorted`` calls.  Falls back to the per-row
+    loop only if the composite would overflow int64 (> ~10^5 users x
+    multi-century range — not a harness shape, but loud-checked)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.pmod("user_id", F.lit(COGROUP_BUCKETS)).alias("bucket"),
+    )
+    # exact decimal collapse: round half-AWAY-from-zero to 6 in int64
+    # micros (the same floor(abs*1e6+0.5) the pandas side computes —
+    # identical IEEE ops, identical values), then sum per instant
+    micros = F.when(
+        F.col("value").isNotNull(),
+        F.when(F.col("value") >= 0, F.floor(F.abs(F.col("value")) * 1e6 + 0.5))
+        .otherwise(-F.floor(F.abs(F.col("value")) * 1e6 + 0.5))
+        .cast("long"),
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(
+            F.col("user_id").alias("user_id"), F.col("ts").alias("ts")
+        )
+        .agg(
+            F.count("*").alias("nk"),
+            F.sum(micros).alias("sm"),
+        )
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("ts"),
+            F.col("nk").alias("nk"),
+            F.coalesce(F.col("sm"), F.lit(0)).alias("sm"),
+            F.pmod("user_id", F.lit(COGROUP_BUCKETS)).alias("bucket"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_views_1h", T.LongType()),
+            T.StructField("mean_view_value", T.DoubleType()),
+        ]
+    )
+    HOUR_US = 3_600_000_000
+
+    def _pressure(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_views_1h": pd.Series(dtype="int64"),
+                    "mean_view_value": pd.Series(dtype="float64"),
+                }
+            )
+        lu = left["user_id"].to_numpy()
+        pts = left["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        if right.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": left["event_id"].to_numpy(),
+                    "user_id": lu,
+                    "n_views_1h": np.zeros(len(left), dtype="int64"),
+                    "mean_view_value": pd.array(
+                        [pd.NA] * len(left), dtype="Float64"
+                    ),
+                }
+            )
+        r = right.sort_values(["user_id", "ts"])
+        ru = r["user_id"].to_numpy()
+        vts = r["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        cumn = np.concatenate(([0], np.cumsum(r["nk"].to_numpy())))
+        cums = np.concatenate(([0], np.cumsum(r["sm"].to_numpy())))
+        uniq = np.unique(ru)
+        tmin = int(min(vts.min(), pts.min()))
+        tmax = int(max(vts.max(), pts.max()))
+        span = (tmax - tmin) + 2 * HOUR_US + 1
+        urank_l = np.searchsorted(uniq, lu)
+        present = (urank_l < len(uniq)) & (uniq[np.minimum(urank_l, len(uniq) - 1)] == lu)
+        if len(uniq) * span < 2**62:
+            vkey = np.searchsorted(uniq, ru) * span + (vts - tmin)
+            pkey = np.where(present, urank_l, 0) * span + (pts - tmin)
+            hi = np.searchsorted(vkey, pkey, side="left")
+            lo = np.searchsorted(vkey, pkey - HOUR_US, side="left")
+        else:  # composite would overflow: per-user slices, per-row probe
+            s_idx = np.searchsorted(ru, lu, side="left")
+            e_idx = np.searchsorted(ru, lu, side="right")
+            hi = np.empty(len(lu), dtype="int64")
+            lo = np.empty(len(lu), dtype="int64")
+            for i in range(len(lu)):
+                seg = vts[s_idx[i] : e_idx[i]]
+                hi[i] = s_idx[i] + np.searchsorted(seg, pts[i], side="left")
+                lo[i] = s_idx[i] + np.searchsorted(
+                    seg, pts[i] - HOUR_US, side="left"
+                )
+        n = np.where(present, cumn[hi] - cumn[lo], 0)
+        sums = np.where(present, cums[hi] - cums[lo], 0) / 1e6
+        mean = sums / np.maximum(n, 1)
+        mean6 = (
+            np.where(mean >= 0, 1.0, -1.0)
+            * np.floor(np.abs(mean) * 1e6 + 0.5)
+            / 1e6
+        )
+        mean_col = pd.array(mean6, dtype="Float64")
+        mean_col[n == 0] = pd.NA
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(),
+                "user_id": lu,
+                "n_views_1h": n,
+                "mean_view_value": mean_col,
+            }
+        )
+
+    return (
+        p.groupBy("bucket")
+        .cogroup(v.groupBy("bucket"))
+        .applyInPandas(_pressure, schema=out_schema)
+        .orderBy("event_id")
+    )
+
+
 GC_DAILY = 7
 GC_WEEKLY = 4
 GC_MONTHLY = 12
@@ -18124,6 +18325,21 @@ def unigram_entropy_effective_vocab(
 # 2 newcomers — every registry entry driver-witnessed on its CURRENT
 # semantics.  Every seat is exact-value-green in the local sweep at
 # sf0.001/0.01 before seating.
+# Round-13 rotation: after CORRECTNESS_r12 (50/50 green) the cumulative
+# driver-verified union is 283/283.  This round adds 3 queries
+# (ewma_user_value_parallel — affine-composition skew-robust EWMA twin;
+# cogroup_view_pressure_preagg — the pre-aggregated cogroup twin;
+# curate_with_excision — the excision-consuming curation pipeline) and
+# REWORKS 2 after their last green row (streaming_partitioned_merge +
+# streaming_foreach_batch_merge: the sinks layout stamp, NULL-partition
+# rejection, and one-job batch stats change the per-batch plan).  All 5
+# take seats, every seat exact-value green in the local sweep at
+# sf0.01/0.1 before seating.  The remaining 45 seats re-verify the
+# STALEST driver-green entries (last seated r2-r7, computed from the
+# CORRECTNESS_r01-r12 union), touching every §2a/§2b family: TPC-H x12,
+# relational/behavioral x9, dedup x6, text x3, streaming x4, sampling
+# x2, timeseries x3, json/format x2, embedding/ANN x2, sketch/approx
+# x2.  A green r13 window keeps the union 286/286 on current semantics.
 # Round-12 rotation: after CORRECTNESS_r11 (50/50 green) the cumulative
 # driver-verified union is 280/280.  This round adds 3 queries
 # (running_total_prefix — the skew-robust ROWS-frame twin;
@@ -18177,56 +18393,63 @@ def unigram_entropy_effective_vocab(
 # driver-witnessed on its CURRENT semantics.  Every seat is
 # exact-value-green in the local sweep at sf0.001/0.01 before seating.
 _DRIVER_WINDOW = [
-    "running_total_prefix",
+    # r13-born (each takes a seat the round it is born)
+    "ewma_user_value_parallel",
+    "cogroup_view_pressure_preagg",
+    "curate_with_excision",
+    # reworked this round (sinks layout stamp + one-job batch stats
+    # change the partitioned merge's per-batch plan; the foreachBatch
+    # runner passes layout_spec)
     "streaming_partitioned_merge",
-    "winnowing_span_excision",
-    "q1_pricing_summary",
-    "sliding_1h_user_value_prefix",
-    "hard_negative_mining",
-    "bitext_mining_margin",
-    "winnowing_fingerprint_pairs",
-    "winnowing_fingerprint_density",
-    "winnowing_shared_spans",
     "streaming_foreach_batch_merge",
-    "agg_events_hourly_window",
-    "distinct_users_per_event_type",
-    "doc_fingerprint",
-    "embedding_norm_stats",
-    "lang_id_heuristic",
-    "pagerank_knn_graph",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "revenue_rollup",
-    "small_quantity_parts",
-    "token_count_bpe",
-    "token_vocabulary_top20",
-    "urgent_not_low_customers",
-    "dedup_simhash",
-    "train_val_test_split",
-    "window_running_total",
-    "ann_lsh_topk",
-    "asof_last_view_before_purchase",
-    "chunk_documents_sliding",
-    "curate_training_corpus",
-    "pipeline_roundtrip",
-    "embedding_near_dup_pairs",
-    "etl_enriched_events",
-    "events_json_kpi",
-    "multimodal_features",
-    "nation_revenue_share",
-    "approx_distinct_users_linear",
-    "pii_redaction",
-    "priority_pivot",
-    "pipeline_merge_roundtrip",
-    "q18_large_volume_orders",
-    "q5_region_revenue",
-    "row_hash_documents",
-    "sessionize_events",
-    "streaming_dedup_within_watermark",
-    "streaming_events_hourly",
-    "text_stats_documents",
-    "tfidf_top_terms",
-    "upsert_latest_events",
+    # stalest-first rotation: the 45 registry entries with the oldest
+    # driver seats (r2-r7 per the CORRECTNESS_r* union; ~39-45
+    # seats/round re-verifies the full registry every ~6 rounds)
+    "nation_supplier_outer",
+    "events_json_struct",
+    "customers_without_urgent_orders",
+    "lineitem_cube",
+    "order_priority_counts",
+    "purchases_errors_full_outer",
+    "topk_similarity_bruteforce",
+    "conversion_funnel_view_click_purchase",
+    "dedup_clusters_minhash",
+    "ewma_user_value",
+    "exact_dup_spans",
+    "format_roundtrip_events",
+    "grouping_sets_revenue",
+    "incremental_dedup_new_batch",
+    "interpolate_hourly_values",
+    "levenshtein_near_dup_rescore",
+    "ngram_jaccard_pairs",
+    "pmi_bigrams_top20",
+    "q10_returned_items",
+    "q12_priority_line_counts",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q19_disjunctive_filter",
+    "q7_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_clicks_near_errors",
+    "rolling_7d_distinct_users",
+    "salted_sum_by_event_type",
+    "scd2_purchase_history",
+    "schema_enforce_lineitem",
+    "session_window_batch",
+    "sql_interface_revenue",
+    "stratified_sample_by_lang",
+    "streaming_approx_distinct_linear",
+    "streaming_dedup_events",
+    "streaming_session_window_native",
+    "table_diff_snapshots",
+    "value_percentiles_per_event_type",
+    "asof_next_purchase_after_signup",
+    "cohort_weekly_retention",
+    "containment_pairs",
+    "dedup_rate_by_source",
 ]
 
 

@@ -155,34 +155,27 @@ def test_driver_window_spans_operator_families():
     assert len(set(Q._DRIVER_WINDOW)) == 50
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
-    # spot-pin one representative per family group that must never
-    # drift back out of the window (round-12 rotation: 3 seats for the
-    # r12-born queries, 8 re-seats for queries reworked after their
-    # last green row, and 39 stalest driver-green family reps)
+    # spot-pin the seats that must never drift back out of the window
+    # (round-13 rotation: 3 seats for the r13-born queries, 2 re-seats
+    # for queries reworked after their last green row — the sinks
+    # layout-stamp/one-job-stats rework — and 45 stalest driver-green
+    # entries, last seated r2-r7)
     for must in [
-        "running_total_prefix",          # r12-born (skew-robust ROWS twin)
-        "streaming_partitioned_merge",   # r12-born (partition-pruned CDC)
-        "winnowing_span_excision",       # r12-born (span-excision curation)
-        "q1_pricing_summary",            # reworked (decimal pre-projection)
-        "sliding_1h_user_value_prefix",  # reworked (null-safe joins)
-        "hard_negative_mining",          # reworked (neq fallback path)
-        "bitext_mining_margin",          # reworked (neq fallback path)
-        "winnowing_fingerprint_pairs",   # reworked (2^20 loud bound)
-        "winnowing_fingerprint_density", # reworked (2^20 loud bound)
-        "winnowing_shared_spans",        # reworked (bound + _winnow_spans)
-        "streaming_foreach_batch_merge", # reworked (partitioned-mode runner)
-        "window_running_total",          # the ROWS-window twin stays seated
-        "pipeline_roundtrip",            # K1 parquet sink
-        "pipeline_merge_roundtrip",      # K2 CDC merge sink
-        "dedup_simhash",                 # dedup family rep
-        "ann_lsh_topk",                  # ANN family rep
-        "multimodal_features",           # X5 multimodal
-        "pagerank_knn_graph",            # graph family rep
-        "approx_distinct_users_linear",  # sketch family rep
-        "train_val_test_split",          # sampling family rep
-        "sessionize_events",             # behavioral family rep
-        "streaming_dedup_within_watermark",  # streaming family rep
-        "upsert_latest_events",          # the merge queries' oracle twin
+        "ewma_user_value_parallel",      # r13-born (affine EWMA twin)
+        "cogroup_view_pressure_preagg",  # r13-born (pre-agg cogroup twin)
+        "curate_with_excision",          # r13-born (excision curation)
+        "streaming_partitioned_merge",   # reworked (layout stamp + 1-job stats)
+        "streaming_foreach_batch_merge", # reworked (runner layout_spec)
+        "ewma_user_value",               # stalest (r6) + the twin's serial half
+        "nation_supplier_outer",         # stalest overall (r2)
+        "events_json_struct",            # stalest (r4)
+        "lineitem_cube",                 # TPC-H/grouping-sets rep (r5)
+        "topk_similarity_bruteforce",    # ANN family stalest rep (r5)
+        "dedup_clusters_minhash",        # dedup family stalest rep (r6)
+        "streaming_dedup_events",        # streaming family stalest rep (r6)
+        "stratified_sample_by_lang",     # sampling family stalest rep (r6)
+        "scd2_purchase_history",         # behavioral family stalest rep (r6)
+        "interpolate_hourly_values",     # timeseries family stalest rep (r6)
     ]:
         assert must in Q._DRIVER_WINDOW, must
 

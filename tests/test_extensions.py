@@ -1609,6 +1609,48 @@ def test_excise_duplicate_spans_reconciles_token_counts(spark):
     assert passage not in got["text_excised"]
 
 
+def test_curate_with_excision_reconciles_against_standalone_queries(spark):
+    """The composed pipeline must agree with its two parts on the
+    harness data: every curated doc's (before, after) token pair
+    matches the standalone excision query where the doc was excised
+    (same token space, so before == the excision query's
+    n_tokens_before too) and is (n, n) otherwise; the corpus tokens
+    removed reconcile to the sum over the curated∩excised docs."""
+    from aws_pandas_etl_spark.plans.queries import (
+        curate_training_corpus,
+        curate_with_excision,
+        winnowing_span_excision,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cur = {
+        r["doc_id"]: r["n_tokens"]
+        for r in curate_training_corpus(spark, sf).collect()
+    }
+    exc = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"])
+        for r in winnowing_span_excision(spark, sf).collect()
+    }
+    out = {r["doc_id"]: r for r in curate_with_excision(spark, sf).collect()}
+    assert set(out) == set(cur)  # same survivor set as the curation query
+    removed_total = 0
+    n_excised = 0
+    for d, r in out.items():
+        assert r["n_tokens_before"] == cur[d], d
+        if d in exc:
+            assert exc[d][0] == r["n_tokens_before"], d  # one token space
+            assert r["n_tokens_after"] == exc[d][1], d
+            n_excised += 1
+        else:
+            assert r["n_tokens_after"] == r["n_tokens_before"], d
+        removed_total += r["n_tokens_before"] - r["n_tokens_after"]
+    assert removed_total == sum(
+        exc[d][0] - exc[d][1] for d in exc if d in out
+    )
+    # the fixture must actually exercise the excision path
+    assert n_excised > 0, "no curated doc was excised at sf0.001"
+
+
 def test_winnowing_chunked_equals_unchunked(spark):
     """The overlapped-chunk extraction (overlap w-1 grams) must produce
     EXACTLY the unchunked selection — every w-window lands fully inside
