@@ -433,28 +433,33 @@ def merge_load_partitioned(
         )
     # contract guard + touched-partition set + NULL rejection, folded
     # into ONE job (r12 ran guard and touched as two separate actions
-    # per micro-batch): per key, the distinct-partition count proves
-    # partition_col is a function of the keys (two values for one key
-    # ⇒ the pruned read would miss that key's copy in the unread
-    # partition); the per-key null flag catches NULL partition values
-    # (count_distinct ignores NULLs, so nulls need their own channel);
-    # and because every valid key carries exactly ONE partition value,
-    # collect_set of the per-key representative IS the batch's touched
-    # set.  Both aggregates are bounded: one row per batch key, then
-    # one row total.  (The target side is covered by induction: every
-    # prior merge enforced the same check on its batch, and the layout
-    # stamp pins the mapping across runs.)
+    # — two scans of the un-materialized micro-batch source — per
+    # trigger): per key, min(partition) != max(partition) proves
+    # partition_col is NOT a function of the keys (the pruned read
+    # would miss that key's copy in the unread partition); the per-key
+    # null flag catches NULL partition values (min/max ignore NULLs,
+    # so nulls need their own channel); and because every valid key
+    # carries exactly ONE partition value, collect_set of the per-key
+    # min IS the batch's touched set.  Both aggregates are bounded:
+    # one row per batch key, then one row total.  (The target side is
+    # covered by induction: every prior merge enforced the same check
+    # on its batch, and the layout stamp pins the mapping across runs.)
     stats = (
         df.groupBy(*keys)
         .agg(
-            F.count_distinct(F.col(partition_col)).alias("_np"),
+            # two distinct values per key ⟺ min != max — cheaper than a
+            # per-key count_distinct (no per-key hash set); min/max
+            # ignore NULLs, so nulls get their own channel, and an
+            # all-null key yields NULL != NULL -> NULL, which max()
+            # ignores (the null channel still raises)
+            F.min(F.col(partition_col)).alias("_mn"),
+            F.max(F.col(partition_col)).alias("_mx"),
             F.max(F.col(partition_col).isNull()).alias("_kn"),
-            F.first(partition_col, ignorenulls=True).alias("_pv"),
         )
         .agg(
-            F.max("_np").alias("_max_np"),
+            F.max(F.col("_mn") != F.col("_mx")).alias("_viol"),
             F.max("_kn").alias("_any_null"),
-            F.collect_set("_pv").alias("_touched"),
+            F.collect_set("_mn").alias("_touched"),
         )
         .collect()[0]
     )
@@ -472,7 +477,7 @@ def merge_load_partitioned(
             f"partition back, so its prior rows would be silently lost on "
             f"overwrite; make partition_col a non-null function of the keys"
         )
-    if stats["_max_np"] is not None and stats["_max_np"] > 1:
+    if stats["_viol"]:
         # error path only: re-derive WHICH key violated (cost is fine
         # here; the happy path stays one job)
         viol = (
