@@ -153,3 +153,120 @@ def neyman_sample(
         .filter(hash_fraction(F.col(id_col), salt) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+DSIR_BUCKETS = 8192
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) — the importance-weighting stage: score every
+    document by how target-like its hashed n-gram profile is, so a
+    100 TB raw crawl can be resampled toward a small high-quality
+    target domain without training a model.
+
+    Feature space: unigrams + bigrams of the normalized tokens, hashed
+    into ``buckets`` counts (the paper's hashed n-gram parameterization
+    — collisions are part of the estimator, not an approximation to
+    apologize for).  Both bag-of-buckets multinomials are fit with
+    Laplace smoothing; a document's log importance weight is
+    ``sum_g [log p_target(bucket(g)) - log p_raw(bucket(g))]`` over its
+    gram OCCURRENCES (counts, not distinct).
+
+    Engine-portability: the per-bucket log-ratio is rounded to 6
+    decimals and cast to DECIMAL(18,6) BEFORE the per-doc sum (the
+    perplexity-family pattern), so the corpus-scale accumulation is
+    exact decimal arithmetic — order-independent and bit-identical to
+    the DuckDB oracle; the bucket hash is the md5-based 60-bit
+    construction both engines share.
+
+    Scale shape: two linear tokenize passes (fit, then score — the
+    irreducible shape of every fit-and-apply operator here); the model
+    is ONE aggregate of ``buckets`` rows broadcast back to the score
+    pass (no corpus-scale shuffle on the join side); totals ride a
+    1-row broadcast cross join, not a collect.  ``target_col`` is a
+    boolean column — the target set lives IN the pool (the DSIR paper's
+    setting has a separate target corpus; a boolean column is the same
+    math with q fit on the whole pool, and keeps the harness
+    single-table).
+
+    Returns one row per document: (id_col, n_grams, log_weight) —
+    ``n_grams`` the occurrence count, ``log_weight`` 0.0 for empty
+    docs (no evidence either way).
+    """
+    from aws_pandas_etl_spark.functions.hashing import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        F.col(id_col),
+        F.col(target_col).alias("_tgt"),
+        F.explode(F.concat(toks, bigrams)).alias("_g"),
+    ).select(
+        id_col,
+        "_tgt",
+        F.pmod(md5_bigint(F.col("_g")), F.lit(buckets)).alias("_bkt"),
+    )
+    counts = feats.groupBy("_bkt").agg(
+        F.count("*").alias("_n_all"),
+        F.sum(F.col("_tgt").cast("bigint")).alias("_n_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("_n_all").alias("_t_all"), F.sum("_n_tgt").alias("_t_tgt")
+    )
+    b = F.lit(float(buckets))
+    model = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "_bkt",
+            F.round(
+                F.log(
+                    (F.col("_n_tgt") + 1.0)
+                    / (F.col("_t_tgt").cast("double") + b)
+                )
+                - F.log(
+                    (F.col("_n_all") + 1.0)
+                    / (F.col("_t_all").cast("double") + b)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("_lr"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(model), "_bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("_lr").alias("_w"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("_w").cast("double"), F.lit(0.0)).alias(
+                "log_weight"
+            ),
+        )
+    )

@@ -2445,6 +2445,119 @@ def neyman_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_TARGET_LANG = "en"
+DSIR_RESAMPLE_K = 50
+
+
+def _dsir_weights_oracle() -> str:
+    from aws_pandas_etl_spark.operators.sampling import DSIR_BUCKETS as B
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS tgt,
+         {_dk_toks('text')} AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, tgt,
+         unnest(list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END)) AS g
+  FROM t
+), fb AS (
+  SELECT doc_id, tgt,
+         CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) % {B} AS bkt
+  FROM f
+), c AS (
+  SELECT bkt, COUNT(*) AS n_all,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+  FROM fb GROUP BY bkt
+), tot AS (
+  SELECT SUM(n_all) AS t_all, SUM(n_tgt) AS t_tgt FROM c
+), m AS (
+  SELECT bkt,
+         CAST(ROUND(ln((n_tgt + 1.0) / (t_tgt + {B}.0))
+                  - ln((n_all + 1.0) / (t_all + {B}.0)), 6)
+              AS DECIMAL(18,6)) AS lr
+  FROM c, tot
+), s AS (
+  SELECT fb.doc_id, COUNT(*) AS n_grams, SUM(lr) AS w
+  FROM fb JOIN m USING (bkt) GROUP BY fb.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.w, 0) AS DOUBLE) AS log_weight
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+@register("dsir_importance_weights", _dsir_weights_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169)
+    over the documents table with lang='en' as the
+    target domain: hashed unigram+bigram multinomials (8,192 buckets,
+    Laplace-smoothed) for target and raw pool, per-doc log importance
+    weight = sum over gram occurrences of the per-bucket log-ratio —
+    the model-free data-selection score a 100 TB crawl resample ranks
+    by.  Per-bucket log-ratios quantize to DECIMAL(18,6) BEFORE the
+    per-doc sum (perplexity-family pattern), so the corpus-scale
+    accumulation is exact and order-independent; the oracle replays
+    bucket-for-bucket (operators/sampling.py::dsir_log_weights)."""
+    from aws_pandas_etl_spark.operators.sampling import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs.withColumn("_is_tgt", F.col("lang") == DSIR_TARGET_LANG),
+        "doc_id",
+        "text",
+        "_is_tgt",
+    )
+
+
+def _dsir_resample_oracle() -> str:
+    return f"""
+WITH w AS ( {_dsir_weights_oracle()} )
+SELECT doc_id,
+       ROUND(log_weight
+             - ln(-ln(CAST(('0x'||substr(md5('gumbel:'||CAST(doc_id AS VARCHAR)),1,15))
+                           AS BIGINT) / 1152921504606846976.0)),
+             6) AS sampled_score
+FROM w
+ORDER BY sampled_score DESC, doc_id
+LIMIT {DSIR_RESAMPLE_K}
+"""
+
+
+@register("dsir_gumbel_resample", _dsir_resample_oracle())
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR RESAMPLE step: Gumbel top-k over the importance
+    weights — adding an i.i.d. Gumbel(0,1) to each log-weight and
+    taking the top k draws an exact without-replacement sample
+    proportional to the (unnormalized) importance weights (the Gumbel-
+    max trick), which is how the DSIR paper selects its training
+    subset.  The Gumbel here is deterministic — ``-ln(-ln(u))`` with u
+    the md5 hash fraction of the doc id — so retries, re-runs, and the
+    DuckDB oracle all draw the SAME sample; scores round to 6 decimals
+    (the ln-portability pattern).  Top-k via orderBy+limit =
+    TakeOrdered, no global sort."""
+    from aws_pandas_etl_spark.operators.sampling import hash_fraction
+
+    w = dsir_importance_weights(spark, sf_dir)
+    u = hash_fraction(F.col("doc_id"), "gumbel")
+    return (
+        w.select(
+            "doc_id",
+            F.round(F.col("log_weight") - F.log(-F.log(u)), 6).alias(
+                "sampled_score"
+            ),
+        )
+        .orderBy(F.col("sampled_score").desc(), "doc_id")
+        .limit(DSIR_RESAMPLE_K)
+    )
+
+
 MIXTURE_SAMPLE_ORACLE = """
 WITH c AS (
   SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
@@ -18326,20 +18439,23 @@ def unigram_entropy_effective_vocab(
 # semantics.  Every seat is exact-value-green in the local sweep at
 # sf0.001/0.01 before seating.
 # Round-13 rotation: after CORRECTNESS_r12 (50/50 green) the cumulative
-# driver-verified union is 283/283.  This round adds 3 queries
+# driver-verified union is 283/283.  This round adds 5 queries
 # (ewma_user_value_parallel — affine-composition skew-robust EWMA twin;
 # cogroup_view_pressure_preagg — the pre-aggregated cogroup twin;
-# curate_with_excision — the excision-consuming curation pipeline) and
+# curate_with_excision — the excision-consuming curation pipeline;
+# dsir_importance_weights + dsir_gumbel_resample — DSIR data selection,
+# arXiv:2302.03169) and
 # REWORKS 2 after their last green row (streaming_partitioned_merge +
 # streaming_foreach_batch_merge: the sinks layout stamp, NULL-partition
 # rejection, and one-job batch stats change the per-batch plan).  All 5
-# take seats, every seat exact-value green in the local sweep at
-# sf0.01/0.1 before seating.  The remaining 45 seats re-verify the
-# STALEST driver-green entries (last seated r2-r7, computed from the
+# take seats (with the 2 reworks, 7 of 50), every seat exact-value
+# green in the local sweep at sf0.01/0.1 before seating.  The
+# remaining 43 seats re-verify the STALEST driver-green entries (last
+# seated r2-r7, computed from the
 # CORRECTNESS_r01-r12 union), touching every §2a/§2b family: TPC-H x12,
 # relational/behavioral x9, dedup x6, text x3, streaming x4, sampling
 # x2, timeseries x3, json/format x2, embedding/ANN x2, sketch/approx
-# x2.  A green r13 window keeps the union 286/286 on current semantics.
+# x2.  A green r13 window keeps the union 288/288 on current semantics.
 # Round-12 rotation: after CORRECTNESS_r11 (50/50 green) the cumulative
 # driver-verified union is 280/280.  This round adds 3 queries
 # (running_total_prefix — the skew-robust ROWS-frame twin;
@@ -18397,6 +18513,8 @@ _DRIVER_WINDOW = [
     "ewma_user_value_parallel",
     "cogroup_view_pressure_preagg",
     "curate_with_excision",
+    "dsir_importance_weights",
+    "dsir_gumbel_resample",
     # reworked this round (sinks layout stamp + one-job batch stats
     # change the partitioned merge's per-batch plan; the foreachBatch
     # runner passes layout_spec)
@@ -18448,8 +18566,6 @@ _DRIVER_WINDOW = [
     "value_percentiles_per_event_type",
     "asof_next_purchase_after_signup",
     "cohort_weekly_retention",
-    "containment_pairs",
-    "dedup_rate_by_source",
 ]
 
 

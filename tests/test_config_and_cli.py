@@ -156,14 +156,16 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin the seats that must never drift back out of the window
-    # (round-13 rotation: 3 seats for the r13-born queries, 2 re-seats
+    # (round-13 rotation: 5 seats for the r13-born queries, 2 re-seats
     # for queries reworked after their last green row — the sinks
-    # layout-stamp/one-job-stats rework — and 45 stalest driver-green
+    # layout-stamp/one-job-stats rework — and 43 stalest driver-green
     # entries, last seated r2-r7)
     for must in [
         "ewma_user_value_parallel",      # r13-born (affine EWMA twin)
         "cogroup_view_pressure_preagg",  # r13-born (pre-agg cogroup twin)
         "curate_with_excision",          # r13-born (excision curation)
+        "dsir_importance_weights",       # r13-born (DSIR data selection)
+        "dsir_gumbel_resample",          # r13-born (Gumbel top-k resample)
         "streaming_partitioned_merge",   # reworked (layout stamp + 1-job stats)
         "streaming_foreach_batch_merge", # reworked (runner layout_spec)
         "ewma_user_value",               # stalest (r6) + the twin's serial half

@@ -1609,6 +1609,70 @@ def test_excise_duplicate_spans_reconciles_token_counts(spark):
     assert passage not in got["text_excised"]
 
 
+def test_dsir_log_weights_matches_python_replay(spark):
+    """dsir_log_weights must equal an independent Python replay of the
+    DSIR estimator on a small fixture: hashed unigram+bigram counts,
+    Laplace-smoothed target/raw multinomials, per-doc sum of the
+    6-decimal-quantized per-bucket log-ratios over gram OCCURRENCES
+    (not distinct grams).  Also pins: empty doc -> (0, 0.0), and
+    target-like docs outrank off-target ones."""
+    import math
+    from decimal import Decimal
+
+    from aws_pandas_etl_spark.functions.pytext import md5_int, tokens
+    from aws_pandas_etl_spark.functions.hashing import MD5_HEX_DIGITS
+    from aws_pandas_etl_spark.operators.sampling import dsir_log_weights
+
+    B = 64  # tiny bucket space so collisions are exercised
+    rows = [
+        Row(doc_id=1, tgt=True, text="the quick brown fox jumps high"),
+        Row(doc_id=2, tgt=True, text="the quick red fox sleeps, the fox"),
+        Row(doc_id=3, tgt=False, text="völlig anderes deutsches material hier"),
+        Row(doc_id=4, tgt=False, text="mehr deutsches material, anderes thema"),
+        Row(doc_id=5, tgt=False, text=""),
+        Row(doc_id=6, tgt=False, text="the quick brown fox again"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_log_weights(df, "doc_id", "text", "tgt", buckets=B).collect()
+    }
+
+    # independent replay
+    def grams(text):
+        t = tokens(text)
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bkt(g):
+        return md5_int(g, MD5_HEX_DIGITS) % B
+
+    n_all: dict[int, int] = {}
+    n_tgt: dict[int, int] = {}
+    for r in rows:
+        for g in grams(r.text):
+            k = bkt(g)
+            n_all[k] = n_all.get(k, 0) + 1
+            if r.tgt:
+                n_tgt[k] = n_tgt.get(k, 0) + 1
+    t_all, t_tgt = sum(n_all.values()), sum(n_tgt.values())
+    lr = {
+        k: Decimal(
+            f"{math.log((n_tgt.get(k, 0) + 1.0) / (t_tgt + B)) - math.log((n_all[k] + 1.0) / (t_all + B)):.6f}"
+        )
+        for k in n_all
+    }
+    for r in rows:
+        gs = grams(r.text)
+        want_w = float(sum((lr[bkt(g)] for g in gs), Decimal(0)))
+        assert got[r.doc_id][0] == len(gs), r.doc_id
+        assert abs(got[r.doc_id][1] - want_w) < 1e-12, (
+            r.doc_id, got[r.doc_id], want_w,
+        )
+    assert got[5] == (0, 0.0)
+    # ranking sanity: the target-like doc scores above the off-target one
+    assert got[6][1] > got[3][1]
+
+
 def test_curate_with_excision_reconciles_against_standalone_queries(spark):
     """The composed pipeline must agree with its two parts on the
     harness data: every curated doc's (before, after) token pair
