@@ -150,3 +150,24 @@ def _sweep_stale_once(root: str) -> None:
                     os.unlink(p)
         except OSError:
             continue
+
+
+def publish_parquet_artifact(df, path: str) -> None:
+    """Atomically publish a DataFrame as a parquet artifact directory:
+    write to a hidden tmp sibling, then one POSIX rename moves it live.
+    A concurrent builder that loses the race discards its copy and
+    reads the winner's — valid because every artifact build here is
+    deterministic (the write_knn_graph contract, generalized)."""
+    import uuid
+
+    tmp = (
+        f"{os.path.dirname(path)}/."
+        f"{os.path.basename(path)}.__build_{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(path):
+            raise

@@ -224,6 +224,14 @@ def dsir_log_weights(
         "_tgt",
         F.pmod(md5_bigint(F.col("_g")), F.lit(buckets)).alias("_bkt"),
     )
+    # pin ONE evaluation of the tokenize+hash scan: the fit branch
+    # (bucket counts) and the score branch (per-doc sums) both read
+    # feats, and without the checkpoint each branch re-runs the full
+    # normalize/split/md5 pass (measured 2x the query cost at sf0.1).
+    # The materialization is (id, bool, int) per gram occurrence —
+    # integers, not text — the same featurize-once table the DSIR
+    # paper persists before fitting.
+    feats = feats.localCheckpoint(eager=False)
     counts = feats.groupBy("_bkt").agg(
         F.count("*").alias("_n_all"),
         F.sum(F.col("_tgt").cast("bigint")).alias("_n_tgt"),

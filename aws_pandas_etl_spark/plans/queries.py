@@ -2493,6 +2493,45 @@ FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """
 
 
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/query-many DSIR weights artifact (the paper's own
+    flow: featurize + fit + score once per corpus snapshot, then every
+    selection/resample/analysis query reads the scored table).  Keyed
+    on the documents parquet identity + every build parameter, like
+    _knn_edges; non-stat-able sources build fresh."""
+    import hashlib
+    import os
+
+    from aws_pandas_etl_spark.artifacts import (
+        artifact_path,
+        publish_parquet_artifact,
+        source_ident,
+    )
+    from aws_pandas_etl_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        dsir_log_weights,
+    )
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return dsir_log_weights(
+            docs.withColumn("_is_tgt", F.col("lang") == DSIR_TARGET_LANG),
+            "doc_id",
+            "text",
+            "_is_tgt",
+        )
+
+    src_id = source_ident(os.path.join(sf_dir, "documents.parquet"))
+    if src_id is None:
+        return _build()
+    ident = f"{src_id}|b={DSIR_BUCKETS}|tgt={DSIR_TARGET_LANG}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:16]
+    path = artifact_path(f"dsir_weights_{tag}")
+    if not os.path.isdir(path):
+        publish_parquet_artifact(_build(), path)
+    return spark.read.parquet(path)
+
+
 @register("dsir_importance_weights", _dsir_weights_oracle())
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169)
@@ -2504,16 +2543,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     by.  Per-bucket log-ratios quantize to DECIMAL(18,6) BEFORE the
     per-doc sum (perplexity-family pattern), so the corpus-scale
     accumulation is exact and order-independent; the oracle replays
-    bucket-for-bucket (operators/sampling.py::dsir_log_weights)."""
-    from aws_pandas_etl_spark.operators.sampling import dsir_log_weights
-
-    docs = load_table(spark, sf_dir, "documents")
-    return dsir_log_weights(
-        docs.withColumn("_is_tgt", F.col("lang") == DSIR_TARGET_LANG),
-        "doc_id",
-        "text",
-        "_is_tgt",
-    )
+    bucket-for-bucket (operators/sampling.py::dsir_log_weights).
+    Served from the shared materialized weights artifact
+    (_dsir_weights — featurize/fit/score once per corpus snapshot)."""
+    return _dsir_weights(spark, sf_dir)
 
 
 def _dsir_resample_oracle() -> str:
@@ -19402,6 +19435,7 @@ def prebuild_shared_artifacts(spark: SparkSession, sf_dir: str) -> None:
     _bpe_state(spark, sf_dir)
     _pq_codebooks(spark, sf_dir)
     _pq_codes(spark, sf_dir)
+    _dsir_weights(spark, sf_dir)
     # inline fingerprint-keyed artifacts (built during plan
     # construction inside their query functions — no action needed)
     QUERIES["semantic_dedup_pairs"](spark, sf_dir)
