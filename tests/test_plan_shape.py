@@ -121,6 +121,9 @@ _SCALAR_CROSS_OK = {
     "heavy_hitter_tokens",           # 1-row corpus token total (threshold)
     "pmi_bigrams_top20",             # two 1-row corpus totals (n_uni, n_bi)
     "bm25_topk_docs",                # 1-row corpus stats (n_docs, avgdl)
+    "dsir_importance_weights",       # 1-row (t_all, t_tgt) totals in the
+                                     # build plan (cold artifact root only)
+    "dsir_gumbel_resample",          # same build plan via _dsir_weights
     "rolling_7d_distinct_users",     # 1-row max-day bound
     "fk_orphan_audit",               # 1-row total x 1-row orphan count
     "lang_source_chi2",              # 1-row grand total
