@@ -6681,7 +6681,11 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing constant muddies cross-engine parity.
 
     Plan: one bigram explode feeds the bigram counts, the context
-    (w1) counts, AND the scoring join; both count joins key on
+    (w1) counts, AND the scoring join — localCheckpoint-pinned to ONE
+    evaluation (r13: the three branches each re-ran the tokenize +
+    explode; exchange reuse does NOT dedup them because the agg
+    branches put partial aggregation below their exchanges — measured
+    2.27 s -> 1.67 s at sf0.1); both count joins key on
     corpus-scaling vocab — unforced, AQE decides.  Parity: per-bigram
     -ln is rounded to 6 digits then DECIMAL-summed (the unigram
     pattern).  Docs with < 2 tokens have no transitions and drop out,
@@ -6701,7 +6705,7 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = t.select("doc_id", F.explode(pairs).alias("g")).select(
         "doc_id", F.col("g.bigram").alias("bigram"), F.col("g.w1").alias("w1")
-    )
+    ).localCheckpoint(eager=False)
     cb = bg.groupBy("bigram").agg(F.count("*").cast("bigint").alias("c"))
     cw = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
     nlp = F.round(
@@ -10857,13 +10861,18 @@ def ngram_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shingle explode (distinct per doc, so bounded by
     token count), one groupBy hash for first-occurrence, one
-    hash-keyed join back (same key as the groupBy — the exchange is
-    reused), one groupBy doc.  Never pairwise; cost is O(total
-    shingles), the decontamination posture."""
+    hash-keyed join back, one groupBy doc — localCheckpoint-pinned to
+    ONE evaluation of the Arrow shingle pass (r13: the groupBy branch
+    and the probe branch each re-ran it; exchange reuse does NOT dedup
+    them because the agg side's partial aggregation sits below its
+    exchange — measured 2.67 s -> 1.80 s at sf0.1).  Never pairwise;
+    cost is O(total shingles), the decontamination posture."""
     docs = load_table(spark, sf_dir, "documents")
     g = D.shingle_hash_table(
         docs, shingle_n=NOVELTY_N, hex_digits=15
-    ).select("doc_id", F.explode("hashes").alias("h"))
+    ).select("doc_id", F.explode("hashes").alias("h")).localCheckpoint(
+        eager=False
+    )
     first = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (
         g.join(first, "h")
@@ -18478,13 +18487,15 @@ def unigram_entropy_effective_vocab(
 # curate_with_excision — the excision-consuming curation pipeline;
 # dsir_importance_weights + dsir_gumbel_resample — DSIR data selection,
 # arXiv:2302.03169) and
-# REWORKS 2 after their last green row (streaming_partitioned_merge +
+# REWORKS 4 after their last green row (streaming_partitioned_merge +
 # streaming_foreach_batch_merge: the sinks layout stamp, NULL-partition
-# rejection, and one-job batch stats change the per-batch plan).  All 5
-# take seats (with the 2 reworks, 7 of 50), every seat exact-value
+# rejection, and one-job batch stats change the per-batch plan;
+# ngram_novelty_per_doc + bigram_logprob_quality: localCheckpoint pins
+# one evaluation of the shared explode their branches re-ran).  All 9
+# newborn+rework entries take seats, every seat exact-value
 # green in the local sweep at sf0.01/0.1 before seating.  The
-# remaining 43 seats re-verify the STALEST driver-green entries (last
-# seated r2-r7, computed from the
+# remaining 41 seats re-verify the STALEST driver-green entries (last
+# seated r2-r6, computed from the
 # CORRECTNESS_r01-r12 union), touching every §2a/§2b family: TPC-H x12,
 # relational/behavioral x9, dedup x6, text x3, streaming x4, sampling
 # x2, timeseries x3, json/format x2, embedding/ANN x2, sketch/approx
@@ -18553,6 +18564,8 @@ _DRIVER_WINDOW = [
     # runner passes layout_spec)
     "streaming_partitioned_merge",
     "streaming_foreach_batch_merge",
+    "ngram_novelty_per_doc",
+    "bigram_logprob_quality",
     # stalest-first rotation: the 45 registry entries with the oldest
     # driver seats (r2-r7 per the CORRECTNESS_r* union; ~39-45
     # seats/round re-verifies the full registry every ~6 rounds)
@@ -18597,8 +18610,6 @@ _DRIVER_WINDOW = [
     "streaming_session_window_native",
     "table_diff_snapshots",
     "value_percentiles_per_event_type",
-    "asof_next_purchase_after_signup",
-    "cohort_weekly_retention",
 ]
 
 
