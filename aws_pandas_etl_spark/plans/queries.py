@@ -10055,7 +10055,12 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by term, which the corpus-scaling broadcast guard bans from
     hints)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    # pin ONE evaluation of the tokenize: FOUR branches read t (postings
+    # explode, doc lengths, corpus stats) and would each re-run the
+    # normalize/split pass otherwise (r13: measured 1.67 -> ~0.8 s)
+    t = docs.select(
+        "doc_id", TX.tokens("text").alias("toks")
+    ).localCheckpoint(eager=False)
     e = t.select("doc_id", F.explode("toks").alias("term"))
     dl = t.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
     st = t.agg(
@@ -18487,14 +18492,15 @@ def unigram_entropy_effective_vocab(
 # curate_with_excision — the excision-consuming curation pipeline;
 # dsir_importance_weights + dsir_gumbel_resample — DSIR data selection,
 # arXiv:2302.03169) and
-# REWORKS 4 after their last green row (streaming_partitioned_merge +
+# REWORKS 5 after their last green row (streaming_partitioned_merge +
 # streaming_foreach_batch_merge: the sinks layout stamp, NULL-partition
 # rejection, and one-job batch stats change the per-batch plan;
-# ngram_novelty_per_doc + bigram_logprob_quality: localCheckpoint pins
-# one evaluation of the shared explode their branches re-ran).  All 9
+# ngram_novelty_per_doc + bigram_logprob_quality + bm25_topk_docs:
+# localCheckpoint pins one evaluation of the shared explode/tokenize
+# their branches re-ran).  All 10
 # newborn+rework entries take seats, every seat exact-value
 # green in the local sweep at sf0.01/0.1 before seating.  The
-# remaining 41 seats re-verify the STALEST driver-green entries (last
+# remaining 40 seats re-verify the STALEST driver-green entries (last
 # seated r2-r6, computed from the
 # CORRECTNESS_r01-r12 union), touching every §2a/§2b family: TPC-H x12,
 # relational/behavioral x9, dedup x6, text x3, streaming x4, sampling
@@ -18566,6 +18572,7 @@ _DRIVER_WINDOW = [
     "streaming_foreach_batch_merge",
     "ngram_novelty_per_doc",
     "bigram_logprob_quality",
+    "bm25_topk_docs",
     # stalest-first rotation: the 45 registry entries with the oldest
     # driver seats (r2-r7 per the CORRECTNESS_r* union; ~39-45
     # seats/round re-verifies the full registry every ~6 rounds)
@@ -18609,7 +18616,6 @@ _DRIVER_WINDOW = [
     "streaming_dedup_events",
     "streaming_session_window_native",
     "table_diff_snapshots",
-    "value_percentiles_per_event_type",
 ]
 
 

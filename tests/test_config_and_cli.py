@@ -156,11 +156,11 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin the seats that must never drift back out of the window
-    # (round-13 rotation: 5 seats for the r13-born queries, 4 re-seats
+    # (round-13 rotation: 5 seats for the r13-born queries, 5 re-seats
     # for queries reworked after their last green row — the sinks
     # layout-stamp/one-job-stats rework and the pinned-evaluation
-    # explode reworks — and 41 stalest driver-green entries, last
-    # seated r2-r6)
+    # explode/tokenize reworks — and 40 stalest driver-green entries,
+    # last seated r2-r6)
     for must in [
         "ewma_user_value_parallel",      # r13-born (affine EWMA twin)
         "cogroup_view_pressure_preagg",  # r13-born (pre-agg cogroup twin)
@@ -171,6 +171,7 @@ def test_driver_window_spans_operator_families():
         "streaming_foreach_batch_merge", # reworked (runner layout_spec)
         "ngram_novelty_per_doc",         # reworked (pinned shingle pass)
         "bigram_logprob_quality",        # reworked (pinned bigram explode)
+        "bm25_topk_docs",                # reworked (pinned tokenize)
         "ewma_user_value",               # stalest (r6) + the twin's serial half
         "nation_supplier_outer",         # stalest overall (r2)
         "events_json_struct",            # stalest (r4)
