@@ -89,3 +89,118 @@ def run_ewma_stream(
         F.col("___m.n_events").alias("n_events"),
         F.round(F.col("___m.ewma"), 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState twin — the Spark 4 arbitrary-state API
+# ---------------------------------------------------------------------------
+
+OUTPUT_STRUCT = (
+    "user_id bigint, n_events bigint, ewma double"
+)
+
+
+class _EwmaProcessor:
+    """``StatefulProcessor`` running the identical per-key recurrence
+    as ``_ewma_group`` — the migration target Spark 4 recommends over
+    ``applyInPandasWithState`` (typed state handles, timers, RocksDB-
+    only).  State is one ValueState of (s, n); the fold order (sort by
+    ts, event_id; sequential replay) is byte-identical to the GroupState
+    form, so both streaming twins and the batch operator share one
+    oracle at alpha = 1/2 (power-of-two weights, bit-reproducible)."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._state = handle.getValueState("ewma", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        events = pd.concat(list(rows), ignore_index=True)
+        events = events.sort_values(["ts", "event_id"])
+        if self._state.exists():
+            s, n = self._state.get()
+        else:
+            s, n = None, 0
+        for x in events["value"].to_numpy():
+            x = float(x)
+            s = x if s is None else ALPHA * x + (1.0 - ALPHA) * s
+            n += 1
+        self._state.update((s, n))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "ewma": [s]})
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithState's Python worker speaks protobuf to the JVM
+    state server (pyspark.sql.streaming.proto) — without the
+    ``protobuf`` package the driver worker crashes AFTER the query
+    starts, so the capability must be probed up front."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def ewma_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark.sql.streaming.proto.StateMessage_pb2) — not "
+            "installed in this environment; use ewma_stream (the "
+            "applyInPandasWithState twin, identical semantics) instead"
+        )
+
+    # subclassing at call time keeps the module importable on PySpark
+    # versions without the API (the class body above is plain Python)
+    proc = type("_EwmaTws", (_EwmaProcessor, StatefulProcessor), {})()
+    stream = events_stream(spark, sf_dir, with_watermark=None).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=OUTPUT_STRUCT,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def run_ewma_stream_tws(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """availableNow execution + fragment compaction, exactly like
+    ``run_ewma_stream``.  transformWithState REQUIRES the RocksDB
+    state-store provider (the API is built on its column families);
+    the conf is scoped to this run and restored after — the engine's
+    other stateful queries keep the HDFS-backed default that measured
+    faster at harness state sizes (BASELINE.md r12 A/B)."""
+    from aws_pandas_etl_spark.streaming.events_stream import _run_to_parquet_sink
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        frags = _run_to_parquet_sink(
+            spark, ewma_stream_tws(spark, sf_dir), "ewma_tws", timeout_sec
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    latest = frags.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "ewma")).alias("___m")
+    )
+    return latest.select(
+        "user_id",
+        F.col("___m.n_events").alias("n_events"),
+        F.round(F.col("___m.ewma"), 6).alias("ewma"),
+    )

@@ -555,3 +555,34 @@ def test_heavy_hitters_refuses_mismatched_split_reuse(spark, tmp_path):
         run_streaming_heavy_hitters(
             spark, SF, base_dir=base, cleanup=False, n_splits=3
         )
+
+
+def test_tws_ewma_twin_gate_and_parity(spark):
+    """The transformWithState EWMA twin: when the environment carries
+    the protobuf dependency its availableNow run must equal the
+    applyInPandasWithState twin key-for-key (identical fold order,
+    alpha=1/2 bit-reproducible); without it the capability gate must
+    refuse LOUDLY before the query starts (the raw API crashes the
+    Python driver worker only after start — a hang-shaped failure)."""
+    import pytest
+
+    from aws_pandas_etl_spark.streaming.ewma_stream import (
+        run_ewma_stream,
+        run_ewma_stream_tws,
+        tws_available,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            run_ewma_stream_tws(spark, sf)
+        return
+    tws = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in run_ewma_stream_tws(spark, sf).collect()
+    }
+    old = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in run_ewma_stream(spark, sf).collect()
+    }
+    assert tws == old
