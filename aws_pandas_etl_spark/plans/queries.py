@@ -18304,6 +18304,73 @@ def embedding_outliers_per_label(
     )
 
 
+DISTINCT_N_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_dk_toks('text')} AS toks FROM documents
+), f AS (
+  SELECT source, 1 AS n, unnest(toks) AS g FROM t
+  UNION ALL
+  SELECT source, 2 AS n,
+         unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM t
+)
+SELECT source, CAST(n AS INT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+       ROUND(CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+         AS distinct_ratio
+FROM f GROUP BY source, n
+"""
+
+
+@register("distinct_ngram_diversity_by_source", DISTINCT_N_ORACLE)
+def distinct_ngram_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct-n diversity per source (the distinct-1/distinct-2
+    metric of Li et al. 2016, the corpus-side Self-BLEU alternative
+    that needs no pairwise comparison): the fraction of a source's
+    unigram and bigram OCCURRENCES that are distinct types.  A source
+    whose distinct-2 collapses while distinct-1 holds is templating —
+    fluent words, repeated transitions — the exact shape n-gram
+    novelty catches per doc, read here per source as a mixture-level
+    pre-flight.
+
+    Scale shape: ONE tokenize pass (unigrams and bigrams leave the
+    scan as one tagged struct array — no union of two tokenize
+    branches), one explode, one (source, n) aggregate with map-side
+    partials; count_distinct shuffles the per-(source,n) type sets,
+    bounded by vocabulary, never by corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    nt = F.size(toks)
+    bigrams = F.when(
+        nt >= 2,
+        F.zip_with(
+            F.slice(toks, 1, nt - 1),
+            F.slice(toks, 2, nt - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = F.concat(
+        F.transform(toks, lambda g: F.struct(F.lit(1).alias("n"), g.alias("g"))),
+        F.transform(bigrams, lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
+    )
+    f = docs.select("source", F.explode(tagged).alias("x")).select(
+        "source", F.col("x.n").alias("n"), F.col("x.g").alias("g")
+    )
+    return f.groupBy("source", "n").agg(
+        F.count("*").cast("bigint").alias("total_ngrams"),
+        F.count_distinct("g").cast("bigint").alias("distinct_ngrams"),
+        F.round(
+            F.count_distinct("g").cast("double") / F.count("*"), 6
+        ).alias("distinct_ratio"),
+    )
+
+
 ENTROPY_ORACLE = f"""
 WITH tok AS (
   SELECT unnest({_dk_toks('text')}) AS t FROM documents
@@ -18486,26 +18553,27 @@ def unigram_entropy_effective_vocab(
 # semantics.  Every seat is exact-value-green in the local sweep at
 # sf0.001/0.01 before seating.
 # Round-13 rotation: after CORRECTNESS_r12 (50/50 green) the cumulative
-# driver-verified union is 283/283.  This round adds 5 queries
+# driver-verified union is 283/283.  This round adds 6 queries
 # (ewma_user_value_parallel — affine-composition skew-robust EWMA twin;
 # cogroup_view_pressure_preagg — the pre-aggregated cogroup twin;
 # curate_with_excision — the excision-consuming curation pipeline;
 # dsir_importance_weights + dsir_gumbel_resample — DSIR data selection,
-# arXiv:2302.03169) and
+# arXiv:2302.03169; distinct_ngram_diversity_by_source — distinct-n
+# per-source diversity) and
 # REWORKS 5 after their last green row (streaming_partitioned_merge +
 # streaming_foreach_batch_merge: the sinks layout stamp, NULL-partition
 # rejection, and one-job batch stats change the per-batch plan;
 # ngram_novelty_per_doc + bigram_logprob_quality + bm25_topk_docs:
 # localCheckpoint pins one evaluation of the shared explode/tokenize
-# their branches re-ran).  All 10
+# their branches re-ran).  All 11
 # newborn+rework entries take seats, every seat exact-value
 # green in the local sweep at sf0.01/0.1 before seating.  The
-# remaining 40 seats re-verify the STALEST driver-green entries (last
+# remaining 39 seats re-verify the STALEST driver-green entries (last
 # seated r2-r6, computed from the
 # CORRECTNESS_r01-r12 union), touching every §2a/§2b family: TPC-H x12,
 # relational/behavioral x9, dedup x6, text x3, streaming x4, sampling
 # x2, timeseries x3, json/format x2, embedding/ANN x2, sketch/approx
-# x2.  A green r13 window keeps the union 288/288 on current semantics.
+# x2.  A green r13 window keeps the union 289/289 on current semantics.
 # Round-12 rotation: after CORRECTNESS_r11 (50/50 green) the cumulative
 # driver-verified union is 280/280.  This round adds 3 queries
 # (running_total_prefix — the skew-robust ROWS-frame twin;
@@ -18565,6 +18633,7 @@ _DRIVER_WINDOW = [
     "curate_with_excision",
     "dsir_importance_weights",
     "dsir_gumbel_resample",
+    "distinct_ngram_diversity_by_source",
     # reworked this round (sinks layout stamp + one-job batch stats
     # change the partitioned merge's per-batch plan; the foreachBatch
     # runner passes layout_spec)
@@ -18615,7 +18684,6 @@ _DRIVER_WINDOW = [
     "streaming_approx_distinct_linear",
     "streaming_dedup_events",
     "streaming_session_window_native",
-    "table_diff_snapshots",
 ]
 
 
