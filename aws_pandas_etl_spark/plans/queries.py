@@ -1108,9 +1108,15 @@ def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pre-flight that predicts a 100 TB dedup's join cost from one
     aggregate instead of discovering it as a hung shuffle.  Same hash
     family and banding as dedup_minhash_lsh, so the numbers ARE that
-    pipeline's."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, shingle_n=3)
+    pipeline's.  Rides the shared _shingle3_table artifact (r13: this
+    query re-ran the Arrow shingle pass its four sibling queries
+    already read from parquet; the signature derivation from the
+    hashes column is pure JVM integer math — 1.92 -> 1.46 s at sf0.1,
+    values identical)."""
+    from aws_pandas_etl_spark.functions.hashing import minhash_signature
+
+    base = _shingle3_table(spark, sf_dir)
+    sigs = base.withColumn("sig", minhash_signature(F.col("hashes")))
     return D.lsh_band_stats(sigs)
 
 
@@ -18560,15 +18566,16 @@ def unigram_entropy_effective_vocab(
 # dsir_importance_weights + dsir_gumbel_resample — DSIR data selection,
 # arXiv:2302.03169; distinct_ngram_diversity_by_source — distinct-n
 # per-source diversity) and
-# REWORKS 5 after their last green row (streaming_partitioned_merge +
+# REWORKS 6 after their last green row (streaming_partitioned_merge +
 # streaming_foreach_batch_merge: the sinks layout stamp, NULL-partition
 # rejection, and one-job batch stats change the per-batch plan;
 # ngram_novelty_per_doc + bigram_logprob_quality + bm25_topk_docs:
 # localCheckpoint pins one evaluation of the shared explode/tokenize
-# their branches re-ran).  All 11
+# their branches re-ran; lsh_band_bucket_stats now rides the shared
+# shingle artifact).  All 12
 # newborn+rework entries take seats, every seat exact-value
 # green in the local sweep at sf0.01/0.1 before seating.  The
-# remaining 39 seats re-verify the STALEST driver-green entries (last
+# remaining 38 seats re-verify the STALEST driver-green entries (last
 # seated r2-r6, computed from the
 # CORRECTNESS_r01-r12 union), touching every §2a/§2b family: TPC-H x12,
 # relational/behavioral x9, dedup x6, text x3, streaming x4, sampling
@@ -18642,6 +18649,7 @@ _DRIVER_WINDOW = [
     "ngram_novelty_per_doc",
     "bigram_logprob_quality",
     "bm25_topk_docs",
+    "lsh_band_bucket_stats",
     # stalest-first rotation: the 45 registry entries with the oldest
     # driver seats (r2-r7 per the CORRECTNESS_r* union; ~39-45
     # seats/round re-verifies the full registry every ~6 rounds)
@@ -18683,7 +18691,6 @@ _DRIVER_WINDOW = [
     "stratified_sample_by_lang",
     "streaming_approx_distinct_linear",
     "streaming_dedup_events",
-    "streaming_session_window_native",
 ]
 
 

@@ -156,10 +156,10 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin the seats that must never drift back out of the window
-    # (round-13 rotation: 6 seats for the r13-born queries, 5 re-seats
+    # (round-13 rotation: 6 seats for the r13-born queries, 6 re-seats
     # for queries reworked after their last green row — the sinks
     # layout-stamp/one-job-stats rework and the pinned-evaluation
-    # explode/tokenize reworks — and 39 stalest driver-green entries,
+    # explode/tokenize reworks — and 38 stalest driver-green entries,
     # last seated r2-r6)
     for must in [
         "ewma_user_value_parallel",      # r13-born (affine EWMA twin)
@@ -173,6 +173,7 @@ def test_driver_window_spans_operator_families():
         "ngram_novelty_per_doc",         # reworked (pinned shingle pass)
         "bigram_logprob_quality",        # reworked (pinned bigram explode)
         "bm25_topk_docs",                # reworked (pinned tokenize)
+        "lsh_band_bucket_stats",         # reworked (rides shingle artifact)
         "ewma_user_value",               # stalest (r6) + the twin's serial half
         "nation_supplier_outer",         # stalest overall (r2)
         "events_json_struct",            # stalest (r4)
