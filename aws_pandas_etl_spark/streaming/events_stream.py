@@ -989,3 +989,150 @@ def run_streaming_hll(
         "registers_used",
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+def run_stream_stream_outer_range_join(
+    spark: SparkSession,
+    sf_dir: str,
+    tolerance_us: int = 300_000_000,
+    watermark: str = "10 minutes",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join with COMPLETE
+    null-completions: every (error, click) pair within ±tolerance AND
+    one NULL-click row for every error that never sees a click in its
+    window — the enrich-or-admit-no-match shape (impressions without
+    conversions, requests without responses) the inner interval join
+    cannot express.
+
+    Two mechanics make the outer form correct where the inner twin's
+    construction would not be:
+
+    1. The bin explosion moves to the RIGHT side.  The inner join
+       explodes the LEFT side to {b-1, b, b+1}; a left-outer join over
+       that would emit up to three NULL completions per unmatched
+       error (one per exploded bin).  Exploding the clicks instead
+       keeps each error a SINGLE state row — exactly one NULL
+       completion — while every true pair still meets on exactly one
+       bin (bins are tolerance-wide, so a pair's error bin is always
+       within ±1 of the click bin).
+
+    2. A watermark-flush SENTINEL makes the null-completions COMPLETE
+       under availableNow.  An unmatched left row only emits once the
+       watermark passes ``e_ts + tolerance`` — errors near the end of
+       a bounded input would otherwise stay in state forever and
+       silently vanish.  The stream dir therefore carries one final
+       file with a far-future sentinel row per side (event_id = -1,
+       ts = max_ts + watermark + tolerance + 1h): the sentinels pass
+       THROUGH the watermark operators (advancing event time), are
+       filtered out before the join (never entering state or output),
+       and the no-data batch after them flushes every remaining
+       unmatched error.  The DuckDB oracle is the plain batch LEFT
+       JOIN — parity proves completeness, not just soundness.
+
+    State stays bounded on unbounded streams exactly like the inner
+    twin: both sides are watermarked and the join condition bounds
+    c_ts to [e_ts - tol, e_ts + tol]."""
+    import datetime as _dt
+
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    tol_sec = tolerance_us // 1_000_000
+    wm_sec = 600 if "minute" in watermark else 7200
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sent_ts = max_ts + _dt.timedelta(seconds=wm_sec + tol_sec + 3600)
+
+    name = f"ssouter_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), name)
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    ev.coalesce(1).write.parquet(os.path.join(base, "data"))
+    # TWO sentinel batches, not one: the watermark COMPUTED from batch
+    # N's data only applies to batch N+1, and availableNow stops after
+    # the last file without a closing no-data batch — with a single
+    # sentinel the final errors (inside the old watermark horizon)
+    # would stay in state forever and silently vanish (caught by the
+    # oracle: the latest error's NULL row was missing).  The second
+    # sentinel batch RUNS under the first sentinel's advanced
+    # watermark and performs the flush.
+    sent = spark.createDataFrame(
+        [(-1, "error", sent_ts), (-1, "click", sent_ts)],
+        schema=ev.schema,
+    )
+    sent.coalesce(1).write.parquet(os.path.join(base, "sent"))
+    sent2 = spark.createDataFrame(
+        [
+            (-1, "error", sent_ts + _dt.timedelta(hours=1)),
+            (-1, "click", sent_ts + _dt.timedelta(hours=1)),
+        ],
+        schema=ev.schema,
+    )
+    sent2.coalesce(1).write.parquet(os.path.join(base, "sent2"))
+    now = time.time()
+    for i, sub in enumerate(["data", "sent", "sent2"], start=1):
+        d = os.path.join(base, sub)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        if len(files) != 1:
+            raise RuntimeError(f"expected one part file in {d}, got {files}")
+        dst = os.path.join(src_dir, f"batch_{i}.parquet")
+        os.rename(os.path.join(d, files[0]), dst)
+        # ascending mtimes: the sentinel file must form the LAST batch
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def _bin(ts_col: str) -> F.Column:
+        ux = F.unix_micros(F.col(ts_col))
+        return (
+            (ux - F.pmod(ux, F.lit(tolerance_us))) / F.lit(tolerance_us)
+        ).cast("bigint")
+
+    # NOTE the sentinels are NOT filtered before the join: a
+    # deterministic filter on a non-event-time column gets pushed BELOW
+    # the EventTimeWatermark node by the optimizer, and a sentinel
+    # dropped before the watermark operator never advances it (found
+    # the hard way: the latest error's NULL row stayed in state).  The
+    # sentinels flow through watermark -> join (they only ever match
+    # each other — they sit alone, far past every real event) and are
+    # removed from the SINK read-back, where pushdown cannot reach a
+    # streaming operator.
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", watermark)
+        .withColumn("e_bin", _bin("e_ts"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+        .withColumn(
+            "c_bin",
+            F.explode(
+                F.array(_bin("c_ts") - 1, _bin("c_ts"), _bin("c_ts") + 1)
+            ),
+        )
+    )
+    cond = (
+        (F.col("e_bin") == F.col("c_bin"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {tol_sec} SECONDS"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {tol_sec} SECONDS"))
+    )
+    joined = errors.join(clicks, cond, "leftOuter").select(
+        "error_id",
+        "click_id",
+        (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))).alias(
+            "gap_us"
+        ),
+    )
+    out = _run_to_parquet_sink(spark, joined, "ssouter", timeout_sec)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return out.filter(F.col("error_id") != -1)

@@ -586,3 +586,43 @@ def test_tws_ewma_twin_gate_and_parity(spark):
         for r in run_ewma_stream(spark, sf).collect()
     }
     assert tws == old
+
+
+def test_outer_range_join_null_completions_are_complete(spark):
+    """The left-outer interval join must emit (a) every true pair
+    exactly once despite the right-side bin explosion, and (b) exactly
+    ONE NULL completion per matchless error INCLUDING the ones near
+    the end of input — the tail that stays in state forever without
+    the watermark-flush sentinel (and that silently vanished when the
+    sentinel filter was pushed below the EventTimeWatermark node;
+    this test pins the regression).  Checked against the batch LEFT
+    JOIN on the same fixture."""
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_stream_stream_outer_range_join,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in run_stream_stream_outer_range_join(spark, sf).collect()
+    )
+    ev = load_table(spark, sf, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    gap = F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))
+    want = sorted(
+        tuple(r)
+        for r in e.join(c, F.abs(gap) <= 300_000_000, "left")
+        .select("error_id", "click_id", gap.alias("gap_us"))
+        .collect()
+    )
+    assert got == want
+    # the tail row specifically: the LATEST error must appear
+    last_err = e.orderBy(F.col("e_ts").desc()).first()["error_id"]
+    assert any(r[0] == last_err for r in got)
