@@ -997,6 +997,7 @@ def run_stream_stream_outer_range_join(
     tolerance_us: int = 300_000_000,
     watermark: str = "10 minutes",
     timeout_sec: int = 300,
+    n_splits: int = 1,
 ) -> DataFrame:
     """LEFT OUTER stream-stream interval join with COMPLETE
     null-completions: every (error, click) pair within ±tolerance AND
@@ -1005,8 +1006,8 @@ def run_stream_stream_outer_range_join(
     conversions, requests without responses) the inner interval join
     cannot express.
 
-    Two mechanics make the outer form correct where the inner twin's
-    construction would not be:
+    Three mechanics make the outer form correct AND cheap where naive
+    constructions are not:
 
     1. The bin explosion moves to the RIGHT side.  The inner join
        explodes the LEFT side to {b-1, b, b+1}; a left-outer join over
@@ -1021,18 +1022,35 @@ def run_stream_stream_outer_range_join(
        under availableNow.  An unmatched left row only emits once the
        watermark passes ``e_ts + tolerance`` — errors near the end of
        a bounded input would otherwise stay in state forever and
-       silently vanish.  The stream dir therefore carries one final
-       file with a far-future sentinel row per side (event_id = -1,
-       ts = max_ts + watermark + tolerance + 1h): the sentinels pass
-       THROUGH the watermark operators (advancing event time), are
-       filtered out before the join (never entering state or output),
-       and the no-data batch after them flushes every remaining
-       unmatched error.  The DuckDB oracle is the plain batch LEFT
-       JOIN — parity proves completeness, not just soundness.
+       silently vanish.  One far-future sentinel row per side
+       (event_id = -1, ts = max_ts + watermark + tolerance + 1h) rides
+       IN the data batch: the watermark it advances applies in the
+       closing no-data micro-batch, which evicts and emits every
+       remaining unmatched error.  The sentinels must NOT be filtered
+       before the join — a deterministic filter on a non-event-time
+       column is pushed BELOW the EventTimeWatermark node by the
+       optimizer, and a sentinel dropped before the watermark operator
+       never advances it (found the hard way: the latest error's NULL
+       row stayed in state).  They flow through watermark -> join
+       (matching only each other, far past every real event) and are
+       removed from the SINK read-back, where pushdown cannot reach a
+       streaming operator.
+
+    3. Everything lands in ONE micro-batch (plus the free closing
+       no-data batch).  An earlier draft delivered the sentinel as its
+       own file-per-trigger batch; every extra batch re-commits and
+       re-scans the full join state (~500k rows at sf0.1), measured
+       14-17 s against 3.4 s for the single-batch form — identical
+       output.  ``n_splits > 1`` restores the multi-batch delivery
+       (data split into time-ordered files + a final sentinel file) so
+       tests can prove pairs and completions survive micro-batch
+       boundaries; production backfills want the single-batch shape.
 
     State stays bounded on unbounded streams exactly like the inner
     twin: both sides are watermarked and the join condition bounds
-    c_ts to [e_ts - tol, e_ts + tol]."""
+    c_ts to [e_ts - tol, e_ts + tol].  Oracle: the plain batch LEFT
+    JOIN — parity proves the null-completions are complete, not just
+    sound."""
     import datetime as _dt
 
     from aws_pandas_etl_spark.sources.readers import load_table
@@ -1045,49 +1063,32 @@ def run_stream_stream_outer_range_join(
     )
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     sent_ts = max_ts + _dt.timedelta(seconds=wm_sec + tol_sec + 3600)
-
-    name = f"ssouter_{uuid.uuid4().hex[:8]}"
-    base = os.path.join(tempfile.gettempdir(), name)
-    src_dir = os.path.join(base, "src")
-    os.makedirs(src_dir)
-    ev.coalesce(1).write.parquet(os.path.join(base, "data"))
-    # TWO sentinel batches, not one: the watermark COMPUTED from batch
-    # N's data only applies to batch N+1, and availableNow stops after
-    # the last file without a closing no-data batch — with a single
-    # sentinel the final errors (inside the old watermark horizon)
-    # would stay in state forever and silently vanish (caught by the
-    # oracle: the latest error's NULL row was missing).  The second
-    # sentinel batch RUNS under the first sentinel's advanced
-    # watermark and performs the flush.
     sent = spark.createDataFrame(
         [(-1, "error", sent_ts), (-1, "click", sent_ts)],
         schema=ev.schema,
     )
-    sent.coalesce(1).write.parquet(os.path.join(base, "sent"))
-    sent2 = spark.createDataFrame(
-        [
-            (-1, "error", sent_ts + _dt.timedelta(hours=1)),
-            (-1, "click", sent_ts + _dt.timedelta(hours=1)),
-        ],
-        schema=ev.schema,
-    )
-    sent2.coalesce(1).write.parquet(os.path.join(base, "sent2"))
-    now = time.time()
-    for i, sub in enumerate(["data", "sent", "sent2"], start=1):
-        d = os.path.join(base, sub)
-        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        if len(files) != 1:
-            raise RuntimeError(f"expected one part file in {d}, got {files}")
-        dst = os.path.join(src_dir, f"batch_{i}.parquet")
-        os.rename(os.path.join(d, files[0]), dst)
-        # ascending mtimes: the sentinel file must form the LAST batch
-        os.utime(dst, (now + i, now + i))
 
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
-    )
+    name = f"ssouter_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), name)
+    src_dir = os.path.join(base, "src")
+    if n_splits <= 1:
+        os.makedirs(base)
+        ev.unionByName(sent).write.parquet(src_dir)
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    else:
+        os.makedirs(src_dir)
+        _write_ordered_splits(ev, ["ts", "event_id"], n_splits, base, src_dir)
+        sent.coalesce(1).write.parquet(os.path.join(base, "sent"))
+        d = os.path.join(base, "sent")
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        dst = os.path.join(src_dir, f"batch_{n_splits + 1}.parquet")
+        os.rename(os.path.join(d, f), dst)
+        os.utime(dst, (time.time() + n_splits + 1,) * 2)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
 
     def _bin(ts_col: str) -> F.Column:
         ux = F.unix_micros(F.col(ts_col))
@@ -1095,15 +1096,6 @@ def run_stream_stream_outer_range_join(
             (ux - F.pmod(ux, F.lit(tolerance_us))) / F.lit(tolerance_us)
         ).cast("bigint")
 
-    # NOTE the sentinels are NOT filtered before the join: a
-    # deterministic filter on a non-event-time column gets pushed BELOW
-    # the EventTimeWatermark node by the optimizer, and a sentinel
-    # dropped before the watermark operator never advances it (found
-    # the hard way: the latest error's NULL row stayed in state).  The
-    # sentinels flow through watermark -> join (they only ever match
-    # each other — they sit alone, far past every real event) and are
-    # removed from the SINK read-back, where pushdown cannot reach a
-    # streaming operator.
     errors = (
         stream.filter(F.col("event_type") == "error")
         .select(F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts"))

@@ -604,9 +604,13 @@ def test_outer_range_join_null_completions_are_complete(spark):
     from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.001"
+    # n_splits=3: the multi-batch delivery — pairs and completions must
+    # survive micro-batch boundaries, not just the single-batch backfill
     got = sorted(
         tuple(r)
-        for r in run_stream_stream_outer_range_join(spark, sf).collect()
+        for r in run_stream_stream_outer_range_join(
+            spark, sf, n_splits=3
+        ).collect()
     )
     ev = load_table(spark, sf, "events")
     e = ev.filter(F.col("event_type") == "error").select(
