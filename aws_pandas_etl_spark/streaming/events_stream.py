@@ -1128,3 +1128,86 @@ def run_stream_stream_outer_range_join(
     out = _run_to_parquet_sink(spark, joined, "ssouter", timeout_sec)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     return out.filter(F.col("error_id") != -1)
+
+
+def quarantine_reason() -> F.Column:
+    """First-failing-rule disposition for the streaming quarantine
+    split (NULL = row passes).  Rule order is the contract: a row
+    violating several rules reports the FIRST, deterministically, so
+    the quarantine sink is replayable and oracle-checkable."""
+    return (
+        F.when(
+            ~F.col("value").between(0.0, 400.0), F.lit("value_range(0,400)")
+        )
+        .when(
+            (F.col("event_type") == "purchase") & (F.col("value") < 10.0),
+            F.lit("purchase_value_min(10)"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def run_streaming_quarantine_split(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Dead-letter-queue pattern over the event stream: every
+    micro-batch splits on the declarative row contract
+    (``quarantine_reason``) — passing rows land in the MAIN sink,
+    failing rows in the QUARANTINE sink tagged with the first failing
+    rule — and the run reconciles main + quarantine == source row
+    count, refusing loudly on any leak.  This is the streaming twin of
+    operators/quality.py's batch expectations: the batch report SAYS
+    which rules fail; the split ROUTES the failures so the main table
+    stays contract-clean while nothing is silently dropped (the
+    quarantine is replayable input for repair-and-reingest).
+
+    Scale shape: one scan per micro-batch evaluated twice against a
+    codegen'd CASE — no shuffle, no state; both sinks are distributed
+    parquet appends.  Returns the quarantined rows
+    (event_id, event_type, value, reason)."""
+    name = f"quarantine_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), name)
+    main_dir = os.path.join(base, "main")
+    quar_dir = os.path.join(base, "quarantine")
+    checkpoint = os.path.join(base, "ckpt")
+    os.makedirs(base)
+
+    stream = events_stream(spark, sf_dir, with_watermark=None).withColumn(
+        "reason", quarantine_reason()
+    )
+
+    def _split(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.filter(F.col("reason").isNull()).drop("reason").write.mode(
+            "append"
+        ).parquet(main_dir)
+        batch_df.filter(F.col("reason").isNotNull()).select(
+            "event_id", "event_type", "value", "reason"
+        ).write.mode("append").parquet(quar_dir)
+
+    sq = (
+        stream.writeStream.foreachBatch(_split)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = sq.awaitTermination(timeout_sec)
+    finally:
+        sq.stop()
+    if not finished:
+        raise TimeoutError(f"quarantine split did not finish within {timeout_sec}s")
+
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    n_src = load_table(spark, sf_dir, "events").count()
+    n_main = spark.read.parquet(main_dir).count()
+    n_quar = spark.read.parquet(quar_dir).count()
+    if n_main + n_quar != n_src:
+        raise RuntimeError(
+            f"quarantine split leaked rows: main {n_main} + quarantine "
+            f"{n_quar} != source {n_src}"
+        )
+    out = spark.read.parquet(quar_dir)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return out

@@ -630,3 +630,40 @@ def test_outer_range_join_null_completions_are_complete(spark):
     # the tail row specifically: the LATEST error must appear
     last_err = e.orderBy(F.col("e_ts").desc()).first()["error_id"]
     assert any(r[0] == last_err for r in got)
+
+
+def test_quarantine_split_routes_and_reconciles(spark):
+    """The dead-letter split must (a) route every row to exactly one
+    sink (main + quarantine == source, enforced by the runner's loud
+    reconciliation), (b) tag quarantined rows with the FIRST failing
+    rule, and (c) keep the main sink contract-clean — checked row-set
+    vs the batch predicate on the same fixture."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        quarantine_reason,
+        run_streaming_quarantine_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    quar = run_streaming_quarantine_split(spark, sf)
+    got = sorted(tuple(r) for r in quar.collect())
+    ev = load_table(spark, sf, "events").withColumn(
+        "reason", quarantine_reason()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.filter(F.col("reason").isNotNull())
+        .select("event_id", "event_type", "value", "reason")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0, "fixture must exercise the quarantine path"
+    # every quarantined row really violates, with first-rule precedence
+    for _, etype, value, reason in got:
+        if not (0.0 <= value <= 400.0):
+            assert reason == "value_range(0,400)"
+        else:
+            assert etype == "purchase" and value < 10.0
+            assert reason == "purchase_value_min(10)"
