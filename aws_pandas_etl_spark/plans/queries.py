@@ -2391,6 +2391,43 @@ def streaming_outer_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FULL_OUTER_RANGE_JOIN_ORACLE = """
+WITH e AS (
+  SELECT event_id AS error_id, ts AS e_ts FROM events
+  WHERE event_type = 'error'
+), c AS (
+  SELECT event_id AS click_id, ts AS c_ts FROM events
+  WHERE event_type = 'click'
+)
+SELECT e.error_id, c.click_id,
+       epoch_us(e.e_ts) - epoch_us(c.c_ts) AS gap_us
+FROM e FULL JOIN c
+  ON abs(epoch_us(e.e_ts) - epoch_us(c.c_ts)) <= 300000000
+"""
+
+
+@register("streaming_full_outer_range_join", FULL_OUTER_RANGE_JOIN_ORACLE)
+def streaming_full_outer_range_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the
+    streaming interval-join matrix (inner / left / full, one bin
+    construction, one sentinel-flush mechanism).  The exploded click
+    side over-emits NULL completions per state-row copy (Spark tracks
+    matched-ness per state row); two exact batch-side repairs on the
+    sink — dedupe per click, anti-join against matched clicks — remove
+    precisely the over-emission, proven by parity with the plain batch
+    FULL JOIN (streaming/events_stream.py::
+    run_stream_stream_full_outer_range_join)."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_stream_stream_full_outer_range_join,
+    )
+
+    return run_stream_stream_full_outer_range_join(
+        spark, sf_dir, tolerance_us=300_000_000
+    )
+
+
 def _incremental_dedup_oracle() -> str:
     return f"""
 WITH neardup AS (
@@ -18624,7 +18661,7 @@ def unigram_entropy_effective_vocab(
 # semantics.  Every seat is exact-value-green in the local sweep at
 # sf0.001/0.01 before seating.
 # Round-13 rotation: after CORRECTNESS_r12 (50/50 green) the cumulative
-# driver-verified union is 283/283.  This round adds 8 queries
+# driver-verified union is 283/283.  This round adds 9 queries
 # (ewma_user_value_parallel — affine-composition skew-robust EWMA twin;
 # cogroup_view_pressure_preagg — the pre-aggregated cogroup twin;
 # curate_with_excision — the excision-consuming curation pipeline;
@@ -18633,22 +18670,23 @@ def unigram_entropy_effective_vocab(
 # per-source diversity; streaming_outer_range_join — LEFT OUTER
 # stream-stream interval join with complete null-completions via the
 # watermark-flush sentinel; streaming_quarantine_split — the
-# dead-letter contract split) and
+# dead-letter contract split; streaming_full_outer_range_join —
+# the interval-join matrix completer) and
 # REWORKS 6 after their last green row (streaming_partitioned_merge +
 # streaming_foreach_batch_merge: the sinks layout stamp, NULL-partition
 # rejection, and one-job batch stats change the per-batch plan;
 # ngram_novelty_per_doc + bigram_logprob_quality + bm25_topk_docs:
 # localCheckpoint pins one evaluation of the shared explode/tokenize
 # their branches re-ran; lsh_band_bucket_stats now rides the shared
-# shingle artifact).  All 14
+# shingle artifact).  All 15
 # newborn+rework entries take seats, every seat exact-value
 # green in the local sweep at sf0.01/0.1 before seating.  The
-# remaining 36 seats re-verify the STALEST driver-green entries (last
+# remaining 35 seats re-verify the STALEST driver-green entries (last
 # seated r2-r6, computed from the
 # CORRECTNESS_r01-r12 union), touching every §2a/§2b family: TPC-H x12,
 # relational/behavioral x9, dedup x6, text x3, streaming x4, sampling
 # x2, timeseries x3, json/format x2, embedding/ANN x2, sketch/approx
-# x2.  A green r13 window keeps the union 291/291 on current semantics.
+# x2.  A green r13 window keeps the union 292/292 on current semantics.
 # Round-12 rotation: after CORRECTNESS_r11 (50/50 green) the cumulative
 # driver-verified union is 280/280.  This round adds 3 queries
 # (running_total_prefix — the skew-robust ROWS-frame twin;
@@ -18711,6 +18749,7 @@ _DRIVER_WINDOW = [
     "distinct_ngram_diversity_by_source",
     "streaming_outer_range_join",
     "streaming_quarantine_split",
+    "streaming_full_outer_range_join",
     # reworked this round (sinks layout stamp + one-job batch stats
     # change the partitioned merge's per-batch plan; the foreachBatch
     # runner passes layout_spec)
@@ -18753,7 +18792,6 @@ _DRIVER_WINDOW = [
     "q9_product_profit",
     "range_join_clicks_near_errors",
     "rolling_7d_distinct_users",
-    "salted_sum_by_event_type",
     "scd2_purchase_history",
     "schema_enforce_lineitem",
     "session_window_batch",

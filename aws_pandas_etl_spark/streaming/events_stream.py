@@ -998,6 +998,7 @@ def run_stream_stream_outer_range_join(
     watermark: str = "10 minutes",
     timeout_sec: int = 300,
     n_splits: int = 1,
+    join_type: str = "leftOuter",
 ) -> DataFrame:
     """LEFT OUTER stream-stream interval join with COMPLETE
     null-completions: every (error, click) pair within ±tolerance AND
@@ -1118,7 +1119,7 @@ def run_stream_stream_outer_range_join(
         & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {tol_sec} SECONDS"))
         & (F.col("c_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {tol_sec} SECONDS"))
     )
-    joined = errors.join(clicks, cond, "leftOuter").select(
+    joined = errors.join(clicks, cond, join_type).select(
         "error_id",
         "click_id",
         (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))).alias(
@@ -1127,7 +1128,13 @@ def run_stream_stream_outer_range_join(
     )
     out = _run_to_parquet_sink(spark, joined, "ssouter", timeout_sec)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    return out.filter(F.col("error_id") != -1)
+    # sentinels: the pair they form with each other, and (fullOuter
+    # only) any null-completions of their never-matching exploded
+    # copies — all carry a -1 id on the side that emitted them
+    return out.filter(
+        (F.coalesce(F.col("error_id"), F.lit(0)) != -1)
+        & (F.coalesce(F.col("click_id"), F.lit(0)) != -1)
+    )
 
 
 def quarantine_reason() -> F.Column:
@@ -1211,3 +1218,63 @@ def run_streaming_quarantine_split(
     shutil.rmtree(checkpoint, ignore_errors=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     return out
+
+
+def run_stream_stream_full_outer_range_join(
+    spark: SparkSession,
+    sf_dir: str,
+    tolerance_us: int = 300_000_000,
+    watermark: str = "10 minutes",
+    timeout_sec: int = 300,
+    n_splits: int = 1,
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — pairs, matchless
+    errors AND matchless clicks, completing the interval-join matrix
+    (inner / leftOuter / fullOuter all share one bin construction and
+    one sentinel-flush mechanism).
+
+    The asymmetry the left-outer form hides: the CLICK side is the
+    exploded one (3 bin copies per click = 3 state rows), and Spark
+    tracks "has matched" PER STATE ROW — so the raw full-outer sink
+    over-emits on the right side in two ways: a matchless click's 3
+    copies each emit a NULL completion (3 identical rows for 1 truth),
+    and a MATCHED click's non-matching bin copies (a pair only ever
+    forms on one of the 3 bins) emit spurious NULL completions.  Both
+    repairs are exact, deterministic, batch-side reads of the sink:
+    dedupe the (NULL, click) rows per click, then anti-join them
+    against the clicks that appear in any pair.  The error side needs
+    neither (single state row per error).  At 100 TB both repairs are
+    a shuffle of the null-completion slice keyed by click id —
+    proportional to matchless clicks, not to pairs.
+
+    Oracle: the plain batch FULL JOIN — parity proves both sides'
+    completions are complete AND that the repair removes exactly the
+    over-emission, nothing else."""
+    raw = run_stream_stream_outer_range_join(
+        spark,
+        sf_dir,
+        tolerance_us=tolerance_us,
+        watermark=watermark,
+        timeout_sec=timeout_sec,
+        n_splits=n_splits,
+        join_type="fullOuter",
+    )
+    raw = raw.localCheckpoint(eager=False)  # three reads below, one sink scan
+    pairs = raw.filter(
+        F.col("error_id").isNotNull() & F.col("click_id").isNotNull()
+    )
+    e_null_completions = raw.filter(F.col("click_id").isNull())
+    c_null_completions = (
+        raw.filter(F.col("error_id").isNull())
+        .select("error_id", "click_id", "gap_us")
+        .dropDuplicates(["click_id"])
+        .join(
+            pairs.select("click_id").distinct(),
+            "click_id",
+            "left_anti",
+        )
+        .select("error_id", "click_id", "gap_us")
+    )
+    return pairs.unionByName(e_null_completions).unionByName(
+        c_null_completions
+    )

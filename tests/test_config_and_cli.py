@@ -156,10 +156,10 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin the seats that must never drift back out of the window
-    # (round-13 rotation: 8 seats for the r13-born queries, 6 re-seats
+    # (round-13 rotation: 9 seats for the r13-born queries, 6 re-seats
     # for queries reworked after their last green row — the sinks
     # layout-stamp/one-job-stats rework and the pinned-evaluation
-    # explode/tokenize reworks — and 36 stalest driver-green entries,
+    # explode/tokenize reworks — and 35 stalest driver-green entries,
     # last seated r2-r6)
     for must in [
         "ewma_user_value_parallel",      # r13-born (affine EWMA twin)
@@ -170,6 +170,7 @@ def test_driver_window_spans_operator_families():
         "distinct_ngram_diversity_by_source",  # r13-born (distinct-n)
         "streaming_outer_range_join",    # r13-born (outer interval join)
         "streaming_quarantine_split",    # r13-born (dead-letter split)
+        "streaming_full_outer_range_join",  # r13-born (join-matrix completer)
         "streaming_partitioned_merge",   # reworked (layout stamp + 1-job stats)
         "streaming_foreach_batch_merge", # reworked (runner layout_spec)
         "ngram_novelty_per_doc",         # reworked (pinned shingle pass)

@@ -667,3 +667,45 @@ def test_quarantine_split_routes_and_reconciles(spark):
         else:
             assert etype == "purchase" and value < 10.0
             assert reason == "purchase_value_min(10)"
+
+
+def test_full_outer_range_join_matches_batch_full_join(spark):
+    """The full-outer interval join must equal the batch FULL JOIN —
+    including across micro-batch boundaries — which proves the two
+    batch-side repairs (dedupe per matchless click, anti-join matched
+    clicks) remove exactly the exploded side's per-state-row
+    over-emission and nothing else."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_stream_stream_full_outer_range_join,
+    )
+
+    from collections import Counter
+
+    sf = "/root/testdata/sf0.001"
+    got = Counter(
+        tuple(r)
+        for r in run_stream_stream_full_outer_range_join(
+            spark, sf, n_splits=3
+        ).collect()
+    )
+    ev = load_table(spark, sf, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    gap = F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))
+    want = Counter(
+        tuple(r)
+        for r in e.join(c, F.abs(gap) <= 300_000_000, "full")
+        .select("error_id", "click_id", gap.alias("gap_us"))
+        .collect()
+    )
+    assert got == want
+    # both unmatched sides must actually be exercised by the fixture
+    assert any(r[0] is None for r in got), "no matchless clicks at sf0.001"
+    assert any(r[1] is None for r in got), "no matchless errors at sf0.001"
