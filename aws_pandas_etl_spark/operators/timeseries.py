@@ -48,7 +48,10 @@ def ewma_last_per_key(
 ) -> DataFrame:
     """Final EWMA value per key after replaying that key's history in
     (order_cols) order.  Returns (key_col, n_events, ewma)."""
-    schema = f"{key_col} bigint, n_events bigint, ewma double"
+    # key field mirrors the input type — a hardcoded bigint crashes on
+    # string/decimal keys at the Arrow boundary
+    key_dt = df.schema[key_col].dataType.simpleString()
+    schema = f"{key_col} {key_dt}, n_events bigint, ewma double"
     beta = 1.0 - alpha
     n_parts = df.sparkSession.sparkContext.defaultParallelism
 
@@ -150,8 +153,12 @@ def ewma_last_per_key_parallel(
         .repartitionByRange(num_partitions, key_col, *order_cols)
         .sortWithinPartitions(key_col, *order_cols)
     )
+    # key field mirrors the INPUT type (like the serial twin): a
+    # hardcoded bigint would crash on string/decimal keys and silently
+    # TRUNCATE float keys (1.2 and 1.7 merging into key 1)
+    key_dt = df.schema[key_col].dataType.simpleString()
     part_schema = (
-        f"{key_col} bigint, _pid int, _cnt bigint, _a double, "
+        f"{key_col} {key_dt}, _pid int, _cnt bigint, _a double, "
         f"_b double, _x0 double"
     )
 
@@ -160,12 +167,12 @@ def ewma_last_per_key_parallel(
 
         pid = TaskContext.get().partitionId()
         started = False
-        cur = 0
+        cur = None  # native key value of the carried run (any type)
         cnt = 0
         a = 1.0
         b = 0.0
         x0 = 0.0
-        out: list[tuple[int, int, int, float, float, float]] = []
+        out: list[tuple] = []
 
         def seg_compose(x: "np.ndarray") -> tuple[float, float]:
             # composed map of a contiguous run: a = beta^m,
@@ -185,7 +192,10 @@ def ewma_last_per_key_parallel(
             starts = np.concatenate(([0], cuts))
             ends = np.concatenate((cuts, [len(keys)]))
             for s, e in zip(starts.tolist(), ends.tolist()):
-                k = int(keys[s])
+                # native key value, NOT int(): int() on a float key
+                # truncates (merging distinct keys) and crashes on
+                # string/decimal keys
+                k = pdf[key_col].iloc[s]
                 sa, sb = seg_compose(vals[s:e])
                 if started and k == cur:
                     # extend the carried run: carry ∘ segment

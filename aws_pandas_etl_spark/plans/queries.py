@@ -1116,7 +1116,12 @@ def lsh_band_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_pandas_etl_spark.functions.hashing import minhash_signature
 
     base = _shingle3_table(spark, sf_dir)
-    sigs = base.withColumn("sig", minhash_signature(F.col("hashes")))
+    # width must stay coupled to D.lsh_band_stats's banding (it slices
+    # NUM_HASHES slots): a wider default signature would silently waste
+    # the extra derivations
+    sigs = base.withColumn(
+        "sig", minhash_signature(F.col("hashes"), num_hashes=D.NUM_HASHES)
+    )
     return D.lsh_band_stats(sigs)
 
 

@@ -342,6 +342,58 @@ def _write_layout_marker(spark: SparkSession, path: str, spec: dict) -> None:
         stream.close()
 
 
+def _target_has_data(spark: SparkSession, path: str) -> bool:
+    """True iff the target directory exists and holds anything besides
+    hidden/metadata entries (``_layout.json``, ``_SUCCESS``, dotfiles).
+    One FileSystem listStatus RPC — no data read."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
+def stamp_layout(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    partition_col: str,
+    layout_spec: str | None = None,
+) -> dict:
+    """One-shot migration/re-stamp API for ``merge_load_partitioned``
+    targets: write (or overwrite) the ``_layout.json`` stamp with the
+    given spec.  Two legitimate uses, both explicit caller decisions:
+
+    1. adopting a genuine pre-stamp target (data written before the
+       stamp existed, or a copy that dropped underscore-hidden files)
+       whose key→partition mapping the caller KNOWS matches ``spec``;
+    2. a declaration-only change — e.g. a caller starts passing
+       ``layout_spec`` against a target stamped without one, or
+       reformats the spec string for the IDENTICAL physical mapping —
+       where the whole-dict equality check would otherwise demand a
+       full rewrite.
+
+    This deliberately does NOT verify the data against the spec (the
+    old mapping is unrecoverable from data alone — that's why the
+    stamp exists); it is the loud, auditable escape hatch that
+    replaces the old silent grandfathering.  Returns the stamped
+    spec."""
+    layout = {
+        "partition_col": partition_col,
+        "keys": sorted(keys),
+        "order_col": order_col,
+        "layout_spec": layout_spec,
+    }
+    _write_layout_marker(spark, path, layout)
+    return layout
+
+
 def merge_load_partitioned(
     df: DataFrame,
     path: str,
@@ -350,6 +402,7 @@ def merge_load_partitioned(
     partition_col: str,
     tiebreak_col: str | None = None,
     layout_spec: str | None = None,
+    adopt_layout: bool = False,
 ) -> int:
     """Partition-pruned incremental upsert — ``merge_load`` for targets
     that matter at 100 TB: the flat merge reads and REWRITES the whole
@@ -394,9 +447,17 @@ def merge_load_partitioned(
     parameter (bucket count, date granularity) should always pass
     ``layout_spec`` — without it only the column/key NAMES are pinned
     and a re-bucketing under the same column name is undetectable.
-    A pre-stamp target (marker absent but data present) is
-    grandfathered: the current spec is stamped and the merge proceeds,
-    since the old mapping is unrecoverable from data alone.
+    A data-bearing UNSTAMPED target (marker absent but data present)
+    is REFUSED by default: silently adopting the current spec would
+    mean that losing ``_layout.json`` (a copy that drops
+    underscore-hidden files, a cleanup job) re-enables exactly the
+    cross-layout merge the stamp exists to refuse.  Genuine pre-stamp
+    targets migrate explicitly — either pass ``adopt_layout=True`` on
+    the first merge after migration, or run the one-shot
+    ``stamp_layout(path, ...)`` API.  A declaration-only upgrade
+    (target stamped with ``layout_spec=None``, caller now declares
+    one, everything else identical) proceeds and re-stamps with the
+    declared spec — no physical mapping changed.
 
     The merged touched-partition rows are localCheckpointed before the
     write (bounded by touched-partition size) — that breaks the
@@ -422,15 +483,39 @@ def merge_load_partitioned(
         "layout_spec": layout_spec,
     }
     stamped = read_layout_marker(spark, path)
-    if stamped is not None and stamped != layout:
-        raise ValueError(
-            f"merge_load_partitioned: target {path!r} was written with "
-            f"layout {stamped!r} but this merge declares {layout!r} — a "
-            f"changed key→partition mapping would make the pruned read "
-            f"miss keys' old copies and silently resurrect stale rows. "
-            f"Rewrite the target under the new layout (full merge_load + "
-            f"re-stamp) instead of merging across layouts."
-        )
+    if stamped is None:
+        # marker absent: only an EMPTY target is a first write.  A
+        # data-bearing unstamped target is refused unless the caller
+        # explicitly adopts — silent adoption would mean losing
+        # _layout.json re-enables the exact cross-layout merge the
+        # stamp refuses.
+        if not adopt_layout and _target_has_data(spark, path):
+            raise ValueError(
+                f"merge_load_partitioned: target {path!r} holds data but "
+                f"no {_LAYOUT_MARKER} stamp — its key→partition mapping is "
+                f"unknown, so merging could silently resurrect stale rows "
+                f"under a changed layout. If this is a genuine pre-stamp "
+                f"target whose mapping you KNOW matches this merge's, pass "
+                f"adopt_layout=True once (or run stamp_layout(path, ...)); "
+                f"otherwise rewrite the target under the declared layout."
+            )
+    elif stamped != layout:
+        upgrade = dict(stamped, layout_spec=layout_spec)
+        if stamped.get("layout_spec") is None and upgrade == layout:
+            # declaration-only upgrade: identical physical mapping, the
+            # caller merely STARTED declaring layout_spec — proceed and
+            # re-stamp with the richer spec after the write
+            stamped = None
+        else:
+            raise ValueError(
+                f"merge_load_partitioned: target {path!r} was written with "
+                f"layout {stamped!r} but this merge declares {layout!r} — a "
+                f"changed key→partition mapping would make the pruned read "
+                f"miss keys' old copies and silently resurrect stale rows. "
+                f"Rewrite the target under the new layout (full merge_load "
+                f"+ re-stamp), or for a declaration-only change re-stamp "
+                f"via stamp_layout(path, ...)."
+            )
     # contract guard + touched-partition set + NULL rejection, folded
     # into ONE job (r12 ran guard and touched as two separate actions
     # — two scans of the un-materialized micro-batch source — per
@@ -529,11 +614,23 @@ def merge_load_partitioned(
         .parquet(path)
     )
     if stamped is None:
-        # first write (or grandfathered pre-stamp target): pin the
-        # layout AFTER the data lands so a failed write never leaves a
-        # stamp without data
+        # first write, explicit adopt_layout migration, or a
+        # declaration-only layout_spec upgrade: pin the layout AFTER
+        # the data lands so a failed write never leaves a stamp
+        # without data
         _write_layout_marker(spark, path, layout)
     return merged.count()
+
+
+def _partition_subdirs(fs, jpath) -> list:
+    """Hive-style ``col=value`` child directories of ``jpath`` (hidden
+    entries excluded) — the marker of a partitioned target."""
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name and not name.startswith((".", "_")):
+            out.append(st.getPath())
+    return out
 
 
 def compact_table(spark: SparkSession, path: str, target_file_mb: int = 512) -> tuple[int, int]:
@@ -543,11 +640,23 @@ def compact_table(spark: SparkSession, path: str, target_file_mb: int = 512) -> 
     Every incremental pattern (append_load batches, streaming sinks,
     dynamic partition re-loads) accretes small files, and at 100 TB
     the resulting per-file open/footer overhead dominates scans long
-    before data volume does.  The rewrite is one job — scan, round-robin
-    ``repartition`` to the target file count, write to the hidden
-    ``merge_load`` tmp sibling, metadata-swap in (same crash-safe
-    keep-aside dance, so a failed compaction never damages the live
-    target).  Returns (files_before, files_after).
+    before data volume does.  The rewrite is one job per compacted
+    directory — scan, round-robin ``repartition`` to the target file
+    count, write to the hidden ``merge_load`` tmp sibling,
+    metadata-swap in (same crash-safe keep-aside dance, so a failed
+    compaction never damages the live target).
+
+    PARTITIONED targets (Hive-style ``col=value`` subdirectories) are
+    compacted PER LEAF PARTITION, preserving the layout: each leaf
+    directory gets its own size-targeted rewrite with its own hidden
+    swap siblings (dot-prefixed, so a concurrent reader of the parent
+    never sees in-flight tmp files).  Earlier versions globbed
+    ``part-*`` at the top level only — a partitioned target reported
+    "already compact" (0, 0) while holding thousands of small files
+    per partition.  A target that MIXES top-level part-files with
+    partition subdirectories is refused loudly: a flat rewrite would
+    flatten the partition layout, and no consistent reading of such a
+    target exists.  Returns total (files_before, files_after).
     """
     import math
 
@@ -556,29 +665,66 @@ def compact_table(spark: SparkSession, path: str, target_file_mb: int = 512) -> 
     fs = jfinal.getFileSystem(spark._jsc.hadoopConfiguration())
 
     def _data_files(p) -> int:
-        # count part-files only (not _SUCCESS / hidden); flat tables —
-        # partitioned targets compact per-partition via a re-load
+        # count part-files only (not _SUCCESS / hidden)
         hits = fs.globStatus(jvm.org.apache.hadoop.fs.Path(p.toString() + "/part-*"))
         return 0 if hits is None else len(hits)
 
-    summary = fs.getContentSummary(jfinal)
-    files_before = _data_files(jfinal)
-    n_out = max(1, math.ceil(summary.getLength() / (target_file_mb * 1024 * 1024)))
-    if files_before <= n_out:
-        return files_before, files_before  # already compact: no rewrite
-    df = spark.read.parquet(path).repartition(n_out)
-    tmp_path, old_path = _merge_side_paths(path)
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
-    jold = jvm.org.apache.hadoop.fs.Path(old_path)
-    fs.delete(jtmp, True)
-    df.write.mode("overwrite").parquet(tmp_path)
-    fs.delete(jold, True)
-    if not fs.rename(jfinal, jold):
-        raise IOError(f"compact_table: keep-aside {path} -> {old_path} failed")
-    if not fs.rename(jtmp, jfinal):
-        raise IOError(f"compact_table: rename {tmp_path} -> {path} failed")
-    fs.delete(jold, True)
-    return files_before, _data_files(jfinal)
+    def _compact_flat(jdir) -> tuple[int, int]:
+        dir_path = jdir.toString()
+        summary = fs.getContentSummary(jdir)
+        files_before = _data_files(jdir)
+        n_out = max(
+            1, math.ceil(summary.getLength() / (target_file_mb * 1024 * 1024))
+        )
+        if files_before <= n_out:
+            return files_before, files_before  # already compact: no rewrite
+        df = spark.read.parquet(dir_path).repartition(n_out)
+        tmp_path, old_path = _merge_side_paths(dir_path)
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+        jold = jvm.org.apache.hadoop.fs.Path(old_path)
+        fs.delete(jtmp, True)
+        df.write.mode("overwrite").parquet(tmp_path)
+        fs.delete(jold, True)
+        if not fs.rename(jdir, jold):
+            raise IOError(
+                f"compact_table: keep-aside {dir_path} -> {old_path} failed"
+            )
+        if not fs.rename(jtmp, jdir):
+            raise IOError(
+                f"compact_table: rename {tmp_path} -> {dir_path} failed"
+            )
+        fs.delete(jold, True)
+        return files_before, _data_files(jdir)
+
+    def _leaf_dirs(jdir) -> list:
+        # multi-level partitioning: descend until a dir has no
+        # col=value children
+        subs = _partition_subdirs(fs, jdir)
+        if not subs:
+            return [jdir]
+        leaves = []
+        for s in subs:
+            leaves.extend(_leaf_dirs(s))
+        return leaves
+
+    part_dirs = _partition_subdirs(fs, jfinal)
+    top_files = _data_files(jfinal)
+    if part_dirs and top_files:
+        raise ValueError(
+            f"compact_table: target {path!r} mixes {top_files} top-level "
+            f"part-files with {len(part_dirs)} partition subdirectories — "
+            f"a flat rewrite would destroy the partition layout and a "
+            f"per-partition one would orphan the flat files; repair the "
+            f"target layout first"
+        )
+    if not part_dirs:
+        return _compact_flat(jfinal)
+    total_before = total_after = 0
+    for leaf in _leaf_dirs(jfinal):
+        b, a = _compact_flat(leaf)
+        total_before += b
+        total_after += a
+    return total_before, total_after
 
 
 def overwrite_partitions_load(

@@ -38,6 +38,39 @@ EVENTS_LONG_TS_SCHEMA = T.StructType(
 )
 
 
+_DURATION_UNIT_SEC = {
+    "microsecond": 1e-6,
+    "millisecond": 1e-3,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def duration_seconds(spec: str) -> float:
+    """Parse a Spark interval string ("10 minutes", "30 seconds",
+    "1 hour 30 minutes") into seconds.  The watermark-flush sentinel
+    must sit strictly beyond max_ts + watermark + tolerance; guessing
+    the delay from a substring match ("minute" in spec -> 600) under-
+    sizes any non-default watermark (e.g. "3 hours") and the tail
+    unmatched rows silently stay in state — so the delay is parsed for
+    real and unknown forms refuse loudly."""
+    import re
+
+    pairs = re.findall(r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)", spec)
+    if not pairs:
+        raise ValueError(f"unparseable duration spec: {spec!r}")
+    total = 0.0
+    for num, unit in pairs:
+        key = unit.lower().rstrip("s")
+        if key not in _DURATION_UNIT_SEC:
+            raise ValueError(f"unknown duration unit {unit!r} in {spec!r}")
+        total += float(num) * _DURATION_UNIT_SEC[key]
+    return total
+
+
 def _events_schema_with_ts(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -1057,7 +1090,10 @@ def run_stream_stream_outer_range_join(
     from aws_pandas_etl_spark.sources.readers import load_table
 
     tol_sec = tolerance_us // 1_000_000
-    wm_sec = 600 if "minute" in watermark else 7200
+    # parsed for real (not a substring guess): an under-sized sentinel
+    # lands at-or-below the last error's eviction threshold and its
+    # NULL completion silently stays in state
+    wm_sec = int(duration_seconds(watermark))
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts"
@@ -1184,12 +1220,19 @@ def run_streaming_quarantine_split(
     )
 
     def _split(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch subdirectory + overwrite makes a foreachBatch RETRY
+        # idempotent: a replayed batch rewrites its own directory
+        # instead of double-appending, so the count reconciliation
+        # below stays a true LEAK detector (a plain append would turn
+        # any transient executor failure into a hard RuntimeError)
         batch_df.filter(F.col("reason").isNull()).drop("reason").write.mode(
-            "append"
-        ).parquet(main_dir)
+            "overwrite"
+        ).parquet(os.path.join(main_dir, f"batch_{batch_id}"))
         batch_df.filter(F.col("reason").isNotNull()).select(
             "event_id", "event_type", "value", "reason"
-        ).write.mode("append").parquet(quar_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(quar_dir, f"batch_{batch_id}")
+        )
 
     sq = (
         stream.writeStream.foreachBatch(_split)
@@ -1207,14 +1250,16 @@ def run_streaming_quarantine_split(
     from aws_pandas_etl_spark.sources.readers import load_table
 
     n_src = load_table(spark, sf_dir, "events").count()
-    n_main = spark.read.parquet(main_dir).count()
-    n_quar = spark.read.parquet(quar_dir).count()
+    main_glob = os.path.join(main_dir, "batch_*")
+    quar_glob = os.path.join(quar_dir, "batch_*")
+    n_main = spark.read.parquet(main_glob).count()
+    n_quar = spark.read.parquet(quar_glob).count()
     if n_main + n_quar != n_src:
         raise RuntimeError(
             f"quarantine split leaked rows: main {n_main} + quarantine "
             f"{n_quar} != source {n_src}"
         )
-    out = spark.read.parquet(quar_dir)
+    out = spark.read.parquet(quar_glob)
     shutil.rmtree(checkpoint, ignore_errors=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     return out

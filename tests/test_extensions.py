@@ -808,6 +808,61 @@ def test_ewma_parallel_matches_serial_and_splits_hot_key(spark):
     assert (got["n_events"], got["ewma"]) == (3, 5.5)
 
 
+def test_ewma_parallel_non_bigint_keys(spark):
+    """The parallel twin must be type-generic on the key like its
+    serial twin (ADVICE r13): a STRING key used to crash in the
+    executor on the hardcoded bigint partial schema, and a FLOAT key
+    was silently int()-truncated — keys 1.2 and 1.7 merging into one
+    wrong aggregate.  Both now match the serial form exactly."""
+    import datetime as dt
+
+    from aws_pandas_etl_spark.operators.timeseries import (
+        ewma_last_per_key,
+        ewma_last_per_key_parallel,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def both(df, key):
+        ser = {
+            r[key]: (r["n_events"], r["ewma"])
+            for r in ewma_last_per_key(
+                df, key, ["ts", "event_id"], "value", alpha=0.5
+            ).collect()
+        }
+        par = {
+            r[key]: (r["n_events"], r["ewma"])
+            for r in ewma_last_per_key_parallel(
+                df, key, ["ts", "event_id"], "value", alpha=0.5,
+                num_partitions=4,
+            ).collect()
+        }
+        return ser, par
+
+    # string key
+    sdf = spark.createDataFrame(
+        [Row(user=f"u{k}", event_id=j,
+             ts=base + dt.timedelta(seconds=j), value=float(k * 10 + j))
+         for k in range(3) for j in range(25)]
+    )
+    ser, par = both(sdf, "user")
+    assert set(ser) == set(par) == {"u0", "u1", "u2"}
+    for k in ser:
+        assert ser[k][0] == par[k][0]
+        assert abs(ser[k][1] - par[k][1]) < 1e-9
+    # float key: 1.2 and 1.7 are DISTINCT keys (int() would merge them)
+    fdf = spark.createDataFrame(
+        [Row(user=k, event_id=j,
+             ts=base + dt.timedelta(seconds=j), value=float(j))
+         for k in (1.2, 1.7) for j in range(10)]
+    )
+    ser, par = both(fdf, "user")
+    assert set(par) == {1.2, 1.7}
+    for k in ser:
+        assert ser[k][0] == par[k][0] == 10
+        assert abs(ser[k][1] - par[k][1]) < 1e-9
+
+
 def test_semantic_dedup_subset_and_probe_recall_vs_bruteforce(spark):
     """Cluster-blocked pairs must be a SUBSET of the all-pairs
     threshold scan (exactness), and multi-probe assignment must be

@@ -357,13 +357,79 @@ def test_merge_load_partitioned_rejects_layout_change(spark, tmp_path):
     assert read_layout_marker(spark, t)["layout_spec"] == "pmod(k,4)"
 
 
-def test_merge_load_partitioned_grandfathers_prestamp_target(spark, tmp_path):
-    """A pre-stamp target (data present, marker absent — e.g. written
-    before the layout stamp existed) is grandfathered: the merge
-    proceeds and stamps the CURRENT spec, since the original mapping is
-    unrecoverable from the data alone."""
+def test_merge_load_partitioned_refuses_unstamped_target_by_default(
+    spark, tmp_path
+):
+    """A data-bearing UNSTAMPED target (marker absent) must REFUSE by
+    default (r13 verdict #2): silently adopting the current spec would
+    mean losing _layout.json re-enables exactly the cross-layout merge
+    the stamp refuses.  Explicit migration paths both work: (a)
+    adopt_layout=True on the merge call, (b) the one-shot stamp_layout
+    API followed by a plain merge."""
     import os
 
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        merge_load_partitioned,
+        read_layout_marker,
+        stamp_layout,
+    )
+
+    def batch(k, v, ver):
+        return spark.createDataFrame([Row(k=k, v=v, ver=ver)]).withColumn(
+            "bkt", (F.col("k") % 2).cast("int")
+        )
+
+    t = str(tmp_path / "t")
+    merge_load_partitioned(
+        batch(1, "a", 1), t, keys=["k"], order_col="ver",
+        partition_col="bkt", layout_spec="pmod(k,2)",
+    )
+    os.remove(os.path.join(t, "_layout.json"))  # simulate a lost stamp
+    # default: refuse loudly
+    with pytest.raises(ValueError, match="no _layout.json stamp"):
+        merge_load_partitioned(
+            batch(1, "a2", 2), t, keys=["k"], order_col="ver",
+            partition_col="bkt", layout_spec="pmod(k,2)",
+        )
+    # path (a): explicit adopt_layout=True proceeds and re-stamps
+    assert merge_load_partitioned(
+        batch(1, "a2", 2), t, keys=["k"], order_col="ver",
+        partition_col="bkt", layout_spec="pmod(k,2)", adopt_layout=True,
+    ) == 1
+    assert read_layout_marker(spark, t)["layout_spec"] == "pmod(k,2)"
+    # path (b): lose the stamp again, migrate via stamp_layout
+    os.remove(os.path.join(t, "_layout.json"))
+    stamp_layout(
+        spark, t, keys=["k"], order_col="ver", partition_col="bkt",
+        layout_spec="pmod(k,2)",
+    )
+    assert merge_load_partitioned(
+        batch(1, "a3", 3), t, keys=["k"], order_col="ver",
+        partition_col="bkt", layout_spec="pmod(k,2)",
+    ) == 1
+    got = {r["k"]: r["v"] for r in spark.read.parquet(t).collect()}
+    assert got == {1: "a3"}
+    # an EMPTY path is still a plain first write — no flag needed
+    t2 = str(tmp_path / "t2")
+    assert merge_load_partitioned(
+        batch(1, "x", 1), t2, keys=["k"], order_col="ver",
+        partition_col="bkt", layout_spec="pmod(k,2)",
+    ) == 1
+
+
+def test_merge_load_partitioned_layout_spec_declaration_upgrade(
+    spark, tmp_path
+):
+    """A target stamped with layout_spec=None accepts a merge that
+    STARTS declaring a spec (identical physical mapping — a
+    declaration-only change must not demand a full rewrite, ADVICE
+    r13) and upgrades the stamp; after the upgrade a DIFFERENT spec
+    refuses, and dropping back to None refuses (weaker declaration)."""
+    import pytest
     from pyspark.sql import Row
     from pyspark.sql import functions as F
 
@@ -372,23 +438,35 @@ def test_merge_load_partitioned_grandfathers_prestamp_target(spark, tmp_path):
         read_layout_marker,
     )
 
+    def batch(k, v, ver):
+        return spark.createDataFrame([Row(k=k, v=v, ver=ver)]).withColumn(
+            "bkt", (F.col("k") % 2).cast("int")
+        )
+
     t = str(tmp_path / "t")
-    b1 = spark.createDataFrame([Row(k=1, v="a", ver=1)]).withColumn(
-        "bkt", (F.col("k") % 2).cast("int")
-    )
     merge_load_partitioned(
-        b1, t, keys=["k"], order_col="ver", partition_col="bkt",
-        layout_spec="pmod(k,2)",
+        batch(1, "a", 1), t, keys=["k"], order_col="ver",
+        partition_col="bkt",  # layout_spec=None
     )
-    os.remove(os.path.join(t, "_layout.json"))  # simulate pre-stamp target
-    b2 = spark.createDataFrame([Row(k=1, v="a2", ver=2)]).withColumn(
-        "bkt", (F.col("k") % 2).cast("int")
-    )
+    assert read_layout_marker(spark, t)["layout_spec"] is None
+    # None -> declared: upgrade in place
     assert merge_load_partitioned(
-        b2, t, keys=["k"], order_col="ver", partition_col="bkt",
-        layout_spec="pmod(k,2)",
+        batch(1, "a2", 2), t, keys=["k"], order_col="ver",
+        partition_col="bkt", layout_spec="pmod(k,2)",
     ) == 1
     assert read_layout_marker(spark, t)["layout_spec"] == "pmod(k,2)"
+    # declared -> different declaration: refuse
+    with pytest.raises(ValueError, match="layout"):
+        merge_load_partitioned(
+            batch(1, "a3", 3), t, keys=["k"], order_col="ver",
+            partition_col="bkt", layout_spec="pmod(k,4)",
+        )
+    # declared -> None (caller stops declaring): refuse, not downgrade
+    with pytest.raises(ValueError, match="layout"):
+        merge_load_partitioned(
+            batch(1, "a3", 3), t, keys=["k"], order_col="ver",
+            partition_col="bkt",
+        )
     got = {r["k"]: r["v"] for r in spark.read.parquet(t).collect()}
     assert got == {1: "a2"}
 

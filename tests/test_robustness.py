@@ -221,6 +221,45 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     assert compact_table(spark, p, target_file_mb=512) == (1, 1)
 
 
+def test_compact_table_partitioned_target_per_partition(spark, tmp_path):
+    """A Hive-partitioned target compacts PER LEAF PARTITION with the
+    layout preserved (r13 verdict #4: the old top-level part-* glob
+    reported (0, 0) "already compact" for a partitioned table full of
+    small files), and a mixed flat+partitioned layout refuses loudly
+    instead of flattening."""
+    import os
+
+    import pytest
+
+    from aws_pandas_etl_spark.sources.sinks import compact_table
+
+    p = str(tmp_path / "t")
+    df = spark.range(9_000).selectExpr("id", "CAST(id % 3 AS INT) AS bkt")
+    # 16 small files in each of 3 partitions
+    df.repartition(16).write.partitionBy("bkt").parquet(p)
+    before, after = compact_table(spark, p, target_file_mb=512)
+    assert before == 48 and after == 3
+    back = spark.read.parquet(p)
+    assert back.count() == 9_000
+    # layout preserved: partition dirs still exist, pruning still works
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("bkt=")
+    ) == ["bkt=0", "bkt=1", "bkt=2"]
+    assert back.filter(F.col("bkt") == 1).count() == 3_000
+    assert (
+        back.agg(F.sum("id")).collect()[0][0]
+        == df.agg(F.sum("id")).collect()[0][0]
+    )
+    # idempotent second call: nothing left to do
+    assert compact_table(spark, p, target_file_mb=512) == (3, 3)
+    # mixed layout: top-level part-file + partition dirs -> refuse
+    spark.range(5).selectExpr("id", "CAST(0 AS INT) AS bkt").coalesce(
+        1
+    ).write.mode("append").parquet(p)
+    with pytest.raises(ValueError, match="mixes"):
+        compact_table(spark, p, target_file_mb=512)
+
+
 def test_bloom_decontaminate_invariant_under_partitioning(spark):
     """The bloom bitmap is built from collected positions and the
     membership test is per-row math, so the flagged set must be

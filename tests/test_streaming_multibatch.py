@@ -632,6 +632,60 @@ def test_outer_range_join_null_completions_are_complete(spark):
     assert any(r[0] == last_err for r in got)
 
 
+def test_duration_parse_and_outer_join_non_default_watermark(spark):
+    """``duration_seconds`` parses Spark interval strings for real
+    (ADVICE r13: the old substring guess — 600 if "minute" in spec
+    else 7200 — under-sized any non-default watermark), and the outer
+    interval join stays COMPLETE under a "3 hours" watermark: under
+    the old guess the sentinel's watermark advance landed exactly AT
+    the last error's eviction threshold (max_ts + tol), not strictly
+    beyond it, so the tail NULL completion could silently stay in
+    state — the precise bug the sentinel exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        duration_seconds,
+        run_stream_stream_outer_range_join,
+    )
+
+    assert duration_seconds("10 minutes") == 600
+    assert duration_seconds("30 seconds") == 30
+    assert duration_seconds("3 hours") == 10800
+    assert duration_seconds("1 hour 30 minutes") == 5400
+    assert duration_seconds("500 milliseconds") == 0.5
+    assert duration_seconds("2 days") == 172800
+    import pytest
+
+    with pytest.raises(ValueError, match="duration"):
+        duration_seconds("a while")
+    with pytest.raises(ValueError, match="unit"):
+        duration_seconds("3 fortnights")
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in run_stream_stream_outer_range_join(
+            spark, sf, watermark="3 hours"
+        ).collect()
+    )
+    ev = load_table(spark, sf, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    gap = F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))
+    want = sorted(
+        tuple(r)
+        for r in e.join(c, F.abs(gap) <= 300_000_000, "left")
+        .select("error_id", "click_id", gap.alias("gap_us"))
+        .collect()
+    )
+    assert got == want
+
+
 def test_quarantine_split_routes_and_reconciles(spark):
     """The dead-letter split must (a) route every row to exactly one
     sink (main + quarantine == source, enforced by the runner's loud
