@@ -8001,6 +8001,34 @@ def streaming_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ewma_stream(spark, sf_dir)
 
 
+@register("streaming_ewma_per_user_tws", EWMA_ORACLE)
+def streaming_ewma_per_user_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` twin of streaming_ewma_per_user —
+    the Spark-4 arbitrary-state API (typed ValueState handles, timers,
+    RocksDB column families) Spark recommends over
+    ``applyInPandasWithState``, promoted from test-only to a
+    registered, driver-verified entry (r13 verdict #8).  The
+    StatefulProcessor replays the identical per-key fold (sort by
+    ts,event_id; sequential recurrence at alpha=1/2), so all three
+    forms — batch, GroupState stream, TWS stream — share ONE recursive
+    -CTE oracle.  Capability-gated: TWS's Python worker speaks
+    protobuf to the JVM state server, so where the ``protobuf``
+    package is absent this falls back to the GroupState twin
+    (identical semantics and values — the fallback is a re-labelled
+    streaming_ewma_per_user, which the probe makes explicit rather
+    than crashing mid-query).  State: two numbers per key, RocksDB
+    provider scoped to the run."""
+    from aws_pandas_etl_spark.streaming.ewma_stream import (
+        run_ewma_stream,
+        run_ewma_stream_tws,
+        tws_available,
+    )
+
+    if tws_available():
+        return run_ewma_stream_tws(spark, sf_dir)
+    return run_ewma_stream(spark, sf_dir)
+
+
 # ===========================================================================
 # Sketch counting, weighted sampling, and feature engineering — the
 # approximate/streaming-friendly siblings of the exact aggregates above.
@@ -15742,6 +15770,164 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_credit"),
         )
+        .orderBy("channel")
+    )
+
+
+@register("attribution_position_based_prefix", ATTR_POS_ORACLE)
+def attribution_position_based_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune twin of ``attribution_position_based`` — same
+    oracle, same exact decimal credits, NO per-user pair
+    enumeration.  The original's purchases⋈touches equi-join on
+    user_id materializes every (purchase, in-window touch) pair; on
+    the p=90 skew clone the hot user owns ~90% of BOTH sides, so pair
+    volume goes quadratic in the hot user's density AND lands on one
+    shuffle partition — measured as effectively non-terminating at
+    10x/p=90 (BASELINE.md r14), the one agg-join query where skew is
+    not a constant factor but a complexity blow-up.
+
+    The decomposition: position-based credit per (purchase, channel)
+    only needs (a) the channel COUNTS inside the window — a trailing
+    range count, i.e. the difference of two prefix sums, and (b) the
+    FIRST and LAST in-window touch — two as-of joins.  So:
+
+    1. one multi-channel ``global_prefix_sums`` over the union of
+       touches + two weightless probe rows per purchase (at pts and
+       pts − W), range-partitioned on (user, ts, kind, id) — the hot
+       user SPLITS across partitions by time, probes at pts sort
+       after equal-ts touches (inclusive right edge) and probes at
+       pts − W before them (inclusive left edge, exclusive prefix);
+       per-purchase counts are hi − lo differences, so cross-user
+       prefix mass cancels and no per-key offset pass is needed;
+    2. backward/forward as-of joins (union + window carry — linear
+       per key, measured 1.1x at p=90 on the last-touch query) give
+       the last/first in-window channel; cnt > 0 guarantees both
+       land inside the window, purchases with no in-window touch
+       drop exactly like the original's inner join;
+    3. per-channel credit in closed form: 0.4·[first=c] +
+       0.4·[last=c] + interior_c · round6(0.2/(cnt−2)) (cnt=1/2
+       degenerate cases exact), where interior_c = cnt_c − [first=c]
+       − [last=c].  Identical Spark round-then-decimal arithmetic:
+       interior pairs share one rounded weight, and count × weight
+       in decimal equals the original's per-pair decimal sum bit for
+       bit.
+
+    Scale shape: one range exchange + tiny broadcast offsets (the
+    prefix), two user-keyed as-of shuffles, one pid-keyed pivot (pid
+    is unique — unskewable), a 2-row-per-purchase explode, one
+    |channels|-row aggregate.  Work is O(touches + purchases) —
+    the quadratic pair term is GONE, not redistributed."""
+    from aws_pandas_etl_spark.operators.ranking import global_prefix_sums
+    from aws_pandas_etl_spark.operators.relational import (
+        as_of_join_backward,
+        as_of_join_forward,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    W = F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts"))
+    t = ev.filter(
+        F.col("event_type").isin(*ATTR_TOUCH_TYPES)
+        & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "event_id", F.col("event_type").alias("channel"))
+
+    zero = F.lit(0).cast("bigint")
+    touches_u = t.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_kind"),
+        "event_id",
+        F.lit(None).cast("long").alias("pid"),
+        (F.col("channel") == ATTR_TOUCH_TYPES[0]).cast("bigint").alias("_v"),
+        F.lit(1).cast("bigint").alias("_t"),
+    )
+    hi = p.select(
+        "user_id",
+        F.col("pts").alias("ts"),
+        F.lit(2).alias("_kind"),
+        F.col("pid").alias("event_id"),
+        "pid",
+        zero.alias("_v"),
+        zero.alias("_t"),
+    )
+    lo = p.select(
+        "user_id",
+        (F.col("pts") - W).alias("ts"),
+        F.lit(0).alias("_kind"),
+        F.col("pid").alias("event_id"),
+        "pid",
+        zero.alias("_v"),
+        zero.alias("_t"),
+    )
+    pref = global_prefix_sums(
+        touches_u.unionByName(hi).unionByName(lo),
+        ["user_id", "ts", "_kind", "event_id"],
+        ["_v", "_t"],
+        ["_pv", "_pt"],
+    )
+    probes = pref.filter(F.col("_kind") != 1)
+    cnts = (
+        probes.groupBy("pid")
+        .agg(
+            (
+                F.max(F.when(F.col("_kind") == 2, F.col("_pv")))
+                - F.max(F.when(F.col("_kind") == 0, F.col("_pv")))
+            ).alias("cnt_v"),
+            (
+                F.max(F.when(F.col("_kind") == 2, F.col("_pt")))
+                - F.max(F.when(F.col("_kind") == 0, F.col("_pt")))
+            ).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    pl = p.select("pid", "user_id", F.col("pts").alias("ts"),
+                  F.col("pid").alias("event_id"))
+    last = as_of_join_backward(
+        pl, t, on=["user_id"], ts_col="ts", payload_cols=["channel"],
+        tiebreak_col="event_id", payload_prefix="last_",
+    ).select("pid", "last_channel")
+    pf = p.select("pid", "user_id", (F.col("pts") - W).alias("ts"),
+                  F.col("pid").alias("event_id"))
+    first = as_of_join_forward(
+        pf, t, on=["user_id"], ts_col="ts", payload_cols=["channel"],
+        tiebreak_col="event_id", payload_prefix="first_",
+    ).select("pid", "first_channel")
+    j = cnts.join(last, "pid").join(first, "pid")
+
+    rows = j.select(
+        "cnt",
+        "cnt_v",
+        "first_channel",
+        "last_channel",
+        F.explode(
+            F.array(*[F.lit(c) for c in ATTR_TOUCH_TYPES])
+        ).alias("channel"),
+    )
+    cnt_c = F.when(
+        F.col("channel") == ATTR_TOUCH_TYPES[0], F.col("cnt_v")
+    ).otherwise(F.col("cnt") - F.col("cnt_v"))
+    fi = (F.col("first_channel") == F.col("channel")).cast("bigint")
+    la = (F.col("last_channel") == F.col("channel")).cast("bigint")
+    dec = lambda s: F.expr(f"CAST({s} AS DECIMAL(18,6))")
+    # identical arithmetic to the pair form: interior pairs all carry
+    # ONE rounded weight, so count x weight in decimal == the per-pair
+    # decimal sum exactly
+    w_int = F.round(F.lit(0.2) / (F.col("cnt") - 2), 6).cast("decimal(18,6)")
+    credit = (
+        F.when(F.col("cnt") == 1, fi * dec("1.0"))
+        .when(F.col("cnt") == 2, (fi + la) * dec("0.5"))
+        .otherwise((fi + la) * dec("0.4") + (cnt_c - fi - la) * w_int)
+    )
+    return (
+        rows.select("channel", cnt_c.alias("_nc"), credit.alias("_cr"))
+        .groupBy("channel")
+        .agg(
+            F.sum("_nc").cast("bigint").alias("n_touches"),
+            F.sum("_cr").cast("double").alias("total_credit"),
+        )
+        .filter(F.col("n_touches") > 0)
         .orderBy("channel")
     )
 

@@ -132,6 +132,45 @@ def main() -> None:
             errors.pop(name, None)  # a later repeat succeeded
             print(f"# {name}: {timings[name]}s (min of {len(samples)})", file=sys.stderr)
 
+    # Streaming machinery floor legs (r13 verdict #5): the slowest
+    # bench queries are all availableNow streaming queries whose cost
+    # is floor(micro-batch machinery) + work, and the floor drifts
+    # 7-18% with host load across a day — so every snapshot now times
+    # the three scaffolds the streaming family rides (foreachBatch x4,
+    # stream-stream join sink, stateful x4; tools/streaming_floor.py)
+    # and reports FLOOR-NORMALIZED work ratios below, ending each
+    # round's re-derivation of "is that streaming number real".
+    floors: dict[str, float] = {}
+    # which floor scaffold each streaming query's machinery matches
+    floor_of = {
+        "streaming_foreach_batch_merge": "foreach_noop_4",
+        "streaming_partitioned_merge": "foreach_noop_4",
+        "streaming_heavy_hitters": "foreach_noop_4",
+        "streaming_range_join_errors_clicks": "join_sink",
+        "streaming_outer_range_join": "join_sink",
+        "streaming_full_outer_range_join": "join_sink",
+        "streaming_sessionize_stateful": "stateful_4",
+        "streaming_ewma_per_user": "stateful_4",
+        "streaming_ewma_per_user_tws": "stateful_4",
+    }
+    try:
+        from tools.streaming_floor import (
+            floor_foreach_noop,
+            floor_join_sink,
+            floor_stateful,
+        )
+
+        for fname, ffn in [
+            ("foreach_noop_4", floor_foreach_noop),
+            ("join_sink", floor_join_sink),
+            ("stateful_4", floor_stateful),
+        ]:
+            fsamples = [ffn(spark) for _ in range(repeats)]
+            floors[fname] = round(min(fsamples), 3)
+            print(f"# floor {fname}: {floors[fname]}s", file=sys.stderr)
+    except Exception as exc:
+        print(f"# streaming floor legs failed: {exc}", file=sys.stderr)
+
     # Round-over-round noise adjudication IN the artifact (r12 verdict
     # #4: two runs of identical code spread 179 vs 205 s on this host):
     # compare against the previous committed snapshot, record the
@@ -211,6 +250,30 @@ def main() -> None:
                 "median_ratio": round(median, 4),
                 "outliers_gt_1p5": outliers,
             }
+            # floor-normalized streaming ratios: work = t - floor.
+            # The raw ratio of a floor-bound query mostly measures the
+            # session's machinery floor; the work ratio is the number
+            # that means anything round-over-round.  prev floors exist
+            # from r14 snapshots on; absent (older prev), only this
+            # run's decomposition is reported.
+            if floors:
+                try:
+                    with open(prev_path) as fh:
+                        prev_floors = json.load(fh).get("streaming_floor", {})
+                except Exception:
+                    prev_floors = {}
+                fn_ratios = {}
+                for qn, fl in floor_of.items():
+                    if qn not in timings or fl not in floors:
+                        continue
+                    work = round(max(timings[qn] - floors[fl], 0.0), 3)
+                    entry = {"floor": floors[fl], "work": work}
+                    if qn in prev_q and fl in prev_floors:
+                        prev_work = max(prev_q[qn] - prev_floors[fl], 1e-3)
+                        entry["work_ratio"] = round(work / prev_work, 3)
+                    fn_ratios[qn] = entry
+                if fn_ratios:
+                    ratio_stats["floor_normalized"] = fn_ratios
             if len(flagged) > max_retime:
                 ratio_stats["outliers_not_retimed"] = len(flagged) - max_retime
             print(
@@ -272,6 +335,8 @@ def main() -> None:
         "n_ok": len(timings),
         "n_failed": len(errors),
     }
+    if floors:
+        result["streaming_floor"] = floors
     if ratio_stats:
         result["ratio_stats"] = ratio_stats
     if legs:

@@ -191,6 +191,27 @@ def test_driver_window_spans_operator_families():
         assert must in Q._DRIVER_WINDOW, must
 
 
+def test_coverage_doc_cites_live_registry_count():
+    """COVERAGE.md's cited registry size must equal ``len(queries())``
+    — r13 shipped a mid-round "288/288" that was stale by close (r13
+    verdict #6); the count the doc cites is now guard-tested the same
+    way the driver window is."""
+    import os
+    import re
+
+    from aws_pandas_etl_spark.plans import queries as Q
+
+    cov = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(cov) as fh:
+        text = fh.read()
+    m = re.search(r"all (\d+) registered queries", text)
+    assert m, "COVERAGE.md no longer cites a registry count"
+    assert int(m.group(1)) == len(Q.QUERIES), (
+        f"COVERAGE.md cites {m.group(1)} registered queries but the live "
+        f"registry holds {len(Q.QUERIES)} — update the doc"
+    )
+
+
 # -- S6 secrets_scan (reference secrets_manager_operations.py:10-30) --------
 
 
