@@ -524,6 +524,26 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_sessionize_stream(spark, sf_dir)
 
 
+@register("streaming_sessionize_tws", SESSION_ORACLE)
+def streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` twin of the stateful sessionizer
+    — with the TWS EWMA twin this completes the Spark-4 migration pair
+    for BOTH custom stateful operators the engine ships (the two APIs
+    share one ``_fold_sessions`` replay, so batch, GroupState stream,
+    and TWS stream all verify against the single lag+cumsum oracle).
+    Capability-gated on protobuf with fallback to the GroupState form
+    (identical semantics); RocksDB provider scoped to the run."""
+    from aws_pandas_etl_spark.streaming.ewma_stream import tws_available
+    from aws_pandas_etl_spark.streaming.sessionize import (
+        run_sessionize_stream,
+        run_sessionize_stream_tws,
+    )
+
+    if tws_available():
+        return run_sessionize_stream_tws(spark, sf_dir)
+    return run_sessionize_stream(spark, sf_dir)
+
+
 HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n_events,
@@ -18931,63 +18951,64 @@ def unigram_entropy_effective_vocab(
 # driver-witnessed on its CURRENT semantics.  Every seat is
 # exact-value-green in the local sweep at sf0.001/0.01 before seating.
 _DRIVER_WINDOW = [
-    # r13-born (each takes a seat the round it is born)
-    "ewma_user_value_parallel",
-    "cogroup_view_pressure_preagg",
-    "curate_with_excision",
-    "dsir_importance_weights",
-    "dsir_gumbel_resample",
-    "distinct_ngram_diversity_by_source",
-    "streaming_outer_range_join",
-    "streaming_quarantine_split",
-    "streaming_full_outer_range_join",
-    # reworked this round (sinks layout stamp + one-job batch stats
-    # change the partitioned merge's per-batch plan; the foreachBatch
-    # runner passes layout_spec)
+    # r14-born (each takes a seat the round it is born)
+    "streaming_ewma_per_user_tws",
+    "streaming_sessionize_tws",
+    "attribution_position_based_prefix",
+    # reworked this round (ADVICE/verdict hardening changed their code
+    # paths: merge layout refusal + stamp upgrade, idempotent
+    # quarantine batches, parsed watermark sentinel, key-typed EWMA
+    # schemas, signature-width coupling)
     "streaming_partitioned_merge",
     "streaming_foreach_batch_merge",
-    "ngram_novelty_per_doc",
-    "bigram_logprob_quality",
-    "bm25_topk_docs",
-    "lsh_band_bucket_stats",
-    # stalest-first rotation: the 45 registry entries with the oldest
-    # driver seats (r2-r7 per the CORRECTNESS_r* union; ~39-45
-    # seats/round re-verifies the full registry every ~6 rounds)
-    "nation_supplier_outer",
-    "events_json_struct",
-    "customers_without_urgent_orders",
-    "lineitem_cube",
-    "order_priority_counts",
-    "purchases_errors_full_outer",
-    "topk_similarity_bruteforce",
-    "conversion_funnel_view_click_purchase",
-    "dedup_clusters_minhash",
+    "streaming_quarantine_split",
+    "streaming_outer_range_join",
+    "streaming_full_outer_range_join",
     "ewma_user_value",
-    "exact_dup_spans",
-    "format_roundtrip_events",
-    "grouping_sets_revenue",
-    "incremental_dedup_new_batch",
-    "interpolate_hourly_values",
-    "levenshtein_near_dup_rescore",
-    "ngram_jaccard_pairs",
-    "pmi_bigrams_top20",
-    "q10_returned_items",
-    "q12_priority_line_counts",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q19_disjunctive_filter",
-    "q7_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_clicks_near_errors",
-    "rolling_7d_distinct_users",
-    "scd2_purchase_history",
-    "schema_enforce_lineitem",
-    "session_window_batch",
-    "stratified_sample_by_lang",
-    "streaming_dedup_events",
+    "ewma_user_value_parallel",
+    "streaming_ewma_per_user",
+    "lsh_band_bucket_stats",
+    # stalest-first rotation: the 39 registry entries with the oldest
+    # driver seats (r6-r7 per the CORRECTNESS_r* union; ~39-45
+    # seats/round re-verifies the full registry every ~6 rounds)
+    "value_percentiles_per_event_type",
+    "salted_sum_by_event_type",
+    "sql_interface_revenue",
+    "streaming_session_window_native",
+    "streaming_approx_distinct_linear",
+    "table_diff_snapshots",
+    "top_supplier_per_nation",
+    "urgent_and_low_customers",
+    "unpivot_revenue_metrics",
+    "diversified_top_orders",
+    "order_total_reconciliation",
+    "order_to_ship_delay_stats",
+    "dedup_survivors_minhash",
+    "containment_pairs",
+    "dedup_rate_by_source",
+    "streaming_static_join_enrich",
+    "lang_id_confusion_matrix",
+    "mixed_language_docs",
+    "repetition_quality",
+    "unigram_logprob_quality",
+    "udtf_char_trigrams_top20",
+    "lang_source_chi2",
+    "embedding_class_separation",
+    "embedding_drift_by_label",
+    "embedding_label_centroids",
+    "embedding_quantize_int8",
+    "jl_projection_embeddings",
+    "knn_classify_majority",
+    "knn_graph_cosine",
+    "knn_graph_2hop_reach",
+    "pipeline_partition_overwrite",
+    "weighted_sample_by_value",
+    "sample_to_token_budget",
+    "asof_next_purchase_after_signup",
+    "cohort_weekly_retention",
+    "funnel_latency_quartiles",
+    "rfm_user_segments",
+    "event_rate_anomaly_zscore",
 ]
 
 

@@ -169,33 +169,48 @@ def ewma_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _scoped_rocksdb:
+    """Set/restore the RocksDB state-store provider around a
+    transformWithState run (the API is built on RocksDB column
+    families; the conf is read at query START, so a session-scoped
+    set works for availableNow runs that start and finish inside the
+    scope).  The engine's other stateful queries keep the HDFS-backed
+    default that measured faster at harness state sizes (BASELINE.md
+    r12 A/B)."""
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+    _PROVIDER = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self._KEY, None)
+        self.spark.conf.set(self._KEY, self._PROVIDER)
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self.prev)
+        return False
+
+
 def run_ewma_stream_tws(
     spark: SparkSession, sf_dir: str, timeout_sec: int = 300
 ) -> DataFrame:
     """availableNow execution + fragment compaction, exactly like
-    ``run_ewma_stream``.  transformWithState REQUIRES the RocksDB
-    state-store provider (the API is built on its column families);
-    the conf is scoped to this run and restored after — the engine's
-    other stateful queries keep the HDFS-backed default that measured
-    faster at harness state sizes (BASELINE.md r12 A/B)."""
+    ``run_ewma_stream``; RocksDB provider scoped to the run."""
     from aws_pandas_etl_spark.streaming.events_stream import _run_to_parquet_sink
 
-    conf_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(
-        conf_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _scoped_rocksdb(spark):
         frags = _run_to_parquet_sink(
             spark, ewma_stream_tws(spark, sf_dir), "ewma_tws", timeout_sec
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
     latest = frags.groupBy("user_id").agg(
         F.max(F.struct("n_events", "ewma")).alias("___m")
     )

@@ -156,37 +156,39 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin the seats that must never drift back out of the window
-    # (round-13 rotation: 9 seats for the r13-born queries, 6 re-seats
-    # for queries reworked after their last green row — the sinks
-    # layout-stamp/one-job-stats rework and the pinned-evaluation
-    # explode/tokenize reworks — and 35 stalest driver-green entries,
-    # last seated r2-r6)
+    # (round-14 rotation: 2 seats for the r14-born queries, 9 re-seats
+    # for queries whose code paths the r14 hardening changed — merge
+    # layout refusal/stamp upgrade, idempotent quarantine batches,
+    # parsed watermark sentinel, key-typed EWMA schemas, signature-
+    # width coupling — and 39 stalest driver-green entries, last
+    # seated r6-r7)
     for must in [
-        "ewma_user_value_parallel",      # r13-born (affine EWMA twin)
-        "cogroup_view_pressure_preagg",  # r13-born (pre-agg cogroup twin)
-        "curate_with_excision",          # r13-born (excision curation)
-        "dsir_importance_weights",       # r13-born (DSIR data selection)
-        "dsir_gumbel_resample",          # r13-born (Gumbel top-k resample)
-        "distinct_ngram_diversity_by_source",  # r13-born (distinct-n)
-        "streaming_outer_range_join",    # r13-born (outer interval join)
-        "streaming_quarantine_split",    # r13-born (dead-letter split)
-        "streaming_full_outer_range_join",  # r13-born (join-matrix completer)
-        "streaming_partitioned_merge",   # reworked (layout stamp + 1-job stats)
-        "streaming_foreach_batch_merge", # reworked (runner layout_spec)
-        "ngram_novelty_per_doc",         # reworked (pinned shingle pass)
-        "bigram_logprob_quality",        # reworked (pinned bigram explode)
-        "bm25_topk_docs",                # reworked (pinned tokenize)
-        "lsh_band_bucket_stats",         # reworked (rides shingle artifact)
-        "ewma_user_value",               # stalest (r6) + the twin's serial half
-        "nation_supplier_outer",         # stalest overall (r2)
-        "events_json_struct",            # stalest (r4)
-        "lineitem_cube",                 # TPC-H/grouping-sets rep (r5)
-        "topk_similarity_bruteforce",    # ANN family stalest rep (r5)
-        "dedup_clusters_minhash",        # dedup family stalest rep (r6)
-        "streaming_dedup_events",        # streaming family stalest rep (r6)
-        "stratified_sample_by_lang",     # sampling family stalest rep (r6)
-        "scd2_purchase_history",         # behavioral family stalest rep (r6)
-        "interpolate_hourly_values",     # timeseries family stalest rep (r6)
+        "streaming_ewma_per_user_tws",   # r14-born (TWS EWMA twin)
+        "streaming_sessionize_tws",      # r14-born (TWS sessionizer twin)
+        "attribution_position_based_prefix",  # r14-born (prefix attribution)
+        "streaming_partitioned_merge",   # reworked (unstamped-target refusal)
+        "streaming_foreach_batch_merge", # reworked (same merge path)
+        "streaming_quarantine_split",    # reworked (idempotent batch dirs)
+        "streaming_outer_range_join",    # reworked (parsed watermark sentinel)
+        "streaming_full_outer_range_join",  # reworked (same sentinel path)
+        "ewma_user_value",               # reworked (key-typed schema)
+        "ewma_user_value_parallel",      # reworked (key-typed partials)
+        "streaming_ewma_per_user",       # reworked (shares the serial scan)
+        "lsh_band_bucket_stats",         # reworked (signature width coupling)
+        "salted_sum_by_event_type",      # stalest (r6), skew-salted agg rep
+        "sql_interface_revenue",         # stalest (r6), SQL interface rep
+        "streaming_session_window_native",  # stalest (r6), streaming rep
+        "table_diff_snapshots",          # stalest (r6)
+        "top_supplier_per_nation",       # stalest (r7), TPC-H rep
+        "dedup_survivors_minhash",       # stalest (r7), dedup family rep
+        "lang_id_confusion_matrix",      # stalest (r7), text family rep
+        "embedding_label_centroids",     # stalest (r7), embedding family rep
+        "knn_graph_cosine",              # stalest (r7), ANN/graph family rep
+        "pipeline_partition_overwrite",  # stalest (r7), pipeline family rep
+        "weighted_sample_by_value",      # stalest (r7), sampling family rep
+        "asof_next_purchase_after_signup",  # stalest (r7), temporal join rep
+        "cohort_weekly_retention",       # stalest (r7), behavioral rep
+        "funnel_latency_quartiles",      # stalest (r7) + fresh p=90 row
     ]:
         assert must in Q._DRIVER_WINDOW, must
 

@@ -588,6 +588,36 @@ def test_tws_ewma_twin_gate_and_parity(spark):
     assert tws == old
 
 
+def test_tws_sessionize_twin_gate_and_parity(spark):
+    """The transformWithState sessionizer twin (r14 — completes the
+    Spark-4 migration pair for both custom stateful operators): with
+    protobuf present its availableNow run must equal the
+    applyInPandasWithState sessionizer row-for-row (both run the
+    shared ``_fold_sessions`` replay); without it the gate refuses
+    loudly pre-start."""
+    import pytest
+
+    from aws_pandas_etl_spark.streaming.ewma_stream import tws_available
+    from aws_pandas_etl_spark.streaming.sessionize import (
+        run_sessionize_stream,
+        run_sessionize_stream_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            run_sessionize_stream_tws(spark, sf)
+        return
+    key = lambda df: sorted(
+        (r["user_id"], r["session_no"], r["n_events"],
+         r["session_start"], r["session_end"])
+        for r in df.collect()
+    )
+    assert key(run_sessionize_stream_tws(spark, sf)) == key(
+        run_sessionize_stream(spark, sf)
+    )
+
+
 def test_outer_range_join_null_completions_are_complete(spark):
     """The left-outer interval join must emit (a) every true pair
     exactly once despite the right-side bin explosion, and (b) exactly
