@@ -633,7 +633,12 @@ def _partition_subdirs(fs, jpath) -> list:
     return out
 
 
-def compact_table(spark: SparkSession, path: str, target_file_mb: int = 512) -> tuple[int, int]:
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 512,
+    parallelism: int = 4,
+) -> tuple[int, int]:
     """Small-files compaction: rewrite a parquet target into
     ``ceil(bytes / target_file_mb)`` files.
 
@@ -657,6 +662,14 @@ def compact_table(spark: SparkSession, path: str, target_file_mb: int = 512) -> 
     partition subdirectories is refused loudly: a flat rewrite would
     flatten the partition layout, and no consistent reading of such a
     target exists.  Returns total (files_before, files_after).
+
+    Leaf partitions compact CONCURRENTLY (``parallelism`` driver
+    threads, each submitting independent Spark jobs against the shared
+    scheduler — the standard multi-job pattern): a 100 TB table has
+    thousands of partitions, and one-job-at-a-time leaves the cluster
+    idle between tiny per-partition rewrites.  Each leaf keeps its own
+    crash-safe hidden-sibling swap, so concurrency never widens the
+    blast radius of a failure past that leaf.
     """
     import math
 
@@ -719,12 +732,19 @@ def compact_table(spark: SparkSession, path: str, target_file_mb: int = 512) -> 
         )
     if not part_dirs:
         return _compact_flat(jfinal)
-    total_before = total_after = 0
-    for leaf in _leaf_dirs(jfinal):
-        b, a = _compact_flat(leaf)
-        total_before += b
-        total_after += a
-    return total_before, total_after
+    from concurrent.futures import ThreadPoolExecutor
+
+    leaves = _leaf_dirs(jfinal)
+    workers = max(1, min(parallelism, len(leaves)))
+    if workers == 1:
+        results = [_compact_flat(leaf) for leaf in leaves]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(_compact_flat, leaves))
+    return (
+        sum(b for b, _ in results),
+        sum(a for _, a in results),
+    )
 
 
 def overwrite_partitions_load(
