@@ -221,6 +221,22 @@ def open_events_stream(
       TimestampType (instant-preserving under the UTC session tz);
     - TIMESTAMP with tz: TimestampType schema directly."""
     kind = _probe_ts_type(spark, directory, glob)
+    # pathGlobFilter matches LEAF FILE names: when the glob target is a
+    # DIRECTORY of part files (any distributed writer's output —
+    # events.parquet/ holding part-*.parquet), filtering the parent
+    # listing by "events.parquet" matches ZERO leaf files and the
+    # stream silently processes an EMPTY source (found via a 10x probe
+    # whose streaming numbers came back BELOW the machinery floor).
+    # Resolve the directory case to stream the subdirectory itself.
+    src_dir, path_filter = directory, glob
+    if not any(ch in glob for ch in "*?[]"):
+        jvm = spark.sparkContext._jvm
+        jtarget = jvm.org.apache.hadoop.fs.Path(
+            directory.rstrip("/") + "/" + glob
+        )
+        fs = jtarget.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(jtarget) and fs.getFileStatus(jtarget).isDirectory():
+            src_dir, path_filter = jtarget.toString(), "*.parquet"
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prior = spark.conf.get(key)  # conf has a defined default ("false")
     if kind == "ns":
@@ -231,10 +247,12 @@ def open_events_stream(
     else:
         schema = _events_schema_with_ts(T.TimestampNTZType())
     try:
-        reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", path_filter
+        )
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        stream = reader.parquet(directory)
+        stream = reader.parquet(src_dir)
     finally:
         spark.conf.set(key, prior)
     if kind == "ns":

@@ -139,6 +139,51 @@ def test_batch_and_stream_agree_on_event_instants(spark, tmp_path):
     assert b["mn"].year >= 2020, f"batch reader itself drifted: {b['mn']}"
 
 
+def test_stream_reads_directory_shaped_events_table(spark, tmp_path):
+    """``events.parquet`` as a DIRECTORY of part files — any
+    distributed writer's output, and every scale-probe clone's layout
+    — must stream the same rows as the single-file fixture.  Found
+    live in r14: ``pathGlobFilter`` matches LEAF file names, so
+    filtering the parent listing by "events.parquet" matched zero
+    part files inside the directory and the stream silently processed
+    an EMPTY source (the footer probe handled directories, the source
+    construction did not — streaming probe numbers came back BELOW
+    the machinery floor, which is how it surfaced)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.readers import load_table
+    from aws_pandas_etl_spark.streaming.events_stream import open_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    base = load_table(spark, sf, "events")
+    # directory-shaped twin of the fixture, multiple part files
+    d = str(tmp_path / "dir_sf")
+    base.repartition(3).write.parquet(d + "/events.parquet")
+
+    name = f"dirshape_{uuid.uuid4().hex[:8]}"
+    q = (
+        open_events_stream(spark, d)
+        .select("event_id", "ts")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.table(name)
+    assert got.count() == base.count()  # not an empty source
+    [s] = got.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()
+    [b] = base.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()
+    assert (s["mn"], s["mx"]) == (b["mn"], b["mx"])
+
+
 def test_legacy_int96_timestamps_read_natively(spark, tmp_path):
     """Legacy INT96 timestamps (Spark's own historical default output
     type, still everywhere in old lakes) surface as timestamp[ns] in
