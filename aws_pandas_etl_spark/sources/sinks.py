@@ -593,7 +593,13 @@ def merge_load_partitioned(
             .withColumn(src_col, F.lit(0))
         )
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in str(exc):
+        # absence is benign in two spellings: no path at all, or a
+        # path holding only metadata (the stamp-before-data crash
+        # window below leaves _layout.json with no parquet yet, which
+        # reads as UNABLE_TO_INFER_SCHEMA)
+        if "PATH_NOT_FOUND" not in str(exc) and (
+            "UNABLE_TO_INFER_SCHEMA" not in str(exc)
+        ):
             raise  # same posture as merge_load: only absence is benign
         existing = None
     incoming = df.withColumn(src_col, F.lit(1))
@@ -607,18 +613,22 @@ def merge_load_partitioned(
         .filter(F.col(rn_col) == 1)
         .drop(rn_col, src_col)
     ).localCheckpoint(eager=True)
+    if stamped is None:
+        # first write, explicit adopt_layout migration, or a
+        # declaration-only layout_spec upgrade: pin the layout BEFORE
+        # the data write.  The other order (r13) left a crash window
+        # — data landed, stamp pending — that the unstamped-target
+        # refusal above would turn into a hard error on the retry; a
+        # stamp-without-data crash instead reads back as an empty
+        # existing side (UNABLE_TO_INFER_SCHEMA handled above) and the
+        # retry heals it.
+        _write_layout_marker(spark, path, layout)
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )
-    if stamped is None:
-        # first write, explicit adopt_layout migration, or a
-        # declaration-only layout_spec upgrade: pin the layout AFTER
-        # the data lands so a failed write never leaves a stamp
-        # without data
-        _write_layout_marker(spark, path, layout)
     return merged.count()
 
 

@@ -421,6 +421,47 @@ def test_merge_load_partitioned_refuses_unstamped_target_by_default(
     ) == 1
 
 
+def test_merge_load_partitioned_first_write_crash_retry_heals(
+    spark, tmp_path
+):
+    """The stamp lands BEFORE the first data write, so the two crash
+    points both recover: (a) stamp written, data write crashed —
+    target holds only _layout.json, which must read as an EMPTY
+    existing side (UNABLE_TO_INFER_SCHEMA treated as absence) and the
+    retry merge proceeds; (b) the old r13 order (data before stamp)
+    would instead leave data-without-stamp, which the unstamped-target
+    refusal turns into a hard error on retry — the window this
+    ordering removes."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        merge_load_partitioned,
+        read_layout_marker,
+        stamp_layout,
+    )
+
+    t = str(tmp_path / "t")
+    os.makedirs(t)
+    # simulate crash point (a): stamp present, no data yet
+    stamp_layout(
+        spark, t, keys=["k"], order_col="ver", partition_col="bkt",
+        layout_spec="pmod(k,2)",
+    )
+    b = spark.createDataFrame([Row(k=1, v="a", ver=1)]).withColumn(
+        "bkt", (F.col("k") % 2).cast("int")
+    )
+    assert merge_load_partitioned(
+        b, t, keys=["k"], order_col="ver", partition_col="bkt",
+        layout_spec="pmod(k,2)",
+    ) == 1
+    assert read_layout_marker(spark, t)["layout_spec"] == "pmod(k,2)"
+    got = {r["k"]: r["v"] for r in spark.read.parquet(t).collect()}
+    assert got == {1: "a"}
+
+
 def test_merge_load_partitioned_layout_spec_declaration_upgrade(
     spark, tmp_path
 ):
