@@ -139,6 +139,10 @@ def ewma_last_per_key_parallel(
     corpus would serialize half the work onto one task.
 
     Returns (key_col, n_events, ewma) — same shape as the serial form.
+    NULL keys are out of contract for BOTH forms (the serial scan
+    treats each NULL run as its own key and emits one row per run; the
+    parallel fold would merge them) — callers filter or impute first,
+    as every registered caller does.
     """
     from pyspark import TaskContext
     from pyspark.sql import functions as F
