@@ -271,11 +271,16 @@ def merge_load(
     try:
         existing = spark.read.parquet(path).withColumn(src_col, F.lit(0))
     except AnalysisException as exc:
-        # ONLY a missing target means "first load"; any other read
-        # failure (transient FS error, corrupt footer, permissions)
-        # must propagate — falling through would overwrite the target
-        # with just this batch and silently destroy merged history
-        if "PATH_NOT_FOUND" not in str(exc):
+        # ONLY absence means "first load" — a missing path, or an
+        # existing directory holding no parquet (mkdir'ed target,
+        # metadata-only: UNABLE_TO_INFER_SCHEMA) — there is no history
+        # to destroy in either.  Any other read failure (transient FS
+        # error, corrupt footer, permissions) must propagate: falling
+        # through would overwrite the target with just this batch and
+        # silently destroy merged history
+        if "PATH_NOT_FOUND" not in str(exc) and (
+            "UNABLE_TO_INFER_SCHEMA" not in str(exc)
+        ):
             raise
         existing = None
     incoming = df.withColumn(src_col, F.lit(1))
