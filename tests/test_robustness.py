@@ -590,3 +590,86 @@ def test_sliding_range_sum_rejects_float_accumulation(spark):
     )
     with _pytest.raises(TypeError, match="order-independent"):
         sliding_range_sum(df, "k", "t", "v", 1000)
+
+
+def test_attribution_prefix_twin_constructed_boundary_ties(spark, tmp_path):
+    """The prefix-decomposed attribution twin must equal the pair-join
+    form on CONSTRUCTED window-boundary ties the harness fixtures never
+    exercise (microsecond timestamps make exact ties vanishingly rare;
+    r6's constructed-rounding-tie bugs motivate pinning these):
+
+    - a touch exactly AT the purchase ts (inclusive right edge),
+    - a touch exactly at pts - 7 DAYS (inclusive left edge) and one
+      1 microsecond outside it,
+    - degenerate counts cnt=1 / cnt=2 (same and different channels),
+    - a purchase with zero in-window touches (must drop),
+    - two purchases of one user with overlapping windows sharing
+      touches,
+    - equal-ts touches disambiguated by event_id (first/last tiebreak).
+    """
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from aws_pandas_etl_spark.plans import queries as Q
+
+    T0 = dt.datetime(2024, 6, 15, 12, 0, 0)
+    D7 = dt.timedelta(days=7)
+    us = dt.timedelta(microseconds=1)
+
+    def ev(eid, uid, typ, ts):
+        return Row(
+            event_id=eid, ts=ts, user_id=uid, event_type=typ,
+            value=float(eid), props="{}",
+        )
+
+    rows = [
+        # user 1: edges + tiebreak.  purchase at T0
+        ev(100, 1, "purchase", T0),
+        ev(1, 1, "view", T0),            # exactly AT pts -> in (<=)
+        ev(2, 1, "click", T0 - D7),      # exactly at pts-7d -> in (>=)
+        ev(3, 1, "view", T0 - D7 - us),  # 1us outside -> out
+        ev(4, 1, "click", T0 - dt.timedelta(days=1)),
+        ev(5, 1, "view", T0 - dt.timedelta(days=1)),  # same-ts pair as 4?
+        # equal-ts pair: touches 6 and 7 share a ts; event_id breaks ties
+        ev(6, 1, "view", T0 - dt.timedelta(days=2)),
+        ev(7, 1, "click", T0 - dt.timedelta(days=2)),
+        # user 2: cnt=1
+        ev(200, 2, "purchase", T0),
+        ev(8, 2, "click", T0 - dt.timedelta(hours=1)),
+        # user 3: cnt=2 same channel
+        ev(300, 3, "purchase", T0),
+        ev(9, 3, "view", T0 - dt.timedelta(hours=2)),
+        ev(10, 3, "view", T0 - dt.timedelta(hours=1)),
+        # user 4: cnt=2 different channels
+        ev(400, 4, "purchase", T0),
+        ev(11, 4, "view", T0 - dt.timedelta(hours=2)),
+        ev(12, 4, "click", T0 - dt.timedelta(hours=1)),
+        # user 5: zero in-window touches (one far outside)
+        ev(500, 5, "purchase", T0),
+        ev(13, 5, "view", T0 - dt.timedelta(days=30)),
+        # user 6: two purchases, overlapping windows share touches
+        ev(600, 6, "purchase", T0),
+        ev(601, 6, "purchase", T0 + dt.timedelta(days=3)),
+        ev(14, 6, "view", T0 - dt.timedelta(days=1)),
+        ev(15, 6, "click", T0 + dt.timedelta(days=1)),
+        ev(16, 6, "view", T0 + dt.timedelta(days=2)),
+    ]
+    d = str(tmp_path / "sf_ties")
+    spark.createDataFrame(rows).write.parquet(d + "/events.parquet")
+
+    pair = {
+        r["channel"]: (r["n_touches"], r["total_credit"])
+        for r in Q.QUERIES["attribution_position_based"](spark, d).collect()
+    }
+    pref = {
+        r["channel"]: (r["n_touches"], r["total_credit"])
+        for r in Q.QUERIES["attribution_position_based_prefix"](
+            spark, d
+        ).collect()
+    }
+    assert pair == pref, (pair, pref)
+    # the edge rows really participated: user 1 contributes 6 in-window
+    # pairs (touch 3 excluded); user 6's second purchase sees all three
+    # touches (its window spans T0-4d..T0+3d), the first only touch 14
+    assert sum(n for n, _ in pair.values()) == 6 + 1 + 2 + 2 + 0 + (1 + 3)
