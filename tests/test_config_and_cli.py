@@ -212,6 +212,14 @@ def test_coverage_doc_cites_live_registry_count():
         f"COVERAGE.md cites {m.group(1)} registered queries but the live "
         f"registry holds {len(Q.QUERIES)} — update the doc"
     )
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as fh:
+        rm = re.search(r"the registry: (\d+) queries", fh.read())
+    assert rm, "README.md no longer cites the registry count"
+    assert int(rm.group(1)) == len(Q.QUERIES), (
+        f"README.md cites {rm.group(1)} queries; registry holds "
+        f"{len(Q.QUERIES)}"
+    )
 
 
 # -- S6 secrets_scan (reference secrets_manager_operations.py:10-30) --------
