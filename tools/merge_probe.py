@@ -41,6 +41,7 @@ from aws_pandas_etl_spark.sources.readers import load_table  # noqa: E402
 from aws_pandas_etl_spark.sources.sinks import (  # noqa: E402
     merge_load,
     merge_load_partitioned,
+    stamp_layout,
 )
 
 STRIDE = 10**9
@@ -99,6 +100,13 @@ def main() -> None:
     ev.withColumn("bkt", bkt).write.mode("overwrite").partitionBy(
         "bkt"
     ).parquet(part)
+    # the partitioned target was seeded by a plain writer, so it has no
+    # _layout.json — stamp it explicitly (r14: data-bearing unstamped
+    # targets REFUSE by default; this is the documented migration path)
+    stamp_layout(
+        spark, part, keys=KEYS, order_col="ts", partition_col="bkt",
+        layout_spec=f"pmod(user_id,{nb})",
+    )
     seed_sec = round(time.monotonic() - t0, 2)
     n_rows = spark.read.parquet(flat).count()
     print(f"# seeded {n_rows} rows x2 targets in {seed_sec}s", file=sys.stderr)
@@ -152,6 +160,7 @@ def main() -> None:
             order_col="ts",
             partition_col="bkt",
             tiebreak_col="event_id",
+            layout_spec=f"pmod(user_id,{nb})",
         )
         part_sec = round(time.monotonic() - t0, 2)
 
