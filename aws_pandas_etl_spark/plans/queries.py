@@ -12849,6 +12849,15 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nb"),
         )
     )
+    return _psi_from_cells(g)
+
+
+def _psi_from_cells(g: DataFrame) -> DataFrame:
+    """PSI projection over a (event_type, bin, na, nb) cell table —
+    shared by the batch query and the streaming drift monitor so both
+    compute the IDENTICAL statistic (same Laplace smoothing, same
+    per-bin decimal rounding, one oracle).  Windows run over the
+    bounded cell table only."""
     wall = Window.partitionBy("event_type")
     sh = g.select(
         "event_type",
@@ -12874,6 +12883,28 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("h").cast("double"), 6).alias("psi"))
         .orderBy("event_type")
     )
+
+
+@register("streaming_psi_value_drift", PSI_ORACLE)
+def streaming_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of psi_value_drift — the drift monitor as it
+    runs in production: the reference histogram (first temporal half)
+    is a bounded |types| x |bins| table computed once; the live stream
+    (second half, delivered here in 3 REAL micro-batches) accumulates
+    its (type, bin) counts in a streaming aggregate whose state is
+    bounded by the bin grid forever (no watermark needed — the
+    linear-counting posture).  The PSI projection over the joined
+    cells is the SAME code as the batch query (`_psi_from_cells`), so
+    the monitor's final state equals the batch statistic exactly and
+    both share one oracle.  At 100 TB: per-batch map-side-combined
+    count to a grid-bounded state, complete-mode rewrite of that
+    bounded table only."""
+    from aws_pandas_etl_spark.streaming.events_stream import (
+        run_streaming_psi_drift,
+    )
+
+    cells = run_streaming_psi_drift(spark, sf_dir, bin_width=PSI_BIN)
+    return _psi_from_cells(cells)
 
 
 ZIPF_TOP = 500
@@ -18955,6 +18986,7 @@ _DRIVER_WINDOW = [
     "streaming_ewma_per_user_tws",
     "streaming_sessionize_tws",
     "attribution_position_based_prefix",
+    "streaming_psi_value_drift",
     # reworked this round (ADVICE/verdict hardening changed their code
     # paths: merge layout refusal + stamp upgrade, idempotent
     # quarantine batches, parsed watermark sentinel, key-typed EWMA
@@ -19008,7 +19040,6 @@ _DRIVER_WINDOW = [
     "cohort_weekly_retention",
     "funnel_latency_quartiles",
     "rfm_user_segments",
-    "event_rate_anomaly_zscore",
 ]
 
 

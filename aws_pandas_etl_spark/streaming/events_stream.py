@@ -661,6 +661,76 @@ def run_streaming_linear_count(
     return occ.select("event_type", "occupied", est.alias("est_distinct"))
 
 
+def run_streaming_psi_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    bin_width: float = 10.0,
+    timeout_sec: int = 300,
+    n_splits: int = 3,
+) -> DataFrame:
+    """Streaming population-stability drift monitor: the REFERENCE
+    histogram (each type's first temporal half, a bounded
+    |types| x |bins| table) is computed batch-side; the CURRENT stream
+    (the second half, delivered in ``n_splits`` real micro-batches)
+    accumulates its (type, bin) counts in a streaming aggregate whose
+    state is bounded by the bin grid FOREVER — no watermark needed,
+    same bounded-by-construction posture as the linear-counting
+    sketch.  Returns the joined cell table (event_type, bin, na, nb);
+    the PSI projection over it is batch math shared with the batch
+    query, so the streaming monitor's final state equals the batch
+    statistic EXACTLY (one oracle covers both).
+
+    Scale shape: per micro-batch one map-side-combined count to at
+    most |types| x |bins| cells; the complete-mode sink rewrites only
+    that bounded table; reference join is a full outer over the same
+    bounded grid (bins seen by only one half surface with a zero)."""
+    from aws_pandas_etl_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "event_type",
+        F.floor(F.col("value") / bin_width).cast("bigint").alias("bin"),
+        F.unix_micros("ts").alias("t"),
+        "ts",
+        "event_id",
+    )
+    bounds = u.groupBy("event_type").agg(
+        F.expr("(MIN(t) + MAX(t)) DIV 2").alias("mid")
+    )
+    with_mid = u.join(F.broadcast(bounds), "event_type")
+    ref = (
+        with_mid.filter(F.col("t") < F.col("mid"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("bigint").alias("na"))
+        .localCheckpoint(eager=True)  # bounded; pin one evaluation
+    )
+    second = with_mid.filter(F.col("t") >= F.col("mid")).select(
+        "event_type", "bin", "ts", "event_id"
+    )
+
+    name = f"psidrift_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), name)
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    _write_ordered_splits(second, ["ts", "event_id"], n_splits, base, src_dir)
+    stream = (
+        spark.readStream.schema(second.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    counts = stream.groupBy("event_type", "bin").agg(
+        F.count("*").cast("bigint").alias("nb")
+    )
+    back = _run_to_memory_sink(spark, counts, "complete", "psidrift", timeout_sec)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return ref.join(back, ["event_type", "bin"], "full_outer").select(
+        "event_type",
+        "bin",
+        F.coalesce(F.col("na"), F.lit(0)).cast("bigint").alias("na"),
+        F.coalesce(F.col("nb"), F.lit(0)).cast("bigint").alias("nb"),
+    )
+
+
 def run_session_window_agg(
     spark: SparkSession,
     sf_dir: str,

@@ -166,6 +166,7 @@ def test_driver_window_spans_operator_families():
         "streaming_ewma_per_user_tws",   # r14-born (TWS EWMA twin)
         "streaming_sessionize_tws",      # r14-born (TWS sessionizer twin)
         "attribution_position_based_prefix",  # r14-born (prefix attribution)
+        "streaming_psi_value_drift",     # r14-born (streaming drift monitor)
         "streaming_partitioned_merge",   # reworked (unstamped-target refusal)
         "streaming_foreach_batch_merge", # reworked (same merge path)
         "streaming_quarantine_split",    # reworked (idempotent batch dirs)
