@@ -18,6 +18,56 @@ from pyspark.sql import DataFrame, SparkSession
 # Reference chunk size: 1M rows per parquet file (rdbms_operations.py:227).
 ROWS_PER_FILE = 1_000_000
 
+# Compaction in-progress marker (underscore prefix: hidden from Spark's
+# file listing, like _SUCCESS / _layout.json).  compact_table creates it
+# before scanning and removes it only on SUCCESS; every incremental
+# writer checks it and refuses loudly, which excludes the
+# scan-vs-late-append race (a batch landing between compaction's
+# snapshot and its keep-aside swap would otherwise be deleted with the
+# old directory — silent row loss).  A marker left behind by a CRASHED
+# compaction keeps writers refusing (the safe direction) until the
+# operator inspects the target and calls clear_compaction_marker().
+_COMPACTING_MARKER = "_COMPACTING"
+
+
+def _compacting_marker_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/" + _COMPACTING_MARKER
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def compaction_in_progress(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` carries compact_table's in-progress marker."""
+    fs, jpath = _compacting_marker_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def clear_compaction_marker(spark: SparkSession, path: str) -> bool:
+    """Remove a stale ``_COMPACTING`` marker left by a crashed
+    compaction — the explicit operator action after inspecting the
+    target (compact_table's keep-aside swap means every crash point
+    leaves a complete copy: either the live dir or the hidden
+    ``._compact_old`` sibling).  Returns whether a marker existed."""
+    fs, jpath = _compacting_marker_path(spark, path)
+    return bool(fs.delete(jpath, False))
+
+
+def _refuse_if_compacting(spark: SparkSession, path: str) -> None:
+    """Single-writer guard: incremental writers refuse while a
+    compaction holds the target (one FS exists() RPC, ~ms).  Without
+    this, rows appended between compact_table's snapshot and its
+    directory swap are silently deleted with the superseded copy."""
+    if compaction_in_progress(spark, path):
+        raise IOError(
+            f"target {path!r} is being compacted (found "
+            f"{_COMPACTING_MARKER!r} marker): writers must wait for "
+            f"compact_table to finish; if the compaction crashed, "
+            f"inspect the target and call clear_compaction_marker()"
+        )
+
 
 def landing_path(base: str, table: str, ts: _dt.datetime | None = None) -> str:
     """Reference key layout ``{prefix}{table}/{Y/m/d/H}/`` (main.py:52-57)."""
@@ -67,6 +117,7 @@ def append_load(df: DataFrame, path: str) -> int:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    _refuse_if_compacting(df.sparkSession, path)
     obs = Observation()
     write_parquet_sink(
         df.observe(obs, F.count(F.lit(1)).alias("n")), path, mode="append"
@@ -216,6 +267,7 @@ def delete_load(spark: SparkSession, path: str, keys_df: DataFrame, keys: list[s
     the rewrite cost is the price of immutable files, amortized by
     batching requests — production on Delta/Iceberg swaps the publish
     for DELETE WHERE with the identical anti-join plan."""
+    _refuse_if_compacting(spark, path)
     swap = _SwapTarget(spark, path)
     swap.recover()
     existing = spark.read.parquet(path)  # missing target must raise
@@ -258,6 +310,7 @@ def merge_load(
     from pyspark.errors import AnalysisException
 
     spark = df.sparkSession
+    _refuse_if_compacting(spark, path)
     swap = _SwapTarget(spark, path)
     swap.recover()
     # helper columns must not collide with user columns — pick names
@@ -478,6 +531,7 @@ def merge_load_partitioned(
     from pyspark.errors import AnalysisException
 
     spark = df.sparkSession
+    _refuse_if_compacting(spark, path)
     # layout stamp: refuse a target whose recorded key→partition layout
     # differs from this call's — the silent-resurrection mode the
     # per-batch guard's induction can't see (see docstring).
@@ -648,14 +702,42 @@ def _partition_subdirs(fs, jpath) -> list:
     return out
 
 
+def _batch_subdirs(fs, jpath) -> list:
+    """``batch-<id>`` child directories of ``jpath`` — the marker of an
+    ``idempotent_append_load`` (batched) target."""
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch-"):
+            out.append(st.getPath())
+    return out
+
+
+def _compact_side_paths(path: str) -> tuple[str, str]:
+    """Dot-prefixed tmp/old siblings for the batched-target compaction
+    swap (distinct from ``_merge_side_paths`` so a compaction crash
+    can never be confused with a merge crash during recovery)."""
+    base = path.rstrip("/")
+    head, _, tail = base.rpartition("/")
+    prefix = f"{head}/" if head else ""
+    return f"{prefix}.{tail}._compact_tmp", f"{prefix}.{tail}._compact_old"
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
     target_file_mb: int = 512,
     parallelism: int = 4,
+    _after_snapshot=None,
 ) -> tuple[int, int]:
     """Small-files compaction: rewrite a parquet target into
     ``ceil(bytes / target_file_mb)`` files.
+
+    (``_after_snapshot`` is a test-only seam: called once right after
+    each swap's snapshot listing so tests can deterministically land an
+    in-flight write in the snapshot-to-swap window and verify the
+    stray rescue — the race itself is excluded for real writers by the
+    marker, and cannot be staged reliably with threads.)
 
     Every incremental pattern (append_load batches, streaming sinks,
     dynamic partition re-loads) accretes small files, and at 100 TB
@@ -685,6 +767,32 @@ def compact_table(
     idle between tiny per-partition rewrites.  Each leaf keeps its own
     crash-safe hidden-sibling swap, so concurrency never widens the
     blast radius of a failure past that leaf.
+
+    BATCHED targets (``idempotent_append_load``'s ``batch-<id>``
+    subdirectories) are compacted manifest-aware: the snapshot batch
+    dirs merge into one size-targeted ``batch-compacted-<uuid>`` dir,
+    and every superseded batch id keeps a TOMBSTONE directory (holding
+    a durable ``_compacted_into_*`` marker file — empty dirs don't
+    survive object stores), so redelivery of a compacted batch id is
+    STILL a no-op: the idempotence contract survives compaction.
+    Earlier versions silently reported a batched target "already
+    compact" (0, 0) — batch dirs carry no ``=`` so the partition walk
+    skipped them and the top-level ``part-*`` glob saw nothing.
+
+    WRITER EXCLUSION: the whole call holds a ``_COMPACTING`` marker at
+    the target root that every incremental writer (append_load,
+    idempotent_append_load, merge_load, merge_load_partitioned,
+    delete_load, overwrite_partitions_load) checks and refuses on —
+    without it, rows landing between this call's snapshot and its
+    directory swap would be deleted with the superseded copy.  As
+    defense in depth each swap also reads its SNAPSHOT file list
+    explicitly (never the directory) and, after the swap, RESCUES any
+    stray file/batch-dir that an already-in-flight writer landed after
+    the snapshot by moving it into the new copy.  The marker is
+    removed only on success; after a crash it keeps writers refusing
+    (the safe direction) until the operator inspects the target and
+    calls ``clear_compaction_marker`` — re-running compact_table then
+    restores any kept-aside copy before proceeding.
     """
     import math
 
@@ -692,24 +800,54 @@ def compact_table(
     jfinal = jvm.org.apache.hadoop.fs.Path(path)
     fs = jfinal.getFileSystem(spark._jsc.hadoopConfiguration())
 
-    def _data_files(p) -> int:
-        # count part-files only (not _SUCCESS / hidden)
-        hits = fs.globStatus(jvm.org.apache.hadoop.fs.Path(p.toString() + "/part-*"))
-        return 0 if hits is None else len(hits)
+    def _jpath(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    # recovery from a previous compaction that died between its two
+    # top-level renames: live dir missing, keep-aside complete — restore
+    # before any listing (leaf-level crashes recover inside _compact_flat)
+    for side_tmp, side_old in (_merge_side_paths(path), _compact_side_paths(path)):
+        jold_prev = _jpath(side_old)
+        if not fs.exists(jfinal) and fs.exists(jold_prev):
+            if not fs.rename(jold_prev, jfinal):
+                raise IOError(
+                    f"compact_table: crash recovery {side_old} -> {path} failed"
+                )
+        fs.delete(_jpath(side_tmp), True)  # leftover tmp from a dead run
+
+    if not fs.exists(jfinal):
+        raise IOError(f"compact_table: target {path!r} does not exist")
+
+    def _part_files(p) -> list:
+        # FileStatus of part-files only (not _SUCCESS / hidden)
+        hits = fs.globStatus(_jpath(p.toString() + "/part-*"))
+        return [] if hits is None else list(hits)
+
+    def _n_out(total_bytes: int) -> int:
+        return max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
 
     def _compact_flat(jdir) -> tuple[int, int]:
         dir_path = jdir.toString()
-        summary = fs.getContentSummary(jdir)
-        files_before = _data_files(jdir)
-        n_out = max(
-            1, math.ceil(summary.getLength() / (target_file_mb * 1024 * 1024))
-        )
+        tmp_path, old_path = _merge_side_paths(dir_path)
+        jtmp, jold = _jpath(tmp_path), _jpath(old_path)
+        if not fs.exists(jdir) and fs.exists(jold):  # leaf crash recovery
+            if not fs.rename(jold, jdir):
+                raise IOError(
+                    f"compact_table: crash recovery {old_path} -> {dir_path} failed"
+                )
+        snapshot = _part_files(jdir)
+        if _after_snapshot is not None:
+            _after_snapshot()
+        files_before = len(snapshot)
+        n_out = _n_out(sum(st.getLen() for st in snapshot))
         if files_before <= n_out:
             return files_before, files_before  # already compact: no rewrite
-        df = spark.read.parquet(dir_path).repartition(n_out)
-        tmp_path, old_path = _merge_side_paths(dir_path)
-        jtmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
-        jold = jvm.org.apache.hadoop.fs.Path(old_path)
+        # read the SNAPSHOT explicitly, not the directory: a file landing
+        # after this listing is never double-read, so the stray rescue
+        # below can move it into the new copy without duplicating rows
+        df = spark.read.parquet(
+            *[st.getPath().toString() for st in snapshot]
+        ).repartition(n_out)
         fs.delete(jtmp, True)
         df.write.mode("overwrite").parquet(tmp_path)
         fs.delete(jold, True)
@@ -721,8 +859,74 @@ def compact_table(
             raise IOError(
                 f"compact_table: rename {tmp_path} -> {dir_path} failed"
             )
+        # stray rescue: an append already in flight when the marker
+        # appeared may have landed files after the snapshot; they rode
+        # aside with the old copy — move them in instead of deleting
+        snap_names = {st.getPath().getName() for st in snapshot}
+        for st in _part_files(jold):
+            name = st.getPath().getName()
+            if name not in snap_names:
+                if not fs.rename(st.getPath(), _jpath(dir_path + "/" + name)):
+                    raise IOError(
+                        f"compact_table: stray rescue of {name} into "
+                        f"{dir_path} failed"
+                    )
         fs.delete(jold, True)
-        return files_before, _data_files(jdir)
+        return files_before, len(_part_files(jdir))
+
+    def _compact_batched(batch_dirs) -> tuple[int, int]:
+        import uuid as _uuid
+
+        snap = {d.getName(): _part_files(d) for d in batch_dirs}
+        if _after_snapshot is not None:
+            _after_snapshot()
+        files_before = sum(len(v) for v in snap.values())
+        n_out = _n_out(sum(st.getLen() for v in snap.values() for st in v))
+        if files_before <= n_out:
+            return files_before, files_before
+        compact_name = f"batch-compacted-{_uuid.uuid4().hex[:12]}"
+        tmp_path, old_path = _compact_side_paths(path)
+        jtmp, jold = _jpath(tmp_path), _jpath(old_path)
+        fs.delete(jtmp, True)
+        merged = spark.read.parquet(
+            *[st.getPath().toString() for v in snap.values() for st in v]
+        ).repartition(n_out)
+        merged.write.mode("overwrite").parquet(tmp_path + "/" + compact_name)
+        # tombstones: every superseded batch id keeps its directory so
+        # idempotent_append_load's exists() check still sees it applied
+        for name in snap:
+            fs.mkdirs(_jpath(tmp_path + "/" + name))
+            fs.create(
+                _jpath(f"{tmp_path}/{name}/_compacted_into_{compact_name}"),
+                True,
+            ).close()
+        fs.delete(jold, True)
+        if not fs.rename(jfinal, jold):
+            raise IOError(
+                f"compact_table: keep-aside {path} -> {old_path} failed"
+            )
+        if not fs.rename(jtmp, jfinal):
+            raise IOError(
+                f"compact_table: rename {tmp_path} -> {path} failed"
+            )
+        # stray rescue: a batch dir published after the snapshot by an
+        # in-flight writer rode aside with the old copy — move it in
+        base = path.rstrip("/")
+        for st in fs.listStatus(jold):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch-")
+                and name not in snap
+            ):
+                if not fs.rename(st.getPath(), _jpath(base + "/" + name)):
+                    raise IOError(
+                        f"compact_table: stray rescue of batch dir {name} "
+                        f"into {path} failed"
+                    )
+        fs.delete(jold, True)
+        after = fs.globStatus(_jpath(base + "/batch-*/part-*"))
+        return files_before, 0 if after is None else len(after)
 
     def _leaf_dirs(jdir) -> list:
         # multi-level partitioning: descend until a dir has no
@@ -735,18 +939,38 @@ def compact_table(
             leaves.extend(_leaf_dirs(s))
         return leaves
 
+    def _done(result: tuple[int, int]) -> tuple[int, int]:
+        fs.delete(jmarker, False)  # success: release the writer guard
+        return result
+
     part_dirs = _partition_subdirs(fs, jfinal)
-    top_files = _data_files(jfinal)
-    if part_dirs and top_files:
+    batch_dirs = _batch_subdirs(fs, jfinal)
+    top_files = len(_part_files(jfinal))
+    kinds = {
+        "top-level part-files": top_files,
+        "col=value partition subdirectories": len(part_dirs),
+        "batch-<id> subdirectories": len(batch_dirs),
+    }
+    present = [k for k, v in kinds.items() if v]
+    if len(present) > 1:
         raise ValueError(
-            f"compact_table: target {path!r} mixes {top_files} top-level "
-            f"part-files with {len(part_dirs)} partition subdirectories — "
-            f"a flat rewrite would destroy the partition layout and a "
-            f"per-partition one would orphan the flat files; repair the "
-            f"target layout first"
+            f"compact_table: target {path!r} mixes "
+            + " with ".join(f"{kinds[k]} {k}" for k in present)
+            + " — no single rewrite preserves both layouts; repair the "
+            "target layout first"
         )
+    _, jmarker = _compacting_marker_path(spark, path)
+    if fs.exists(jmarker):
+        raise IOError(
+            f"compact_table: target {path!r} already carries "
+            f"{_COMPACTING_MARKER!r} (another compaction live, or a "
+            f"crashed one) — inspect and clear_compaction_marker() first"
+        )
+    fs.create(jmarker, False).close()  # no-overwrite: loses races loudly
+    if batch_dirs:
+        return _done(_compact_batched(batch_dirs))
     if not part_dirs:
-        return _compact_flat(jfinal)
+        return _done(_compact_flat(jfinal))
     from concurrent.futures import ThreadPoolExecutor
 
     leaves = _leaf_dirs(jfinal)
@@ -756,9 +980,11 @@ def compact_table(
     else:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             results = list(pool.map(_compact_flat, leaves))
-    return (
-        sum(b for b, _ in results),
-        sum(a for _, a in results),
+    return _done(
+        (
+            sum(b for b, _ in results),
+            sum(a for _, a in results),
+        )
     )
 
 
@@ -779,6 +1005,7 @@ def overwrite_partitions_load(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    _refuse_if_compacting(df.sparkSession, path)
     obs = Observation()
     (
         df.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -807,6 +1034,7 @@ def idempotent_append_load(df: DataFrame, path: str, batch_id: str) -> tuple[int
     import uuid as _uuid
 
     spark = df.sparkSession
+    _refuse_if_compacting(spark, path)
     jvm = spark._jvm
     dest = path.rstrip("/") + f"/batch-{batch_id}"
     jdest = jvm.org.apache.hadoop.fs.Path(dest)
