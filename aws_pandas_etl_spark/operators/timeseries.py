@@ -444,3 +444,73 @@ def sliding_range_sum(
         F.col(key_col).eqNullSafe(F.col("_k"))
         & F.col(ts_us_col).eqNullSafe(F.col("_t")),
     ).drop("_k", "_t")
+
+
+PSI_NBINS = 20
+
+
+def psi_clamped_bins(ev: DataFrame, nbins: int = PSI_NBINS) -> DataFrame:
+    """Clamped drift-monitor binning, shared by the batch PSI query,
+    the streaming PSI monitor, and (textually) their DuckDB oracle:
+    per event type, ``nbins`` equal-width bins derived from the
+    REFERENCE half's [min, max] value range, plus an underflow bin
+    (-1) and an overflow bin (``nbins``).
+
+    The clamp is what makes the streaming monitor's state bounded BY
+    CONSTRUCTION: the old ``floor(value / width)`` binning minted a new
+    (type, bin) state row per distinct bin, so a corrupt or adversarial
+    value stream grew the state grid without limit; here every value —
+    including NaN-free garbage like 1e308 — lands in one of
+    ``|types| x (nbins + 2)`` cells forever.  Out-of-range drift stays
+    visible (it piles into the overflow/underflow cells, which is
+    exactly what a population-stability monitor should report for
+    values the reference never saw).
+
+    Reference bounds come from each type's first temporal half
+    (midpoint of [min ts, max ts], same rule as the halves split); a
+    type with an empty reference half maps everything to overflow.
+    Binning arithmetic is plain double ops in source order
+    ``floor((value - vmin) * nbins / (vmax - vmin))`` so Spark and
+    DuckDB agree bit-for-bit; values at/beyond vmax take the overflow
+    bin, and the LEAST guard pins last-ulp rounding at vmax-epsilon to
+    the top regular bin.
+
+    Returns (event_type, bin, t, mid, ts, event_id) — one row per
+    event, ``t < mid`` marking the reference half.
+
+    Scale shape: two |types|-row broadcast joins (temporal midpoints,
+    reference ranges) over one linear scan; nothing shuffles on data
+    volume."""
+    from pyspark.sql import functions as F
+
+    u = ev.select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        "ts",
+        "event_id",
+    )
+    bounds = u.groupBy("event_type").agg(
+        F.expr("(MIN(t) + MAX(t)) DIV 2").alias("mid")
+    )
+    w = u.join(F.broadcast(bounds), "event_type")
+    refb = (
+        w.filter(F.col("t") < F.col("mid"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    )
+    wb = w.join(F.broadcast(refb), "event_type", "left")
+    raw = F.floor(
+        (F.col("value") - F.col("vmin"))
+        * F.lit(float(nbins))
+        / (F.col("vmax") - F.col("vmin"))
+    )
+    bin_ = (
+        F.when(F.col("vmin").isNull(), F.lit(nbins))
+        .when(F.col("value") < F.col("vmin"), F.lit(-1))
+        .when(F.col("value") >= F.col("vmax"), F.lit(nbins))
+        .otherwise(F.least(raw, F.lit(nbins - 1)))
+    ).cast("bigint")
+    return wb.select(
+        "event_type", bin_.alias("bin"), "t", "mid", "ts", "event_id"
+    )

@@ -12775,22 +12775,39 @@ def ks_drift_split_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-PSI_BIN = 10.0
+PSI_GRID_BINS = 20  # + underflow(-1) + overflow(20): state = |types| x 22
 
 PSI_ORACLE = f"""
 WITH u AS (
-  SELECT event_type, CAST(floor(value / {PSI_BIN}) AS BIGINT) AS bin,
-         epoch_us(ts) AS t
+  SELECT event_type, value, epoch_us(ts) AS t
   FROM events
 ), bounds AS (
   SELECT event_type, (MIN(t) + MAX(t)) // 2 AS mid
   FROM u GROUP BY event_type
-), g AS (
-  SELECT u.event_type, u.bin,
-         CAST(SUM(CASE WHEN u.t < b.mid THEN 1 ELSE 0 END) AS BIGINT) AS na,
-         CAST(SUM(CASE WHEN u.t < b.mid THEN 0 ELSE 1 END) AS BIGINT) AS nb
+), refb AS (
+  SELECT u.event_type, MIN(u.value) AS vmin, MAX(u.value) AS vmax
   FROM u JOIN bounds b USING (event_type)
-  GROUP BY u.event_type, u.bin
+  WHERE u.t < b.mid GROUP BY u.event_type
+), binned AS (
+  SELECT u.event_type,
+         CAST(CASE
+           WHEN r.vmin IS NULL THEN {PSI_GRID_BINS}
+           WHEN u.value < r.vmin THEN -1
+           WHEN u.value >= r.vmax THEN {PSI_GRID_BINS}
+           ELSE LEAST(
+             CAST(FLOOR((u.value - r.vmin) * CAST({PSI_GRID_BINS} AS DOUBLE)
+                        / (r.vmax - r.vmin)) AS BIGINT),
+             {PSI_GRID_BINS - 1})
+         END AS BIGINT) AS bin,
+         u.t, b.mid
+  FROM u JOIN bounds b USING (event_type)
+         LEFT JOIN refb r USING (event_type)
+), g AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN t < mid THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN t < mid THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM binned
+  GROUP BY event_type, bin
 ), sh AS (
   SELECT event_type, bin, na, nb,
          SUM(na) OVER (PARTITION BY event_type) AS ta,
@@ -12816,7 +12833,9 @@ ORDER BY event_type
 @register("psi_value_drift", PSI_ORACLE)
 def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population stability index per event type — the model-monitoring
-    companion to the KS test: fixed-width value bins, PSI =
+    companion to the KS test: reference-derived equal-width value bins
+    (r15: CLAMPED to the first half's [min, max] with underflow/
+    overflow bins — see ``timeseries.psi_clamped_bins``), PSI =
     sum((p_first - p_second) * ln(p_first / p_second)) between the two
     temporal halves of the stream (rule of thumb: <0.1 stable, >0.25
     shifted enough to retrain).  Laplace +0.5 smoothing keeps empty
@@ -12825,29 +12844,21 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     information-value statistic, sharing machinery with
     woe_iv_price_bands.
 
-    Scale shape: stateless binning, one groupBy to (type, bin) cells
-    (bounded by the bin grid), windows only over that bounded cell
-    table, and a |types|-row broadcast for the temporal midpoint."""
+    Scale shape: clamped binning (two |types|-row broadcasts), one
+    groupBy to (type, bin) cells — bounded at |types| x (nbins + 2) BY
+    CONSTRUCTION, even for adversarial values — and windows only over
+    that bounded cell table."""
+    from aws_pandas_etl_spark.operators.timeseries import psi_clamped_bins
+
     ev = load_table(spark, sf_dir, "events")
-    u = ev.select(
-        "event_type",
-        F.floor(F.col("value") / PSI_BIN).cast("bigint").alias("bin"),
-        F.unix_micros("ts").alias("t"),
-    )
-    bounds = u.groupBy("event_type").agg(
-        F.expr("(MIN(t) + MAX(t)) DIV 2").alias("mid")
-    )
-    g = (
-        u.join(F.broadcast(bounds), "event_type")
-        .groupBy("event_type", "bin")
-        .agg(
-            F.sum(F.when(F.col("t") < F.col("mid"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("na"),
-            F.sum(F.when(F.col("t") < F.col("mid"), 0).otherwise(1))
-            .cast("bigint")
-            .alias("nb"),
-        )
+    w = psi_clamped_bins(ev, PSI_GRID_BINS)
+    g = w.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("t") < F.col("mid"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("t") < F.col("mid"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("nb"),
     )
     return _psi_from_cells(g)
 
@@ -12893,17 +12904,21 @@ def streaming_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (second half, delivered here in 3 REAL micro-batches) accumulates
     its (type, bin) counts in a streaming aggregate whose state is
     bounded by the bin grid forever (no watermark needed — the
-    linear-counting posture).  The PSI projection over the joined
-    cells is the SAME code as the batch query (`_psi_from_cells`), so
-    the monitor's final state equals the batch statistic exactly and
-    both share one oracle.  At 100 TB: per-batch map-side-combined
-    count to a grid-bounded state, complete-mode rewrite of that
-    bounded table only."""
+    linear-counting posture; r15: the grid itself is CLAMPED to
+    |types| x (nbins + 2) by construction via the shared
+    ``psi_clamped_bins``, so even a corrupt/adversarial value stream
+    cannot mint new state rows — outliers pile into the overflow
+    cells, which is the drift signal a monitor wants).  The PSI
+    projection over the joined cells is the SAME code as the batch
+    query (`_psi_from_cells`), so the monitor's final state equals the
+    batch statistic exactly and both share one oracle.  At 100 TB:
+    per-batch map-side-combined count to a grid-bounded state,
+    complete-mode rewrite of that bounded table only."""
     from aws_pandas_etl_spark.streaming.events_stream import (
         run_streaming_psi_drift,
     )
 
-    cells = run_streaming_psi_drift(spark, sf_dir, bin_width=PSI_BIN)
+    cells = run_streaming_psi_drift(spark, sf_dir, nbins=PSI_GRID_BINS)
     return _psi_from_cells(cells)
 
 

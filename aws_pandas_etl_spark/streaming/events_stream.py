@@ -664,7 +664,7 @@ def run_streaming_linear_count(
 def run_streaming_psi_drift(
     spark: SparkSession,
     sf_dir: str,
-    bin_width: float = 10.0,
+    nbins: int = 20,
     timeout_sec: int = 300,
     n_splits: int = 3,
 ) -> DataFrame:
@@ -675,29 +675,32 @@ def run_streaming_psi_drift(
     accumulates its (type, bin) counts in a streaming aggregate whose
     state is bounded by the bin grid FOREVER — no watermark needed,
     same bounded-by-construction posture as the linear-counting
-    sketch.  Returns the joined cell table (event_type, bin, na, nb);
-    the PSI projection over it is batch math shared with the batch
-    query, so the streaming monitor's final state equals the batch
-    statistic EXACTLY (one oracle covers both).
+    sketch.  r15: the grid is CLAMPED (``psi_clamped_bins`` — nbins
+    equal-width bins from the reference half's [min, max], plus
+    underflow/overflow bins), so the bound |types| x (nbins + 2) holds
+    even under corrupt or adversarial values; the old unclamped
+    ``floor(value / width)`` minted a state row per distinct bin and
+    an unbounded value domain grew the grid without limit.  Returns
+    the joined cell table (event_type, bin, na, nb); the PSI
+    projection over it is batch math shared with the batch query, so
+    the streaming monitor's final state equals the batch statistic
+    EXACTLY (one oracle covers both).
+
+    In production the reference histogram and the (vmin, vmax) clamp
+    ship to the stream as a small broadcast artifact fitted once on
+    the reference window — exactly how they're computed here, just
+    persisted.
 
     Scale shape: per micro-batch one map-side-combined count to at
-    most |types| x |bins| cells; the complete-mode sink rewrites only
-    that bounded table; reference join is a full outer over the same
-    bounded grid (bins seen by only one half surface with a zero)."""
+    most |types| x (nbins + 2) cells; the complete-mode sink rewrites
+    only that bounded table; reference join is a full outer over the
+    same bounded grid (bins seen by only one half surface with a
+    zero)."""
+    from aws_pandas_etl_spark.operators.timeseries import psi_clamped_bins
     from aws_pandas_etl_spark.sources.readers import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    u = ev.select(
-        "event_type",
-        F.floor(F.col("value") / bin_width).cast("bigint").alias("bin"),
-        F.unix_micros("ts").alias("t"),
-        "ts",
-        "event_id",
-    )
-    bounds = u.groupBy("event_type").agg(
-        F.expr("(MIN(t) + MAX(t)) DIV 2").alias("mid")
-    )
-    with_mid = u.join(F.broadcast(bounds), "event_type")
+    with_mid = psi_clamped_bins(ev, nbins)
     ref = (
         with_mid.filter(F.col("t") < F.col("mid"))
         .groupBy("event_type", "bin")

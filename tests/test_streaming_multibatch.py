@@ -793,3 +793,41 @@ def test_full_outer_range_join_matches_batch_full_join(spark):
     # both unmatched sides must actually be exercised by the fixture
     assert any(r[0] is None for r in got), "no matchless clicks at sf0.001"
     assert any(r[1] is None for r in got), "no matchless errors at sf0.001"
+
+
+def test_psi_grid_clamped_outlier_lands_in_overflow(spark):
+    """r15 verdict #5: the PSI bin grid is bounded BY CONSTRUCTION —
+    an adversarial/corrupt value far outside the reference half's
+    range lands in the overflow bin instead of minting a new grid row,
+    and a pre-reference value lands in underflow."""
+    import datetime as dt
+
+    from aws_pandas_etl_spark.operators.timeseries import psi_clamped_bins
+
+    nbins = 4
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # reference half (t < mid): values span [0, 100]
+    for i, v in enumerate([0.0, 25.0, 50.0, 75.0, 100.0]):
+        rows.append((i, t0 + dt.timedelta(hours=i), "a", v))
+    # current half: normal values + garbage (1e308, -1e9)
+    for i, v in enumerate([10.0, 99.0, 1e308, -1e9, 3.5e7]):
+        rows.append((100 + i, t0 + dt.timedelta(hours=10 + i), "a", v))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = psi_clamped_bins(ev, nbins).collect()
+    bins = {r["bin"] for r in out}
+    assert bins <= set(range(-1, nbins + 1)), bins  # grid never grows
+    cur = {r["event_id"]: r["bin"] for r in out if r["event_id"] >= 100}
+    assert cur[102] == nbins  # 1e308 -> overflow
+    assert cur[104] == nbins  # 3.5e7 -> overflow
+    assert cur[103] == -1  # -1e9 -> underflow
+    assert cur[100] == 0 and cur[101] == 3  # in-range values bin normally
+    # reference max (value == vmax) takes the overflow edge by the
+    # half-open [vmin, vmax) convention — documented, engine-agnostic
+    ref = {r["event_id"]: r["bin"] for r in out if r["event_id"] < 100}
+    assert ref[4] == nbins
+    # the state grid is bounded at |types| x (nbins + 2) regardless of
+    # how many distinct garbage values arrive
+    assert len({(r["event_type"], r["bin"]) for r in out}) <= 1 * (nbins + 2)
