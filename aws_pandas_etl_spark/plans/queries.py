@@ -488,6 +488,29 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+# Resolved at import time, embedded as a literal column in BOTH the
+# Spark result and the DuckDB oracle of each TWS twin (r15 verdict #2):
+# a green CORRECTNESS/sweep row for a TWS entry then RECORDS which
+# state API it certified — "tws" (the real transformWithStateInPandas
+# path; needs the protobuf package, see README environment notes) or
+# "groupstate_fallback" (the applyInPandasWithState twin, identical
+# semantics by shared-fold construction).  Without this, a green row
+# from a protobuf-less environment was indistinguishable from one that
+# exercised the StatefulProcessor path.
+def _tws_state_api() -> str:
+    from aws_pandas_etl_spark.streaming.ewma_stream import tws_available
+
+    return "tws" if tws_available() else "groupstate_fallback"
+
+
+TWS_STATE_API = _tws_state_api()
+
+SESSION_TWS_ORACLE = (
+    "SELECT user_id, session_no, n_events, session_start, session_end, "
+    f"'{TWS_STATE_API}' AS state_api FROM ({SESSION_ORACLE})"
+)
+
+
 @register("sessionize_events", SESSION_ORACLE)
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) via lag + cumulative sum
@@ -524,7 +547,7 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_sessionize_stream(spark, sf_dir)
 
 
-@register("streaming_sessionize_tws", SESSION_ORACLE)
+@register("streaming_sessionize_tws", SESSION_TWS_ORACLE)
 def streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``transformWithStateInPandas`` twin of the stateful sessionizer
     — with the TWS EWMA twin this completes the Spark-4 migration pair
@@ -532,16 +555,23 @@ def streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     share one ``_fold_sessions`` replay, so batch, GroupState stream,
     and TWS stream all verify against the single lag+cumsum oracle).
     Capability-gated on protobuf with fallback to the GroupState form
-    (identical semantics); RocksDB provider scoped to the run."""
+    (identical semantics); RocksDB provider scoped to the run.  The
+    ``state_api`` literal column (r15) records WHICH path this
+    environment resolved — "tws" or "groupstate_fallback" — in the
+    result and the oracle alike, so every green driver row is
+    self-describing about what it certified."""
     from aws_pandas_etl_spark.streaming.ewma_stream import tws_available
     from aws_pandas_etl_spark.streaming.sessionize import (
         run_sessionize_stream,
         run_sessionize_stream_tws,
     )
 
-    if tws_available():
-        return run_sessionize_stream_tws(spark, sf_dir)
-    return run_sessionize_stream(spark, sf_dir)
+    out = (
+        run_sessionize_stream_tws(spark, sf_dir)
+        if tws_available()
+        else run_sessionize_stream(spark, sf_dir)
+    )
+    return out.withColumn("state_api", F.lit(TWS_STATE_API))
 
 
 HOURLY_ORACLE = """
@@ -8021,7 +8051,13 @@ def streaming_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_ewma_stream(spark, sf_dir)
 
 
-@register("streaming_ewma_per_user_tws", EWMA_ORACLE)
+EWMA_TWS_ORACLE = (
+    f"SELECT user_id, n_events, ewma, '{TWS_STATE_API}' AS state_api "
+    f"FROM ({EWMA_ORACLE})"
+)
+
+
+@register("streaming_ewma_per_user_tws", EWMA_TWS_ORACLE)
 def streaming_ewma_per_user_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``transformWithStateInPandas`` twin of streaming_ewma_per_user —
     the Spark-4 arbitrary-state API (typed ValueState handles, timers,
@@ -8037,16 +8073,23 @@ def streaming_ewma_per_user_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical semantics and values — the fallback is a re-labelled
     streaming_ewma_per_user, which the probe makes explicit rather
     than crashing mid-query).  State: two numbers per key, RocksDB
-    provider scoped to the run."""
+    provider scoped to the run.  The ``state_api`` literal column
+    (r15) records WHICH path this environment resolved — "tws" or
+    "groupstate_fallback" — in the result and the oracle alike, so
+    every green driver row is self-describing about what it
+    certified."""
     from aws_pandas_etl_spark.streaming.ewma_stream import (
         run_ewma_stream,
         run_ewma_stream_tws,
         tws_available,
     )
 
-    if tws_available():
-        return run_ewma_stream_tws(spark, sf_dir)
-    return run_ewma_stream(spark, sf_dir)
+    out = (
+        run_ewma_stream_tws(spark, sf_dir)
+        if tws_available()
+        else run_ewma_stream(spark, sf_dir)
+    )
+    return out.withColumn("state_api", F.lit(TWS_STATE_API))
 
 
 # ===========================================================================

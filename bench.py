@@ -26,6 +26,15 @@ from aws_pandas_etl_spark.session import get_spark  # noqa: E402
 from aws_pandas_etl_spark.plans import queries as Q  # noqa: E402
 
 
+def _capabilities() -> dict:
+    from aws_pandas_etl_spark.streaming.ewma_stream import tws_available
+
+    return {
+        "protobuf": tws_available(),
+        "tws_state_api": Q.TWS_STATE_API,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -334,6 +343,11 @@ def main() -> None:
         "artifacts": artifacts,
         "n_ok": len(timings),
         "n_failed": len(errors),
+        # capability record (r15 verdict #2): which state API the TWS
+        # twins resolved to in THIS environment — the same constant is
+        # embedded as a state_api column in their results and oracles,
+        # so bench + correctness artifacts agree on what was certified
+        "capabilities": _capabilities(),
     }
     if floors:
         result["streaming_floor"] = floors

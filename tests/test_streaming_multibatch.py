@@ -831,3 +831,26 @@ def test_psi_grid_clamped_outlier_lands_in_overflow(spark):
     # the state grid is bounded at |types| x (nbins + 2) regardless of
     # how many distinct garbage values arrive
     assert len({(r["event_type"], r["bin"]) for r in out}) <= 1 * (nbins + 2)
+
+
+def test_tws_entries_record_resolved_state_api(spark):
+    """r15 verdict #2: every green row for a TWS twin must be
+    auditable about WHICH state API it certified.  The registered
+    queries carry a state_api literal column matching the environment
+    capability, and their oracles embed the same constant — so the
+    driver's value hash covers the certification path itself."""
+    from aws_pandas_etl_spark.plans.queries import (
+        ORACLES,
+        QUERIES,
+        TWS_STATE_API,
+    )
+    from aws_pandas_etl_spark.streaming.ewma_stream import tws_available
+
+    expected = "tws" if tws_available() else "groupstate_fallback"
+    assert TWS_STATE_API == expected
+    for name in ("streaming_ewma_per_user_tws", "streaming_sessionize_tws"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert "state_api" in df.columns, name
+        vals = {r["state_api"] for r in df.select("state_api").distinct().collect()}
+        assert vals == {expected}, (name, vals)
+        assert f"'{expected}' AS state_api" in ORACLES[name], name
