@@ -15830,13 +15830,27 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     evenly among interior touches (degenerate paths: a single touch
     takes 1.0, a pair splits 0.5/0.5).  Credit sums per channel.
 
-    Scale shape: the touch-to-purchase range join is user-bucketed
-    (equi-join on user_id with the time predicate pushed into the
-    join filter — the range_join_clicks_near_errors shape), so pair
-    enumeration is bounded by per-user event density, never global;
-    the position window partitions by purchase id over those bounded
-    per-purchase groups; per-row credit sums decimal-rounded
-    (order-independent) into one |channels|-row aggregate."""
+    Scale shape — UNIFORM KEY DENSITY ONLY: the touch-to-purchase
+    range join is user-bucketed (equi-join on user_id with the time
+    predicate pushed into the join filter), so pair enumeration is
+    bounded by PER-USER event density.  That bound is quadratic in the
+    hottest key: at the r14 skew probe's p=90 dial (one user holding
+    ~90% of events, 10x clone) this pair join was measured
+    NON-TERMINATING — all pairs of the hot key land on one shuffle
+    partition, and AQE's OptimizeSkewedJoin does not split it (agg
+    below join; negative result measured r13, BASELINE.md).  Its four
+    agg-then-join siblings read <=1.6x at the same dial; this is the
+    one genuine scale-killer in the family.
+
+    MANDATORY PRE-FLIGHT on real data: run ``key_skew_report`` (the
+    registered per-key density audit) first; if any user's touch count
+    is large enough that touches_per_user x purchases_per_user pairs
+    concentrate on one partition, use
+    ``attribution_position_based_prefix`` — the skew-immune twin that
+    replaces pair enumeration with global prefix-sum differences
+    (O(touches + purchases) work, measured 1.5x at 10x/p=90 and 1.8x
+    at 50x/p=90 where this form never finished) and is bit-identical
+    on the shared oracle."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),
