@@ -19053,65 +19053,80 @@ def unigram_entropy_effective_vocab(
 # window makes the cumulative union 276/276: every registry entry
 # driver-witnessed on its CURRENT semantics.  Every seat is
 # exact-value-green in the local sweep at sf0.001/0.01 before seating.
+# Round-15 rotation: after CORRECTNESS_r14 (50/50 green) the
+# cumulative driver-verified union is 296/296.  No queries were born
+# this round; 6 were REWORKED and must re-witness on current
+# semantics: psi_value_drift + streaming_psi_value_drift (the clamped
+# reference-range bin grid replaces the unbounded fixed-width
+# binning), streaming_ewma_per_user_tws + streaming_sessionize_tws
+# (the state_api certification column — new output schema AND new
+# oracle), streaming_partitioned_merge + streaming_foreach_batch_merge
+# (their per-batch write path now runs the _COMPACTING writer guard).
+# 6 more pipeline-family seats re-verify every other sinks.py write
+# entry point behind the same r15 compaction/marker hardening
+# (roundtrip, error isolation, merge, delete, idempotent append,
+# partition overwrite — the last three also sit in the stalest
+# cohort).  The remaining 38 seats are pure stalest-first: ALL 10
+# r7-seated survivors and the 28 oldest r8-seated (leaving 12 r8
+# seats for r16, after which the floor is r9).  Every seat is
+# exact-value-green in the local sweep at sf0.01 (and the r15 10x
+# clone sweep, ORACLE_SWEEP_10X_r15.json) before seating.
 _DRIVER_WINDOW = [
-    # r14-born (each takes a seat the round it is born)
+    # reworked this round (clamped PSI grid; TWS state_api audit
+    # column; compaction writer guard on the merge write path)
+    "psi_value_drift",
+    "streaming_psi_value_drift",
     "streaming_ewma_per_user_tws",
     "streaming_sessionize_tws",
-    "attribution_position_based_prefix",
-    "streaming_psi_value_drift",
-    # reworked this round (ADVICE/verdict hardening changed their code
-    # paths: merge layout refusal + stamp upgrade, idempotent
-    # quarantine batches, parsed watermark sentinel, key-typed EWMA
-    # schemas, signature-width coupling)
     "streaming_partitioned_merge",
     "streaming_foreach_batch_merge",
-    "streaming_quarantine_split",
-    "streaming_outer_range_join",
-    "streaming_full_outer_range_join",
-    "ewma_user_value",
-    "ewma_user_value_parallel",
-    "streaming_ewma_per_user",
-    "lsh_band_bucket_stats",
-    # stalest-first rotation: the 39 registry entries with the oldest
-    # driver seats (r6-r7 per the CORRECTNESS_r* union; ~39-45
-    # seats/round re-verifies the full registry every ~6 rounds)
-    "value_percentiles_per_event_type",
-    "salted_sum_by_event_type",
-    "sql_interface_revenue",
-    "streaming_session_window_native",
-    "streaming_approx_distinct_linear",
-    "table_diff_snapshots",
-    "top_supplier_per_nation",
-    "urgent_and_low_customers",
-    "unpivot_revenue_metrics",
-    "diversified_top_orders",
-    "order_total_reconciliation",
-    "order_to_ship_delay_stats",
-    "dedup_survivors_minhash",
-    "containment_pairs",
-    "dedup_rate_by_source",
-    "streaming_static_join_enrich",
-    "lang_id_confusion_matrix",
-    "mixed_language_docs",
-    "repetition_quality",
-    "unigram_logprob_quality",
-    "udtf_char_trigrams_top20",
-    "lang_source_chi2",
-    "embedding_class_separation",
-    "embedding_drift_by_label",
-    "embedding_label_centroids",
-    "embedding_quantize_int8",
-    "jl_projection_embeddings",
-    "knn_classify_majority",
-    "knn_graph_cosine",
-    "knn_graph_2hop_reach",
+    # sinks.py write entry points behind the r15 hardening
+    "pipeline_roundtrip",
+    "pipeline_error_isolation",
+    "pipeline_merge_roundtrip",
+    "pipeline_delete_roundtrip",
+    "pipeline_idempotent_append",
     "pipeline_partition_overwrite",
-    "weighted_sample_by_value",
-    "sample_to_token_budget",
-    "asof_next_purchase_after_signup",
-    "cohort_weekly_retention",
-    "funnel_latency_quartiles",
-    "rfm_user_segments",
+    # stalest-first: all 10 r7-seated survivors
+    "window_value_distribution",
+    "value_trend_correlation_per_user",
+    "value_quartiles_per_user",
+    "event_rate_anomaly_zscore",
+    "type_hourly_correlation",
+    "transition_entropy_per_type",
+    "fk_orphan_audit",
+    "malformed_json_audit",
+    "profile_events_columns",
+    "key_skew_report",
+    # stalest-first: the 28 oldest r8-seated
+    "cross_split_leakage_pairs",
+    "attribution_last_touch",
+    "neyman_sample_by_lang",
+    "vocab_coverage_topn",
+    "q11_important_stock",
+    "q20_part_promotion_suppliers",
+    "decontaminate_benchmark",
+    "dedup_cluster_size_histogram",
+    "multi_distinct_per_event_type",
+    "mode_event_type_per_user",
+    "trim_length_outliers",
+    "value_histogram_fixed_bins",
+    "grouped_minmax_normalize",
+    "hourly_spine_event_counts",
+    "dow_event_totals",
+    "value_gini_per_event_type",
+    "udaf_weighted_mean_value",
+    "value_cume_dist_per_type",
+    "schema_evolution_ingest",
+    "ivf_cell_balance",
+    "mad_outliers_per_event_type",
+    "knn_graph_incremental_batch",
+    "peak_5min_event_rate",
+    "seasonal_hour_anomalies",
+    "token_length_moments",
+    "twap_user_value",
+    "lag_features_per_user",
+    "value_decile_bins",
 ]
 
 

@@ -156,40 +156,37 @@ def test_driver_window_spans_operator_families():
     # every windowed query still has its oracle twin, same order
     assert list(Q.ORACLES)[:50] == Q._DRIVER_WINDOW
     # spot-pin the seats that must never drift back out of the window
-    # (round-14 rotation: 2 seats for the r14-born queries, 9 re-seats
-    # for queries whose code paths the r14 hardening changed — merge
-    # layout refusal/stamp upgrade, idempotent quarantine batches,
-    # parsed watermark sentinel, key-typed EWMA schemas, signature-
-    # width coupling — and 39 stalest driver-green entries, last
-    # seated r6-r7)
+    # (round-15 rotation: 6 re-seats for queries the r15 work changed
+    # — clamped PSI bin grid, TWS state_api certification column,
+    # compaction writer guard on the merge write path — 6 seats
+    # covering every other sinks.py write entry point behind the same
+    # hardening, and 38 stalest driver-green entries: all 10 r7
+    # survivors + the 28 oldest r8)
     for must in [
-        "streaming_ewma_per_user_tws",   # r14-born (TWS EWMA twin)
-        "streaming_sessionize_tws",      # r14-born (TWS sessionizer twin)
-        "attribution_position_based_prefix",  # r14-born (prefix attribution)
-        "streaming_psi_value_drift",     # r14-born (streaming drift monitor)
-        "streaming_partitioned_merge",   # reworked (unstamped-target refusal)
-        "streaming_foreach_batch_merge", # reworked (same merge path)
-        "streaming_quarantine_split",    # reworked (idempotent batch dirs)
-        "streaming_outer_range_join",    # reworked (parsed watermark sentinel)
-        "streaming_full_outer_range_join",  # reworked (same sentinel path)
-        "ewma_user_value",               # reworked (key-typed schema)
-        "ewma_user_value_parallel",      # reworked (key-typed partials)
-        "streaming_ewma_per_user",       # reworked (shares the serial scan)
-        "lsh_band_bucket_stats",         # reworked (signature width coupling)
-        "salted_sum_by_event_type",      # stalest (r6), skew-salted agg rep
-        "sql_interface_revenue",         # stalest (r6), SQL interface rep
-        "streaming_session_window_native",  # stalest (r6), streaming rep
-        "table_diff_snapshots",          # stalest (r6)
-        "top_supplier_per_nation",       # stalest (r7), TPC-H rep
-        "dedup_survivors_minhash",       # stalest (r7), dedup family rep
-        "lang_id_confusion_matrix",      # stalest (r7), text family rep
-        "embedding_label_centroids",     # stalest (r7), embedding family rep
-        "knn_graph_cosine",              # stalest (r7), ANN/graph family rep
-        "pipeline_partition_overwrite",  # stalest (r7), pipeline family rep
-        "weighted_sample_by_value",      # stalest (r7), sampling family rep
-        "asof_next_purchase_after_signup",  # stalest (r7), temporal join rep
-        "cohort_weekly_retention",       # stalest (r7), behavioral rep
-        "funnel_latency_quartiles",      # stalest (r7) + fresh p=90 row
+        "psi_value_drift",               # reworked (clamped bin grid)
+        "streaming_psi_value_drift",     # reworked (same clamp, stream side)
+        "streaming_ewma_per_user_tws",   # reworked (state_api audit column)
+        "streaming_sessionize_tws",      # reworked (state_api audit column)
+        "streaming_partitioned_merge",   # reworked (compaction writer guard)
+        "streaming_foreach_batch_merge", # reworked (same write path)
+        "pipeline_roundtrip",            # sinks.py entry point (K1/K2)
+        "pipeline_error_isolation",      # sinks.py entry point
+        "pipeline_merge_roundtrip",      # sinks.py entry point (merge_load)
+        "pipeline_delete_roundtrip",     # sinks.py entry point (delete_load)
+        "pipeline_idempotent_append",    # sinks.py entry point (batched)
+        "pipeline_partition_overwrite",  # sinks.py entry point (dyn overwrite)
+        "window_value_distribution",     # stalest (r7), window family rep
+        "fk_orphan_audit",               # stalest (r7), data-quality rep
+        "key_skew_report",               # stalest (r7), the skew pre-flight
+        "attribution_last_touch",        # stalest (r8), attribution rep
+        "neyman_sample_by_lang",         # stalest (r8), sampling rep
+        "decontaminate_benchmark",       # stalest (r8), dedup/curation rep
+        "udaf_weighted_mean_value",      # stalest (r8), UDAF rep
+        "ivf_cell_balance",              # stalest (r8), ANN family rep
+        "knn_graph_incremental_batch",   # stalest (r8), graph family rep
+        "q11_important_stock",           # stalest (r8), TPC-H rep
+        "schema_evolution_ingest",       # stalest (r8), format/ingest rep
+        "twap_user_value",               # stalest (r8), timeseries rep
     ]:
         assert must in Q._DRIVER_WINDOW, must
 

@@ -91,9 +91,15 @@ def main() -> None:
             con = duckdb.connect()
             try:
                 for t in TABLES:
+                    src = f"{args.sf}/{t}.parquet"
+                    # directory-shaped tables (Spark-written clones,
+                    # e.g. the 10x scale fixture) need a glob — DuckDB
+                    # cannot read a bare directory path (r14's
+                    # pathGlobFilter lesson, applied to the oracle side)
+                    pat = src + "/**/*.parquet" if os.path.isdir(src) else src
                     con.execute(
                         f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{args.sf}/{t}.parquet')"
+                        f"read_parquet('{pat}')"
                     )
                 res = con.execute(oracles[name])
                 duck_cols = [d[0] for d in res.description]
