@@ -16410,7 +16410,7 @@ DEGREE_POWERLAW_ORACLE = (
 mx AS (SELECT CAST(MAX(d) AS BIGINT) AS max_degree FROM deg)
 SELECT n_nodes, max_degree, k AS n_degree_levels,
        CASE WHEN k < 2 OR (k * sxx - sx * sx) = 0 THEN NULL
-            ELSE ROUND(-(k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+            ELSE ROUND(-(k * sxy - sx * sy) / (k * sxx - sx * sx), 6) + 0
        END AS alpha,
        CASE WHEN k < 2 OR (k * sxx - sx * sx) = 0
                  OR (k * syy - sy * sy) = 0 THEN NULL
@@ -16479,8 +16479,13 @@ def knn_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "max_degree",
             F.col("k").alias("n_degree_levels"),
+            # + 0.0 in both engines: a perfectly flat fit yields slope
+            # -0.0 in one engine and +0.0 in the other (negated-zero
+            # divergence, caught by the r15 10x sweep); IEEE addition
+            # of +0.0 canonicalizes the sign on both sides
             F.when(
-                (F.col("k") >= 2) & (den != 0), F.round(-num / den, 6)
+                (F.col("k") >= 2) & (den != 0),
+                F.round(-num / den, 6) + F.lit(0.0),
             ).alias("alpha"),
             F.when(
                 (F.col("k") >= 2) & (den != 0) & (deny != 0),
@@ -19066,9 +19071,12 @@ def unigram_entropy_effective_vocab(
 # entry point behind the same r15 compaction/marker hardening
 # (roundtrip, error isolation, merge, delete, idempotent append,
 # partition overwrite — the last three also sit in the stalest
-# cohort).  The remaining 38 seats are pure stalest-first: ALL 10
-# r7-seated survivors and the 28 oldest r8-seated (leaving 12 r8
-# seats for r16, after which the floor is r9).  Every seat is
+# cohort).  One mid-round re-seat: knn_graph_degree_powerlaw, whose
+# negated-zero alpha the 10x sweep caught (fix = canonicalize with
+# + 0.0 in both engines).  The remaining 37 seats are pure
+# stalest-first: ALL 10 r7-seated survivors and the 27 oldest
+# r8-seated (leaving 13 r8 seats for r16, after which the floor is
+# r9).  Every seat is
 # exact-value-green in the local sweep at sf0.01 (and the r15 10x
 # clone sweep, ORACLE_SWEEP_10X_r15.json) before seating.
 _DRIVER_WINDOW = [
@@ -19080,6 +19088,13 @@ _DRIVER_WINDOW = [
     "streaming_sessionize_tws",
     "streaming_partitioned_merge",
     "streaming_foreach_batch_merge",
+    # reworked mid-round: the 10x-sweep find (negated-zero alpha on a
+    # perfectly flat degree fit — Spark 0.0 vs DuckDB -0.0; both sides
+    # now canonicalize with + 0.0).  Takes the seat value_decile_bins
+    # held (pushed to r16 with the other 11 remaining r8 seats; its
+    # family stays covered by value_histogram_fixed_bins +
+    # grouped_minmax_normalize)
+    "knn_graph_degree_powerlaw",
     # sinks.py write entry points behind the r15 hardening
     "pipeline_roundtrip",
     "pipeline_error_isolation",
@@ -19126,7 +19141,6 @@ _DRIVER_WINDOW = [
     "token_length_moments",
     "twap_user_value",
     "lag_features_per_user",
-    "value_decile_bins",
 ]
 
 

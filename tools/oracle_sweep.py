@@ -129,11 +129,20 @@ def main() -> None:
         print(f"# [{i}/{len(queries)}] {name}: {status}", file=sys.stderr)
         spark.catalog.clearCache()
 
+    from aws_pandas_etl_spark.plans.queries import TWS_STATE_API
+    from aws_pandas_etl_spark.streaming.ewma_stream import tws_available
+
     payload = {
         "sf_dir": args.sf,
         "n_queries": len(queries),
         "n_values_match": n_ok,
         "n_mismatch": len(queries) - n_ok,
+        # which state API the TWS twins certified in THIS environment
+        # (r15 verdict #2: green rows must be auditable about the path)
+        "capabilities": {
+            "protobuf": tws_available(),
+            "tws_state_api": TWS_STATE_API,
+        },
         "queries": results,
     }
     with open(args.out, "w") as fh:
