@@ -6646,6 +6646,79 @@ def pipeline_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, agg.schema)
 
 
+COMPACT_BATCHED_ORACLE = IDEMPOTENT_ORACLE
+
+
+@register("pipeline_compact_batched", COMPACT_BATCHED_ORACLE)
+def pipeline_compact_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-aware compaction of a batched landing zone (r15
+    verdict #3): three event batches land via ``idempotent_append_load``
+    (multiple small files each), ``compact_table`` merges them into one
+    size-targeted ``batch-compacted-*`` directory while tombstoning
+    every superseded batch id, and batch 1 is then REDELIVERED — the
+    post-compaction redelivery must still be a no-op (the idempotence
+    contract survives compaction), so the read-back aggregate equals
+    plain events exactly.  A compactor that dropped rows, double-kept
+    a batch, or broke the manifest (so redelivery re-applied) breaks
+    the oracle match.  Also asserts the ``_COMPACTING`` writer guard
+    is released after success.
+
+    Scale shape: compaction reads the snapshot file list once and
+    rewrites ceil(bytes/target) files in one job — cost ∝ landing-zone
+    bytes, amortized over the appends it folds; the redelivery check
+    and tombstone lookups are single FS RPCs."""
+    import os
+    import shutil
+    import uuid
+
+    from aws_pandas_etl_spark.sources.sinks import (
+        compact_table,
+        compaction_in_progress,
+        idempotent_append_load,
+        read_batched_target,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # fresh target per invocation, same reasoning as
+    # pipeline_idempotent_append (commit markers are the point)
+    base = artifact_path("compact_batched", uuid.uuid4().hex[:12])
+    path = os.path.join(base, "events")
+    batches = [
+        ev.filter(F.col("user_id") % 3 == i).repartition(4) for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        _, applied = idempotent_append_load(b, path, f"b{i}")
+        if not applied:
+            raise AssertionError(f"fresh batch b{i} did not apply")
+    before, after = compact_table(spark, path, target_file_mb=512)
+    if not (before == 12 and after < before):
+        raise AssertionError(f"compaction shape wrong: {before} -> {after}")
+    if compaction_in_progress(spark, path):
+        raise AssertionError("_COMPACTING marker not released on success")
+    _, redelivered = idempotent_append_load(batches[1], path, "b1")
+    if redelivered:
+        raise AssertionError(
+            "redelivery of a compacted batch id was re-applied — the "
+            "idempotence manifest did not survive compaction"
+        )
+    back = read_batched_target(spark, path)
+    agg = (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    rows = agg.collect()  # eager: allow deleting the landing zone now
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
+
+
 SCHEMA_EVOLUTION_ORACLE = """
 WITH merged AS (
   SELECT event_id, event_type, CAST(NULL AS VARCHAR) AS props
@@ -19071,12 +19144,13 @@ def unigram_entropy_effective_vocab(
 # entry point behind the same r15 compaction/marker hardening
 # (roundtrip, error isolation, merge, delete, idempotent append,
 # partition overwrite — the last three also sit in the stalest
-# cohort).  One mid-round re-seat: knn_graph_degree_powerlaw, whose
-# negated-zero alpha the 10x sweep caught (fix = canonicalize with
-# + 0.0 in both engines).  The remaining 37 seats are pure
-# stalest-first: ALL 10 r7-seated survivors and the 27 oldest
-# r8-seated (leaving 13 r8 seats for r16, after which the floor is
-# r9).  Every seat is
+# cohort).  One r15-born seat: pipeline_compact_batched (the batched-
+# compaction manifest contract, born this round).  One mid-round
+# re-seat: knn_graph_degree_powerlaw, whose negated-zero alpha the
+# 10x sweep caught (fix = canonicalize with + 0.0 in both engines).
+# The remaining 36 seats are pure stalest-first: ALL 10 r7-seated
+# survivors and the 26 oldest r8-seated (leaving 14 r8 seats for r16,
+# after which the floor is r9).  Every seat is
 # exact-value-green in the local sweep at sf0.01 (and the r15 10x
 # clone sweep, ORACLE_SWEEP_10X_r15.json) before seating.
 _DRIVER_WINDOW = [
@@ -19095,6 +19169,9 @@ _DRIVER_WINDOW = [
     # family stays covered by value_histogram_fixed_bins +
     # grouped_minmax_normalize)
     "knn_graph_degree_powerlaw",
+    # r15-born (takes a seat the round it is born): the batched-
+    # compaction contract end-to-end
+    "pipeline_compact_batched",
     # sinks.py write entry points behind the r15 hardening
     "pipeline_roundtrip",
     "pipeline_error_isolation",
@@ -19140,7 +19217,6 @@ _DRIVER_WINDOW = [
     "seasonal_hour_anomalies",
     "token_length_moments",
     "twap_user_value",
-    "lag_features_per_user",
 ]
 
 

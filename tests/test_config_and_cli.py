@@ -169,6 +169,8 @@ def test_driver_window_spans_operator_families():
         "streaming_sessionize_tws",      # reworked (state_api audit column)
         "streaming_partitioned_merge",   # reworked (compaction writer guard)
         "streaming_foreach_batch_merge", # reworked (same write path)
+        "pipeline_compact_batched",      # r15-born (batched compaction)
+        "knn_graph_degree_powerlaw",     # reworked (negated-zero fix, 10x find)
         "pipeline_roundtrip",            # sinks.py entry point (K1/K2)
         "pipeline_error_isolation",      # sinks.py entry point
         "pipeline_merge_roundtrip",      # sinks.py entry point (merge_load)
