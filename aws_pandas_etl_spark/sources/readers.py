@@ -59,6 +59,38 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return sorted(ns_names)
 
 
+def _path_fingerprint(path: str):
+    """Cheap change-detection key for a parquet file or directory:
+    (mtime_ns, size) of the file, plus the (name, mtime_ns, size) of
+    every direct child for a directory-shaped table.  Any rewrite of
+    the data changes the fingerprint, which invalidates the metadata
+    cache below — the cache can never serve a stale schema for
+    regenerated fixtures."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    children = []
+    with os.scandir(path) as it:
+        for e in sorted(it, key=lambda e: e.name):
+            try:
+                cst = e.stat()
+            except OSError:
+                continue
+            children.append((e.name, cst.st_mtime_ns, cst.st_size))
+    return (st.st_mtime_ns, tuple(children))
+
+
+# path -> (fingerprint, ns_cols, raw inferred schema).  METADATA only
+# (schema + nanos-column detection) — never rows or results; the
+# parquet data is re-scanned by every query.  Rationale (r15
+# measurement, tools/build_vs_exec.json): schema inference inside
+# ``spark.read.parquet`` costs 70-98 ms per call vs 12 ms with an
+# explicit schema, and load_table runs 2-4x per query x 297 queries,
+# so inference alone accounted for tens of seconds of pure per-query
+# fixed cost (guide §1.2: per-task work after algorithm shape).
+_META_CACHE: dict[str, tuple[object, list[str], object]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table (parquet).  Catalyst handles column
     pruning and predicate pushdown into the scan.
@@ -72,12 +104,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       integer division (``div 1000`` — float division would lose
       precision above 2^53 ns);
     - TIMESTAMP(µs/ms) without tz infers as TIMESTAMP_NTZ and is cast
-      to TimestampType (same instant under the UTC session tz)."""
+      to TimestampType (same instant under the UTC session tz).
+
+    Schema inference runs once per (path, content fingerprint) and is
+    cached process-wide; subsequent reads pass the cached schema
+    explicitly, skipping the JVM footer/inference pass (~8x cheaper
+    plan construction, measured).  Only metadata is cached — every
+    query still scans the parquet data."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    fp = _path_fingerprint(path)
+    cached = _META_CACHE.get(path)
+    if cached is not None and cached[0] == fp:
+        _, ns_cols, raw_schema = cached
+        if not ns_cols:
+            df = spark.read.schema(raw_schema).parquet(path)
+            return _normalize_with_schema(df, raw_schema)
+        # nanos tables keep the conf-scoped inference path: the
+        # nanosAsLong footer-acceptance check happens again at scan
+        # planning, so an explicit schema alone is not sufficient
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         df = spark.read.parquet(path)
-        return normalize_ntz_timestamps(df)
+        raw_schema = df.schema
+        _META_CACHE[path] = (fp, ns_cols, raw_schema)
+        return _normalize_with_schema(df, raw_schema)
+    _META_CACHE[path] = (fp, ns_cols, None)
     df = _read_parquet_nanos(spark, path)
     df = df.withColumns(
         {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}
@@ -85,6 +136,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # a table can mix TIMESTAMP(NANOS) and µs/ms NTZ columns — normalize
     # the non-nanos ones too, honoring the contract above
     return normalize_ntz_timestamps(df)
+
+
+def _normalize_with_schema(df: DataFrame, schema) -> DataFrame:
+    """normalize_ntz_timestamps, but deciding from an already-known
+    schema instead of ``df.schema`` (avoids a py4j schema fetch on the
+    hot load_table path)."""
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def normalize_ntz_timestamps(df: DataFrame) -> DataFrame:

@@ -477,3 +477,42 @@ def test_hadoop_footer_file_drives_remote_probe_branch(spark, tmp_path):
     finally:
         f.close()
     assert f.closed
+
+
+def test_load_table_metadata_cache_and_invalidation(spark, tmp_path):
+    """The (path, fingerprint)-keyed schema cache serves repeat reads
+    without re-inference, and a rewrite of the table (new fingerprint)
+    invalidates it — the cache can never pin a stale schema; rows are
+    re-scanned from parquet either way (metadata-only cache)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources import readers
+
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "t.parquet")
+    spark.range(5).select(
+        F.col("id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).cast("timestamp_ntz").alias("ts"),
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    df1 = load_table(spark, sf_dir, "t")
+    assert path in readers._META_CACHE
+    fields1 = {f.name: f.dataType for f in df1.schema.fields}
+    assert fields1["ts"] == T.TimestampType()  # NTZ normalized
+    # cached second read: identical schema and data
+    df2 = load_table(spark, sf_dir, "t")
+    assert df2.schema == df1.schema
+    assert df2.count() == 5
+
+    # rewrite with a DIFFERENT schema; bump mtime so the fingerprint
+    # cannot collide even on a coarse-mtime filesystem
+    spark.range(3).select(
+        F.col("id"), F.lit("x").alias("extra")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    future = _time.time() + 5
+    os.utime(path, (future, future))
+    df3 = load_table(spark, sf_dir, "t")
+    assert "extra" in df3.columns and df3.count() == 3
