@@ -5529,14 +5529,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbed by the 6-digit rounding."""
     docs = load_table(spark, sf_dir, "documents")
     e = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
-    # tf feeds df and the join — no persist (a CacheManager entry
-    # would leak across invocations): worst case the explode+partial
-    # aggregation recomputes once more, cheaper at scale than pinning
-    # the corpus-sized tf frame in executor storage, and exchange
-    # reuse dedups it when plans canonicalize equal
+    # tf feeds df and the join; localCheckpoint (NOT persist — no
+    # CacheManager entry to leak across invocations) pins it to one
+    # explode+aggregation (r15: exchange reuse did NOT dedup the two
+    # branches — partial agg sits below each exchange — so the corpus
+    # tokenize ran twice, 6 parquet scans in
+    # plans/r15/tfidf_top_terms_before.txt; pinned 1.096 s -> 0.819 s
+    # at sf0.1, interleaved min-of-5).  tf is post-aggregation — one
+    # row per (doc, term) — the smallest frame that cuts the second
+    # pass, so the pinned bytes are bounded by the tf result itself
     tf = e.groupBy("doc_id", "term").agg(
         F.count("*").cast("bigint").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
     scored = (
@@ -6856,15 +6860,22 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise, exotic boilerplate; the standard curation signal next to
     the Gopher heuristics).
 
-    Plan: one explode feeds both the corpus term-frequency aggregate
-    and the per-token scoring join (same corpus-scaling join shape as
-    tf-idf — no forced broadcast, AQE decides); the corpus total is a
-    1-row scalar.  Parity: per-token -ln(c/total) is rounded to 6
+    Plan: one explode feeds the corpus term-frequency aggregate, the
+    1-row corpus total AND the per-token scoring join —
+    localCheckpoint-pinned to ONE evaluation (r15: without the pin
+    each branch re-ran tokenize+explode — 6 parquet scans in the
+    plan, plans/r15/unigram_logprob_quality_before.txt; pinned
+    1.152 s -> 0.811 s at sf0.1, interleaved min-of-5 — the same
+    shared-explode fix r13 measured on the bigram scorer); the join
+    shape stays unforced (corpus-scaling vocab, AQE decides).
+    Parity: per-token -ln(c/total) is rounded to 6
     digits (absorbing the <=1-ulp cross-engine ln difference) and cast
     to DECIMAL before the order-independent SUM — a raw double sum
     over a doc's tokens would differ by accumulation order."""
     docs = load_table(spark, sf_dir, "documents")
-    e = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    e = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("term")
+    ).localCheckpoint(eager=False)
     freq = e.groupBy("term").agg(F.count("*").cast("bigint").alias("c"))
     total = e.agg(F.count("*").cast("bigint").alias("total"))
     nlp = F.round(
@@ -9034,9 +9045,16 @@ def pmi_bigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigram construction is a scan-side array transform
     (no self-join of adjacent tokens); the two unigram joins hit a
     vocabulary-scaling frame, so neither is broadcast-forced — AQE
-    decides.  Top-20 goes through TakeOrderedAndProject."""
+    decides.  Top-20 goes through TakeOrderedAndProject.  The token
+    array frame feeds both the unigram and the bigram explode and is
+    localCheckpoint-pinned to one tokenize pass (r15: unpinned plan
+    carried 10 parquet scans of documents,
+    plans/r15/pmi_bigrams_top20_before.txt; pinned 1.521 s -> 0.805 s
+    at sf0.1, interleaved min-of-5)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(TX.tokens("text").alias("toks"))
+    t = docs.select(TX.tokens("text").alias("toks")).localCheckpoint(
+        eager=False
+    )
     uni = (
         t.select(F.explode("toks").alias("term"))
         .groupBy("term")
@@ -13907,9 +13925,16 @@ def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus size — the closed-vocab trick that keeps smoothing's
     absent-token mass exact without a corpus-sized densification.
     Token counting is one map-side-combined groupBy; everything after
-    runs on bounded frames."""
+    runs on bounded frames.  The token-occurrence explode feeds THREE
+    branches (vocab top-200, per-source totals, per-source-x-token
+    counts) and is localCheckpoint-pinned to one evaluation (r15:
+    unpinned plan re-tokenized per branch — 10 parquet scans,
+    plans/r15/unigram_kl_by_source_before.txt; pinned 1.454 s ->
+    0.907 s at sf0.1, interleaved min-of-5)."""
     docs = load_table(spark, sf_dir, "documents")
-    occ = docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+    occ = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("token")
+    ).localCheckpoint(eager=False)
     vocab = (
         occ.groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
