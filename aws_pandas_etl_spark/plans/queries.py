@@ -7778,7 +7778,12 @@ def mad_outliers_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chain is deterministic with no decimal tricks.  Plan: two
     window+selection rounds over the type partitioning plus one
     filtered recount — three shuffles on the same low-cardinality key,
-    each with map-side combine."""
+    each with map-side combine.  med, d and mad each feed 2-3
+    downstream branches and are localCheckpoint-pinned to one
+    evaluation apiece (r15: the unpinned plan re-ran the median
+    window pass per consumer — 7 events scans,
+    plans/r15/mad_outliers_per_event_type_before.txt; pinned
+    0.66-0.74x across two interleaved min-of-5 sessions)."""
     ev = load_table(spark, sf_dir, "events")
 
     def _exact_median(df: DataFrame, col: str) -> DataFrame:
@@ -7799,13 +7804,15 @@ def mad_outliers_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return r.groupBy("event_type").agg(sel.alias(f"med_{col}"))
 
-    med = _exact_median(ev.select("event_type", "event_id", "value"), "value")
+    med = _exact_median(
+        ev.select("event_type", "event_id", "value"), "value"
+    ).localCheckpoint(eager=False)
     d = ev.join(med, "event_type").select(
         "event_type",
         "event_id",
         F.abs(F.col("value") - F.col("med_value")).alias("dev"),
-    )
-    mad = _exact_median(d, "dev")
+    ).localCheckpoint(eager=False)
+    mad = _exact_median(d, "dev").localCheckpoint(eager=False)
     o = (
         d.join(mad, "event_type")
         .filter(F.col("dev") > F.lit(MAD_K) * F.col("med_dev"))
@@ -10670,9 +10677,18 @@ def market_basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by basket size squared (~7² per TPC-H order, never
     corpus²); the support HAVING prunes before the tiny item-count
     joins; lift arithmetic is one shared integer-ratio expression per
-    surviving pair, and top-k is TakeOrdered."""
+    surviving pair, and top-k is TakeOrdered.  The distinct basket
+    frame feeds FOUR branches (order count, item counts, both
+    self-join sides) and is localCheckpoint-pinned to one
+    distinct-shuffle (r15: 5 lineitem scans in the unpinned plan,
+    plans/r15/market_basket_part_lift_before.txt; pinned 0.84-0.89x
+    across two interleaved min-of-5 sessions)."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    b = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = b.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
     item = b.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
     x = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
@@ -15372,6 +15388,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", "supplycost", "s_acctbal", "s_name", "n_name",
             "p_brand",
         )
+        # cand feeds the per-part MIN and the equality join back —
+        # localCheckpoint pins the ps derivation (a full lineitem
+        # groupBy) and the supplier/part joins to ONE evaluation
+        # (r15: 2x lineitem+supplier+part scans before,
+        # plans/r15/q2_min_cost_supplier_before.txt; pinned 0.87-0.96x
+        # across two interleaved min-of-5 sessions); the pinned frame
+        # is the part/type/size-pruned candidate set, not the corpus
+        .localCheckpoint(eager=False)
     )
     mc = cand.groupBy("l_partkey").agg(F.min("supplycost").alias("m"))
     return (
