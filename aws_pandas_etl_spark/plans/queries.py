@@ -4005,7 +4005,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ps.join(nation_supp, ps.l_suppkey == nation_supp.s_suppkey).select(
         "l_partkey", "val"
     )
-    per_part = g.groupBy("l_partkey").agg(F.sum("val").alias("val_d"))
+    # per_part feeds the HAVING threshold and the final filter —
+    # localCheckpoint pins the lineitem groupBy + supplier join to one
+    # evaluation (r15: 2x lineitem/supplier scans before,
+    # plans/r15/q11_important_stock_before.txt; 0.93-0.97x across two
+    # interleaved min-of-5 sessions); the pinned frame is |parts| rows
+    per_part = g.groupBy("l_partkey").agg(
+        F.sum("val").alias("val_d")
+    ).localCheckpoint(eager=False)
     # threshold re-aggregates the |parts|-sized per_part frame (exact
     # decimal sum, same value as summing g) instead of the much larger
     # pre-aggregate join output
@@ -9179,7 +9186,16 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    e = t.select("doc_id", F.explode(grams).alias("term")).distinct()
+    # e feeds the df aggregate and the posting-list window join —
+    # localCheckpoint pins the tokenize+bigram explode+distinct to one
+    # evaluation (r15: 3 documents scans before,
+    # plans/r15/inverted_index_terms_before.txt; 0.94x in both of two
+    # interleaved min-of-5 sessions)
+    e = (
+        t.select("doc_id", F.explode(grams).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nd = docs.agg(F.count("*").cast("bigint").alias("nd"))
     max_df = F.least(
         F.ceil(F.lit(INVIDX_MAX_DF_FRAC) * F.col("nd")).cast("bigint"),
@@ -14567,11 +14583,18 @@ def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise self-join runs on that bounded table (for D days, D^2/2
     pairs per type — days are bounded by retention, not corpus size).
     This is the one place a quadratic join is CORRECT at 100 TB:
-    the quadratic is over calendar days, never rows."""
+    the quadratic is over calendar days, never rows.  The (type, day)
+    cell table feeds three consumers (pair self-join, n, ties) and
+    the pair frame two (S/sen aggregates) — both localCheckpoint-
+    pinned to one evaluation (r15: 6 events scans unpinned,
+    plans/r15/daily_trend_mann_kendall_before.txt; pinned 0.75x in
+    both of two interleaved min-of-5 sessions)."""
     ev = load_table(spark, sf_dir, "events")
     day = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x")).localCheckpoint(
+        eager=False
+    )
     widx = Window.partitionBy("event_type").orderBy("d")
     idx = day.select(
         "event_type", "x", F.row_number().over(widx).alias("i")
@@ -14593,7 +14616,7 @@ def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("slope"),
         F.col("a.i").alias("i1"),
         F.col("b.i").alias("i2"),
-    )
+    ).localCheckpoint(eager=False)
     wsrt = Window.partitionBy("event_type").orderBy("slope", "i1", "i2")
     wm = Window.partitionBy("event_type")
     srt = pr.select(
