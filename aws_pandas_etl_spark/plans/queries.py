@@ -12595,7 +12595,14 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back is fingerprint-bucketed — candidates scale with shared
     content, not with the corpus square."""
     docs = load_table(spark, sf_dir, "documents")
-    chunks = TX.cdc_chunks(docs, "doc_id", "text", CDC_MASK)
+    # chunks feeds the fingerprint-share aggregate AND the join back —
+    # localCheckpoint pins the tokenize+boundary-window+fingerprint
+    # chain to one evaluation (r15: ran twice before,
+    # plans/r15/cdc_chunk_dedup_before.txt; 0.76-0.88x across two
+    # interleaved min-of-5 sessions)
+    chunks = TX.cdc_chunks(docs, "doc_id", "text", CDC_MASK).localCheckpoint(
+        eager=False
+    )
     share = chunks.groupBy("fp").agg(
         F.count_distinct("doc_id").cast("bigint").alias("n_docs")
     )
@@ -19760,12 +19767,17 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     order- and partitioning-independent."""
     from aws_pandas_etl_spark.functions.hashing import minhash_signature
 
+    # sigs joins twice (a-side and b-side) — localCheckpoint pins the
+    # signature computation (NUM_HASHES affine ops per shingle) to one
+    # evaluation (r15: computed per join side before,
+    # plans/r15/minhash_estimate_error_before.txt; 0.79-0.80x across
+    # two interleaved min-of-5 sessions)
     sigs = _shingle3_table(spark, sf_dir).select(
         "doc_id",
         minhash_signature(F.col("hashes"), num_hashes=D.NUM_HASHES).alias(
             "sig"
         ),
-    )
+    ).localCheckpoint(eager=False)
     pairs = _minhash_pairs(spark, sf_dir)
     est = (
         pairs.join(
