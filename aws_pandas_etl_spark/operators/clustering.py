@@ -322,9 +322,14 @@ def knn_graph_extend(
     all_emb = old_emb.unionByName(new_emb)
     assigned = _topp_assign(all_emb, cents, assign_probes, id_col, vec_col)
     is_new = new_emb.select(F.col(id_col), F.lit(True).alias("___new"))
+    # flagged feeds BOTH aliases of the cell self-join below: without a
+    # pin the Arrow-batched _topp_assign pass runs once per alias
+    # (r15 measured 0.86-0.93x pinned, interleaved min-of-5 x2);
+    # the pinned frame is (id, cluster, flag) — assign_probes rows per
+    # vector, never the embeddings themselves
     flagged = assigned.join(is_new, id_col, "left").select(
         id_col, "cluster", F.coalesce(F.col("___new"), F.lit(False)).alias("___new")
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         flagged.alias("x")
         .join(flagged.alias("y"), "cluster")
@@ -335,7 +340,11 @@ def knn_graph_extend(
         .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
         .distinct()
     )
-    new_pairs = _rescore_pairs(cand, all_emb, id_col, vec_col, round_digits)
+    # new_pairs feeds both orientations of the directed union — pin the
+    # rescore (a cosine fold per candidate pair) to one evaluation
+    new_pairs = _rescore_pairs(
+        cand, all_emb, id_col, vec_col, round_digits
+    ).localCheckpoint(eager=False)
     # old_edges are already directed; fold them in as one-orientation
     # candidates on top of the new pairs' two orientations
     directed_new = new_pairs.unionByName(
