@@ -12318,12 +12318,17 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy; the normalizers (total tokens, sum p^alpha) are a |langs|-
     row aggregate cross-joined back as a 1-row broadcast — the scalar-
     normalizer shape the plan-shape test whitelists.  The corpus is
-    scanned once; everything after is |langs|-sized."""
+    scanned once; everything after is |langs|-sized (the |langs|-row
+    token-total frame feeds the total, the p frame, the z normalizer
+    AND the final projection — localCheckpoint pins the tokenize-size
+    aggregate to ONE corpus pass; r15: 4 documents scans unpinned,
+    plans/r15/temperature_mixture_weights_before.txt; pinned
+    0.58/0.60x, interleaved min-of-5 x2)."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.size(TX.tokens("text"))).cast("bigint").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     tot = n.agg(
         F.sum("n_tokens").cast("double").alias("total_tokens"),
     )
