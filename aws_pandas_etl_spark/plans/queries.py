@@ -9316,7 +9316,10 @@ def rare_token_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (
         _shingle3_table(spark, sf_dir)
         .select("doc_id", F.col("hashes").alias("g"))
-        .repartition(32, "doc_id")
+        # fan the single-part artifact out to the SESSION's parallelism
+        # (r15: was a hard-coded 32 — correct on local[32], wrong at
+        # any other core count; the driver benches at lower counts)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .localCheckpoint(eager=False)
     )
     e = t.select(
