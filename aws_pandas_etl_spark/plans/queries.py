@@ -6867,36 +6867,49 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise, exotic boilerplate; the standard curation signal next to
     the Gopher heuristics).
 
-    Plan: one explode feeds the corpus term-frequency aggregate, the
-    1-row corpus total AND the per-token scoring join —
-    localCheckpoint-pinned to ONE evaluation (r15: without the pin
-    each branch re-ran tokenize+explode — 6 parquet scans in the
-    plan, plans/r15/unigram_logprob_quality_before.txt; pinned
-    1.152 s -> 0.811 s at sf0.1, interleaved min-of-5 — the same
-    shared-explode fix r13 measured on the bigram scorer); the join
-    shape stays unforced (corpus-scaling vocab, AQE decides).
+    Plan: the explode is aggregated ONCE to the (doc_id, term, tf)
+    term-frequency frame, and that POST-aggregation frame (bounded by
+    distinct doc x term pairs, the tfidf pattern) is localCheckpoint-
+    pinned and feeds the corpus frequency aggregate, the 1-row corpus
+    total AND the scoring join — one tokenize pass, no corpus-scale
+    frame in executor storage (r16: the r15 version pinned the raw
+    exploded token-occurrence frame, whose truncated lineage on an
+    O(corpus) frame is unrecoverable on executor loss at scale — the
+    r15 ADVICE item; the unpinned r14 plan re-ran tokenize+explode
+    per branch, 6 parquet scans,
+    plans/r15/unigram_logprob_quality_before.txt).  The scoring join
+    also shrinks: tf-weighted per-(doc, term) rows instead of one row
+    per token occurrence.  The join shape stays unforced
+    (corpus-scaling vocab, AQE decides).
     Parity: per-token -ln(c/total) is rounded to 6
     digits (absorbing the <=1-ulp cross-engine ln difference) and cast
-    to DECIMAL before the order-independent SUM — a raw double sum
-    over a doc's tokens would differ by accumulation order."""
+    to DECIMAL before the order-independent SUM; SUM over token
+    occurrences of a per-term constant equals the exact decimal
+    tf * nlp summed over (doc, term) — same decimal value, same
+    double."""
     docs = load_table(spark, sf_dir, "documents")
-    e = docs.select(
-        "doc_id", F.explode(TX.tokens("text")).alias("term")
-    ).localCheckpoint(eager=False)
-    freq = e.groupBy("term").agg(F.count("*").cast("bigint").alias("c"))
-    total = e.agg(F.count("*").cast("bigint").alias("total"))
+    dtc = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    freq = dtc.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = dtc.agg(F.sum("tf").alias("total"))
     nlp = F.round(
         -F.log(F.col("c").cast("double") / F.col("total")), 6
     ).cast("decimal(18,6)")
     return (
-        e.join(freq, "term")
+        dtc.join(freq, "term")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", nlp.alias("nlp"))
+        .select("doc_id", "tf", nlp.alias("nlp"))
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("tf").alias("n_tokens"),
             F.round(
-                F.sum("nlp").cast("double") / F.count("*"), 6
+                F.sum(F.col("nlp") * F.col("tf")).cast("double")
+                / F.sum("tf"),
+                6,
             ).alias("avg_neg_logprob"),
         )
     )
@@ -9059,22 +9072,20 @@ def pmi_bigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigram construction is a scan-side array transform
     (no self-join of adjacent tokens); the two unigram joins hit a
     vocabulary-scaling frame, so neither is broadcast-forced — AQE
-    decides.  Top-20 goes through TakeOrderedAndProject.  The token
-    array frame feeds both the unigram and the bigram explode and is
-    localCheckpoint-pinned to one tokenize pass (r15: unpinned plan
-    carried 10 parquet scans of documents,
-    plans/r15/pmi_bigrams_top20_before.txt; pinned 1.521 s -> 0.805 s
-    at sf0.1, interleaved min-of-5)."""
+    decides.  Top-20 goes through TakeOrderedAndProject.  Unigram and
+    bigram occurrences ride ONE tagged explode out of one tokenize
+    pass, and what gets localCheckpoint-pinned is the POST-aggregation
+    (kind, gram) count table — vocabulary-scaling, never the corpus
+    (r16: the r15 version pinned the full tokens-array frame, which
+    regressed 1.13 -> 1.34 s inside full-bench sessions — the
+    checkpoint block write of a corpus-scale frame cost more than the
+    saved scans — and carried the lineage-truncation fault-tolerance
+    cliff on an O(corpus) frame; re-adjudicated interleaved vs both
+    the r15 pin and the unpinned r14 shape).  The unpinned r14 plan
+    carried 10 parquet scans of documents
+    (plans/r15/pmi_bigrams_top20_before.txt); this shape scans once."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(TX.tokens("text").alias("toks")).localCheckpoint(
-        eager=False
-    )
-    uni = (
-        t.select(F.explode("toks").alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
-    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    t = docs.select(TX.tokens("text").alias("toks"))
     k = F.size("toks") - F.lit(1)
     idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
         F.array().cast("array<int>")
@@ -9085,9 +9096,25 @@ def pmi_bigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
         ),
     )
-    all_bi = t.select(F.explode(grams).alias("bigram")).groupBy("bigram").agg(
-        F.count("*").cast("bigint").alias("c_ab")
+    unis_tagged = F.transform(
+        F.col("toks"), lambda w: F.struct(F.lit(1).alias("kind"), w.alias("g"))
     )
+    bis_tagged = F.transform(
+        grams, lambda g: F.struct(F.lit(2).alias("kind"), g.alias("g"))
+    )
+    counts = (
+        t.select(F.explode(F.concat(unis_tagged, bis_tagged)).alias("x"))
+        .groupBy(F.col("x.kind").alias("kind"), F.col("x.g").alias("g"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    uni = counts.filter(F.col("kind") == 1).select(
+        F.col("g").alias("term"), "c"
+    )
+    all_bi = counts.filter(F.col("kind") == 2).select(
+        F.col("g").alias("bigram"), F.col("c").alias("c_ab")
+    )
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
     n_bi = all_bi.agg(F.sum("c_ab").cast("bigint").alias("n_bi"))
     bi = all_bi.filter(F.col("c_ab") >= PMI_MIN_COUNT).select(
         "bigram",
@@ -13972,29 +13999,34 @@ def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus size — the closed-vocab trick that keeps smoothing's
     absent-token mass exact without a corpus-sized densification.
     Token counting is one map-side-combined groupBy; everything after
-    runs on bounded frames.  The token-occurrence explode feeds THREE
-    branches (vocab top-200, per-source totals, per-source-x-token
-    counts) and is localCheckpoint-pinned to one evaluation (r15:
-    unpinned plan re-tokenized per branch — 10 parquet scans,
-    plans/r15/unigram_kl_by_source_before.txt; pinned 1.454 s ->
-    0.907 s at sf0.1, interleaved min-of-5)."""
+    runs on bounded frames.  The explode is aggregated ONCE to the
+    (source, token) count frame, and that POST-aggregation frame
+    (|sources| x vocabulary rows) is localCheckpoint-pinned and feeds
+    all three branches (vocab top-200, per-source totals,
+    per-source-x-token counts) — one tokenize pass, no corpus-scale
+    frame in executor storage (r16: the r15 version pinned the raw
+    token-occurrence frame ``occ``, whose truncated lineage on an
+    O(corpus) frame is unrecoverable on executor loss at scale — the
+    r15 ADVICE item; the unpinned r14 plan re-tokenized per branch,
+    10 parquet scans, plans/r15/unigram_kl_by_source_before.txt).
+    Integer counts re-aggregate exactly: sum of per-(source, token)
+    counts equals the direct occurrence counts in every branch."""
     docs = load_table(spark, sf_dir, "documents")
-    occ = docs.select(
-        "source", F.explode(TX.tokens("text")).alias("token")
-    ).localCheckpoint(eager=False)
+    stc = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
     vocab = (
-        occ.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cq"))
+        stc.groupBy("token")
+        .agg(F.sum("c_st").alias("cq"))
         .orderBy(F.col("cq").desc(), "token")
         .limit(KL_TOP_V)
     )
-    srcs = occ.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_occ_all")
-    )
-    cs = (
-        occ.join(F.broadcast(vocab.select("token")), "token")
-        .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    srcs = stc.groupBy("source").agg(F.sum("c_st").alias("n_occ_all"))
+    cs = stc.join(F.broadcast(vocab.select("token")), "token").select(
+        "source", "token", F.col("c_st").alias("c")
     )
     spine = (
         srcs.crossJoin(F.broadcast(vocab))

@@ -61,22 +61,26 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
 def _path_fingerprint(path: str):
     """Cheap change-detection key for a parquet file or directory:
-    (mtime_ns, size) of the file, plus the (name, mtime_ns, size) of
-    every direct child for a directory-shaped table.  Any rewrite of
-    the data changes the fingerprint, which invalidates the metadata
+    (mtime_ns, size) of the file, plus the (relpath, mtime_ns, size)
+    of every file under it for a directory-shaped table — recursive,
+    so a rewrite two levels deep (partition=X/part-*.parquet) changes
+    the fingerprint even though the table dir's own mtime does not
+    (r15 ADVICE).  Any rewrite of the data invalidates the metadata
     cache below — the cache can never serve a stale schema for
     regenerated fixtures."""
     st = os.stat(path)
     if not os.path.isdir(path):
         return (st.st_mtime_ns, st.st_size)
     children = []
-    with os.scandir(path) as it:
-        for e in sorted(it, key=lambda e: e.name):
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        rel = os.path.relpath(root, path)
+        for fn in sorted(files):
             try:
-                cst = e.stat()
+                cst = os.stat(os.path.join(root, fn))
             except OSError:
                 continue
-            children.append((e.name, cst.st_mtime_ns, cst.st_size))
+            children.append((os.path.join(rel, fn), cst.st_mtime_ns, cst.st_size))
     return (st.st_mtime_ns, tuple(children))
 
 
@@ -88,6 +92,12 @@ def _path_fingerprint(path: str):
 # explicit schema, and load_table runs 2-4x per query x 297 queries,
 # so inference alone accounted for tens of seconds of pure per-query
 # fixed cost (guide §1.2: per-task work after algorithm shape).
+# Single-session assumption (r15 ADVICE): the cache is process-wide
+# and keyed by path, and the schema was inferred under the session
+# confs of get_spark()'s singleton — a second session in the same
+# process with different parquet-inference confs would see the first
+# session's schema.  The package only ever builds one session per
+# process (session.get_spark); revisit the key if that changes.
 _META_CACHE: dict[str, tuple[object, list[str], object]] = {}
 
 
@@ -112,8 +122,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     plan construction, measured).  Only metadata is cached — every
     query still scans the parquet data."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    fp = _path_fingerprint(path)
-    cached = _META_CACHE.get(path)
+    try:
+        fp = _path_fingerprint(path)
+    except OSError:
+        # missing table: skip the cache and let spark.read raise its
+        # usual AnalysisException ("Path does not exist") — callers
+        # that catch Spark errors keep working (r15 ADVICE)
+        fp = None
+    cached = _META_CACHE.get(path) if fp is not None else None
+    ns_cols: list[str] | None = None
     if cached is not None and cached[0] == fp:
         _, ns_cols, raw_schema = cached
         if not ns_cols:
@@ -121,14 +138,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return _normalize_with_schema(df, raw_schema)
         # nanos tables keep the conf-scoped inference path: the
         # nanosAsLong footer-acceptance check happens again at scan
-        # planning, so an explicit schema alone is not sufficient
-    ns_cols = _nanos_timestamp_cols(path)
+        # planning, so an explicit schema alone is not sufficient —
+        # but the cached ns_cols list skips the pyarrow footer re-read
+    if ns_cols is None:
+        ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         df = spark.read.parquet(path)
         raw_schema = df.schema
-        _META_CACHE[path] = (fp, ns_cols, raw_schema)
+        if fp is not None:
+            _META_CACHE[path] = (fp, ns_cols, raw_schema)
         return _normalize_with_schema(df, raw_schema)
-    _META_CACHE[path] = (fp, ns_cols, None)
+    if fp is not None:
+        _META_CACHE[path] = (fp, ns_cols, None)
     df = _read_parquet_nanos(spark, path)
     df = df.withColumns(
         {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in ns_cols}

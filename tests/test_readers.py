@@ -516,3 +516,70 @@ def test_load_table_metadata_cache_and_invalidation(spark, tmp_path):
     os.utime(path, (future, future))
     df3 = load_table(spark, sf_dir, "t")
     assert "extra" in df3.columns and df3.count() == 3
+
+
+def test_load_table_missing_path_raises_spark_error(spark, tmp_path):
+    """A missing table surfaces Spark's usual AnalysisException (the
+    pre-cache contract), not a FileNotFoundError from the fingerprint
+    stat (r15 ADVICE): callers that catch Spark errors keep working."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        load_table(spark, str(tmp_path), "no_such_table")
+
+
+def test_fingerprint_invalidates_on_nested_rewrite(spark, tmp_path):
+    """Rewriting a file two levels deep (partition=X/part-*.parquet)
+    changes the fingerprint even though the table dir's own mtime and
+    direct-child stats do not — the recursive walk closes the stale-
+    schema window the r15 ADVICE flagged for partitioned layouts."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.sources import readers
+
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "p.parquet")
+    spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).alias("part")
+    ).write.mode("overwrite").partitionBy("part").parquet(path)
+    df1 = load_table(spark, sf_dir, "p")
+    assert set(df1.columns) == {"id", "part"}
+    fp1 = readers._META_CACHE[path][0]
+
+    # rewrite ONE leaf file inside partition part=0 with an extra
+    # column, then pin the table dir's and partition dirs' mtimes back
+    # so only the leaf's stat differs (the exact stale case flagged)
+    stats = {
+        p: os.stat(p)
+        for p in (
+            path,
+            *(os.path.join(path, d) for d in os.listdir(path)
+              if os.path.isdir(os.path.join(path, d))),
+        )
+    }
+    part0 = os.path.join(path, "part=0")
+    leaf = [f for f in os.listdir(part0) if f.endswith(".parquet")][0]
+    spark.range(2).select(
+        F.col("id"), F.lit("x").alias("extra")
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf_dir, "tmp1"))
+    tmp_leaf = [
+        f
+        for f in os.listdir(os.path.join(sf_dir, "tmp1"))
+        if f.endswith(".parquet")
+    ][0]
+    os.replace(
+        os.path.join(sf_dir, "tmp1", tmp_leaf), os.path.join(part0, leaf)
+    )
+    future = _time.time() + 5
+    os.utime(os.path.join(part0, leaf), (future, future))
+    for p, st in stats.items():
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+
+    fp2 = readers._path_fingerprint(path)
+    assert fp2 != fp1  # recursive walk sees the leaf rewrite
+    load_table(spark, sf_dir, "p")  # re-infers (cache miss), no stale serve
+    assert readers._META_CACHE[path][0] == fp2  # entry re-keyed, not stale
