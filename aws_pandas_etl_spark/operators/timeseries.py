@@ -493,12 +493,22 @@ def psi_clamped_bins(ev: DataFrame, nbins: int = PSI_NBINS) -> DataFrame:
     bounds = u.groupBy("event_type").agg(
         F.expr("(MIN(t) + MAX(t)) DIV 2").alias("mid")
     )
+    if not ev.isStreaming:
+        # the |types|-row midpoint and reference-range frames each feed
+        # two consumers; localCheckpoint pins them to one evaluation so
+        # the batch callers stop re-scanning the stream per branch
+        # (r16: psi_value_drift's unpinned plan scanned events 4x,
+        # plans/r16/psi_value_drift_before.txt).  Guarded on
+        # isStreaming: checkpointing is a batch-only operation.
+        bounds = bounds.localCheckpoint(eager=False)
     w = u.join(F.broadcast(bounds), "event_type")
     refb = (
         w.filter(F.col("t") < F.col("mid"))
         .groupBy("event_type")
         .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
     )
+    if not ev.isStreaming:
+        refb = refb.localCheckpoint(eager=False)
     wb = w.join(F.broadcast(refb), "event_type", "left")
     raw = F.floor(
         (F.col("value") - F.col("vmin"))

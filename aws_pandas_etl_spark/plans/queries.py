@@ -6252,7 +6252,12 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     the share-of-whole pattern.  The denominator is an exact decimal
     sum of the per-nation revenues, NOT a float window sum (whose
     25-value accumulation order would differ per engine), broadcast
-    back as a 1-row cross join."""
+    back as a 1-row cross join.  The 25-row per-nation frame feeds
+    both the total and the final projection, so it is localCheckpoint-
+    pinned (r16: the unpinned plan ran the 4-table join+aggregate
+    twice — 6 fact scans, plans/r16/nation_revenue_share_before.txt;
+    locally flat at sf0.1, shipped on work-reduction grounds — the
+    duplicate is a full lineitem⋈orders⋈customer pass at scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -6263,6 +6268,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(_rev_spark().alias("revenue"))
+        .localCheckpoint(eager=False)
     )
     # exact-decimal total, not a float window sum: the 25-value double
     # addition order differs between engines, the decimal sum cannot
@@ -7803,7 +7809,15 @@ def mad_outliers_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation apiece (r15: the unpinned plan re-ran the median
     window pass per consumer — 7 events scans,
     plans/r15/mad_outliers_per_event_type_before.txt; pinned
-    0.66-0.74x across two interleaved min-of-5 sessions)."""
+    0.66-0.74x across two interleaved min-of-5 sessions).  med and
+    mad are |types|-row frames; d is the ONE row-level pin here — it
+    cannot be pre-aggregated (the second median and the outlier
+    recount both need per-row deviations), so the trade is explicit:
+    pinning d stores an O(events) frame in non-replicated executor
+    storage (job restarts from scratch on executor loss) in exchange
+    for removing two full median-window passes over the corpus; at
+    cluster scale prefer losing one job occasionally over tripling
+    every run."""
     ev = load_table(spark, sf_dir, "events")
 
     def _exact_median(df: DataFrame, col: str) -> DataFrame:
@@ -9604,7 +9618,12 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, AQE's call.
 
     Scale shape: two anti joins + scalar counts; no corpus-scaling
-    broadcast hints."""
+    broadcast hints.  r16 negative result: fusing n_child into the
+    orphan pass (LEFT OUTER against distinct dim keys + one aggregate,
+    child scanned once instead of twice) measured 1.45x SLOWER
+    locally, interleaved min-of-5 — the anti join's early drop beats
+    the outer join's full-row pass-through here; the two-scan shape
+    stays."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_custkey") % FK_MOD != 3
     )
@@ -10658,7 +10677,12 @@ def join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per relationship one map-side-combined count-by-key
     per side, one distinct-key-sized equi-join of the count frames,
     and three 1-row aggregates — the fact tables stream once each and
-    no forecast ever materializes a joined row."""
+    no forecast ever materializes a joined row.  Each count-by-key
+    frame feeds 2-4 consumers (row total + join arm(s)), so it is
+    localCheckpoint-pinned to one evaluation (r16 census: the unpinned
+    plan re-scanned the fact tables 12x,
+    plans/r16/join_size_forecast_before.txt); the pinned frames are
+    POST-aggregation, distinct-key-sized — never the fact rows."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -10667,7 +10691,7 @@ def join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     def counts(df: DataFrame, key: str) -> DataFrame:
         return df.groupBy(F.col(key).alias("k")).agg(
             F.count("*").cast("bigint").alias("c")
-        )
+        ).localCheckpoint(eager=False)
 
     lo = counts(li, "l_orderkey")
     oo = counts(orders, "o_orderkey")
@@ -11349,9 +11373,13 @@ def vocab_growth_by_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     type count rides the same first-occurrence groupBy as novelty
     scoring, and the only window is the 10-row running sum."""
     docs = load_table(spark, sf_dir, "documents")
+    # 1-row (min, max) frame feeds both slice assignments —
+    # localCheckpoint-pinned so its scan runs once (r16: unpinned plan
+    # scanned documents 4x,
+    # plans/r16/vocab_growth_by_corpus_slice_before.txt)
     b = docs.agg(
         F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
-    )
+    ).localCheckpoint(eager=False)
 
     def _slice(c: F.Column) -> F.Column:
         span = F.col("_hi") - F.col("_lo") + F.lit(1)
@@ -13791,13 +13819,19 @@ def kmv_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_pandas_etl_spark.functions.hashing import md5_bigint
 
     ev = load_table(spark, sf_dir, "events")
+    # the deduped (type, hash, user) table feeds the type spine, the
+    # pair-sketch expansion AND the exact-intersection audit —
+    # localCheckpoint-pinned to one evaluation (r16: the unpinned plan
+    # re-ran the distinct over events 7x,
+    # plans/r16/kmv_overlap_event_types_before.txt; pinned frame is
+    # the POST-distinct |types x users| table, not the event stream)
     d = ev.select(
         F.col("event_type").alias("t"),
         md5_bigint(
             F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
         ).alias("h"),
         "user_id",
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     types = d.select("t").distinct()
     pairs = (
         types.alias("a")
@@ -14316,7 +14350,12 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one groupBy over the (QI x band) domain; the spine is
     |classes| x |bands| (attribute-domain-sized); cumsums are windows
-    over that bounded spine.  The fact table is touched once."""
+    over that bounded spine.  The fact table is touched once: the
+    (QI x band) cell table feeds five branches (bands, class totals,
+    global histogram, its total, and the spine's left join), so it is
+    localCheckpoint-pinned to one evaluation (r16: the unpinned plan
+    re-scanned customer 5x, plans/r16/t_closeness_audit_before.txt;
+    the pinned frame is the bounded post-aggregation cell table)."""
     cust = load_table(spark, sf_dir, "customer")
     c = cust.groupBy(
         "c_nationkey",
@@ -14324,7 +14363,9 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias(
             "band"
         ),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).localCheckpoint(
+        eager=False
+    )
     bands = c.select("band").distinct()
     cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.sum("n").cast("bigint").alias("n_c")
@@ -14465,13 +14506,19 @@ def kaplan_meier_signup_to_purchase(
     collapses to |distinct days| rows and every window runs on that
     bounded table (the single-partition window is over ~30 day rows,
     not the stream).  The stream-end censor bound is a 1-row
-    broadcast."""
+    broadcast.  The per-user first-signup frame (feeds the purchase
+    as-of and the censor union) and the per-user observation frame
+    (feeds the life table and its total) are localCheckpoint-pinned —
+    both POST-aggregation, signup-user-sized (r16: unpinned, each
+    consumer re-ran its groupBy over events — 6 scans,
+    plans/r16/kaplan_meier_signup_to_purchase_before.txt)."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
     s = (
         u.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("t").alias("s_ts"))
+        .localCheckpoint(eager=False)
     )
     p = (
         s.join(
@@ -14497,7 +14544,7 @@ def kaplan_meier_signup_to_purchase(
             .alias("t_day"),
             F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
         )
-    )
+    ).localCheckpoint(eager=False)
     g = obs.groupBy("t_day").agg(
         F.sum("ev").cast("bigint").alias("d"),
         F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
@@ -15550,7 +15597,14 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     |types|^2 — both collapse from the corpus with one map-side-
     combined groupBy; every iteration is a join+aggregate over those
     bounded frames, so cost past the first scan is independent of
-    corpus size."""
+    corpus size.  The |types|^2 transition-count and probability
+    frames feed every iteration plus the spine/total branches, so both
+    are localCheckpoint-pinned (r16: the unpinned plan re-ran the
+    lead-window pass over events 11x,
+    plans/r16/markov_stationary_event_types_before.txt — locally flat
+    at sf0.1 where idle cores hide the duplicates, shipped on
+    work-reduction grounds: each duplicate is a full corpus pass at
+    scale; both pinned frames are |types|^2 post-aggregation rows)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = ev.select(
@@ -15558,13 +15612,15 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     ).filter(F.col("next_type").isNotNull())
     trans = t.groupBy(
         F.col("event_type").alias("f"), F.col("next_type").alias("tt")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).localCheckpoint(
+        eager=False
+    )
     tot = trans.groupBy("f").agg(F.sum("n").alias("tn"))
     p = trans.join(tot, "f").select(
         "f",
         "tt",
         F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("p"),
-    )
+    ).localCheckpoint(eager=False)
     s = trans.select(F.col("f").alias("ty")).distinct()
     k = s.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     v = s.crossJoin(F.broadcast(k)).select(
@@ -16315,9 +16371,14 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the OLS fold never see the corpus.  Decimal-rounded log terms
     make every sum order-independent."""
     docs = load_table(spark, sf_dir, "documents")
+    # 1-row id-range frame feeds both slice assignments —
+    # localCheckpoint-pinned so its min/max scan runs once (r16:
+    # unpinned plan scanned documents 4x,
+    # plans/r16/heaps_law_fit_before.txt; the token-count and
+    # first-occurrence arms keep their own documented scans)
     ids = docs.agg(
         F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
-    )
+    ).localCheckpoint(eager=False)
     binexp = f"((doc_id - mn) * {HEAPS_BINS}) DIV (mx - mn + 1)"
     dt = docs.crossJoin(F.broadcast(ids)).select(
         F.expr(binexp).alias("bin"),
@@ -16751,13 +16812,18 @@ def exact_percentiles_histogram_refine(
     candidate-bin subsets (each partitioned BY percentile, sized
     ~n/{PCT_BINS} — at deeper scale you recurse another histogram
     level instead of widening the window, same primitive).  The
-    1-row global stats broadcast to the scan side."""
+    1-row global stats broadcast to the scan side.  The 1-row stats
+    frame feeds the k targets, both binned-scan consumers and the
+    final projection, so it is localCheckpoint-pinned (r16: unpinned,
+    each consumer re-ran the min/max/count scan — 5 events scans,
+    plans/r16/exact_percentiles_histogram_refine_before.txt; pinned,
+    the plan keeps exactly the two documented corpus scans)."""
     ev = load_table(spark, sf_dir, "events")
     g = ev.agg(
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     ks = g.select(
         F.explode(F.array(*[F.lit(p) for p in EXACT_PCTS])).alias("p"), "n"
     ).select(
@@ -18654,7 +18720,12 @@ def exact_median_per_type_refine(
 
     Scale shape: two scans (histogram build, candidate-bin rank); the
     group stats join back as a |types|-row broadcast; every exchange
-    is keyed by event_type so groups proceed in parallel."""
+    is keyed by event_type so groups proceed in parallel.  The
+    |types|-row stats frame feeds both binned-scan consumers and the
+    candidate probe, so it is localCheckpoint-pinned (r16: unpinned,
+    each consumer re-ran the per-type min/max/count scan — 5 events
+    scans, plans/r16/exact_median_per_type_refine_before.txt; pinned,
+    the plan keeps the two documented corpus scans)."""
     ev = load_table(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(
         F.min("value").alias("mn"),
@@ -18669,7 +18740,7 @@ def exact_median_per_type_refine(
         (F.floor((F.col("n") - 1) * F.lit(0.5)) + 1)
         .cast("bigint")
         .alias("k"),
-    )
+    ).localCheckpoint(eager=False)
     binc = (
         F.when(F.col("mx") == F.col("mn"), F.lit(0))
         .otherwise(
@@ -18772,13 +18843,16 @@ def fd_binwidth_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to exact_percentiles_histogram_refine (two
     scans, bounded histogram windows, per-percentile candidate-bin
     rank); the FD arithmetic is one row.  Width is rounded BEFORE the
-    bin-count division so both engines ceil the same double."""
+    bin-count division so both engines ceil the same double.  The
+    1-row stats frame is localCheckpoint-pinned like the flagship's
+    (r16: unpinned plan re-ran min/max/count per consumer — 6 events
+    scans, plans/r16/fd_binwidth_recommendation_before.txt)."""
     ev = load_table(spark, sf_dir, "events")
     g = ev.agg(
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     ks = g.select(
         F.explode(F.array(F.lit(0.25), F.lit(0.75))).alias("p"), "n"
     ).select(
@@ -19921,13 +19995,23 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     k, cents = _kmeans_cents(spark, sf_dir)
     assigned = kmeans_lloyd(emb, k=k, iters=KMEANS_ITERS, cents=cents)
+    # the assigned+normed frame feeds BOTH sides of the cell-blocked
+    # cross-label join — localCheckpoint-pinned so the codegen argmin
+    # assignment and norm fold run once, not once per side (r16: the
+    # unpinned plan scanned embeddings 8x,
+    # plans/r16/bitext_mining_margin_before.txt — the knn_graph_extend
+    # precedent).  Executor-storage trade, same as that pin: the
+    # pinned frame is O(n_vectors) with embeddings; its truncated
+    # lineage is non-recoverable on executor loss — acceptable for a
+    # derived mining pass that simply re-runs, and it replaces TWO
+    # full argmin passes at scale.
     lab = assigned.join(emb, "vec_id").select(
         "vec_id",
         "cluster",
         "label",
         "embedding",
         F.sqrt(SIM.dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    ).localCheckpoint(eager=False)
     x = lab.filter(F.col("label") == 0).select(
         F.col("vec_id").alias("anchor"),
         F.col("cluster").alias("cl"),

@@ -152,3 +152,25 @@ def unigram_kl_by_source_r15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def fk_orphan_audit_r15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 shape: anti-join orphans + separate total (child scanned 2x)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % Q.FK_MOD != 3
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _audit(name, child, ck, dim, dk):
+        orphans = child.join(
+            dim, child[ck] == dim[dk], "left_anti"
+        ).agg(F.count("*").cast("bigint").alias("n_orphans"))
+        total = child.agg(F.count("*").cast("bigint").alias("n_child"))
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("fk"), "n_child", "n_orphans"
+        )
+
+    return _audit(
+        "orders->customer", orders, "o_custkey", cust, "c_custkey"
+    ).unionByName(_audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"))
