@@ -38,11 +38,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from aws_pandas_etl_spark.operators.similarity import dot, l2sq
+from aws_pandas_etl_spark.operators.similarity import _lit_array, dot, l2sq
 
 
 def _lit_vec(vals: list[float]) -> F.Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    # single parsed expression, not len(vals) py4j lit() calls —
+    # see similarity._lit_array (r16 driver-profile fix)
+    return _lit_array(vals)
 
 
 def _dist_structs(vec_col: str, cents: list[tuple[int, list[float]]]) -> F.Column:
@@ -750,7 +752,7 @@ def pca_fit(
     )
     mean = [r["m"] for r in sorted(mean_rows, key=lambda r: r["pos"])]
     dim = len(mean)
-    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    mean_lit = _lit_vec(mean)
     xc = F.zip_with(
         F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
     )
@@ -758,7 +760,7 @@ def pca_fit(
 
     v = [1.0] + [0.0] * (dim - 1)
     for _ in range(iters):
-        vlit = F.array(*[F.lit(float(c)) for c in v])
+        vlit = _lit_vec(v)
         t = centered.select("___xc", dot(F.col("___xc"), vlit).alias("___u"))
         w_rows = (
             t.select(F.posexplode("___xc").alias("pos", "x"), "___u")

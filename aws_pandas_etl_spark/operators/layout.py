@@ -29,7 +29,9 @@ def _bucket(col: Column, bounds: list[float], bits: int) -> Column:
     """Rank-normalize a column to [0, 2^bits) via precomputed quantile
     boundaries: bucket = #boundaries <= x (codegen ``filter``+``size``
     over a literal array — no join, no window, no second shuffle)."""
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    from aws_pandas_etl_spark.operators.similarity import _lit_array
+
+    arr = _lit_array(bounds)  # one parsed expr, not len(bounds) py4j lits
     n = F.size(F.filter(arr, lambda b: b <= col.cast("double")))
     return F.least(n, F.lit((1 << bits) - 1)).cast("bigint")
 

@@ -53,7 +53,23 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _lit_array(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    """Array-of-double literal built as ONE parsed expression instead
+    of len(vals) py4j ``lit()`` round trips (r16 driver profile: the
+    per-element path cost ~1-2 s of pure driver time per k x dim
+    centroid table — guide §5, the driver should do almost no work;
+    ~6000 socket round trips collapse to one).  ``repr`` is Python's
+    shortest-round-trip float formatting and the JVM parses double
+    literals exactly, so every element is the identical IEEE double
+    the ``lit()`` path produced.  Non-finite values have no SQL
+    literal form and fall back to the per-element path."""
+    fv = [float(v) for v in vals]
+    if not fv or any(v != v or v in (_INF, _NINF) for v in fv):
+        return F.array(*[F.lit(v) for v in fv])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in fv) + ")")
+
+
+_INF = float("inf")
+_NINF = float("-inf")
 
 
 def topk_bruteforce(

@@ -7476,8 +7476,8 @@ def pca_projection_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     mean, v = _pca_fit_cached(spark, sf_dir)
-    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
-    vlit = F.array(*[F.lit(float(c)) for c in v])
+    mean_lit = SIM._lit_array(mean)
+    vlit = SIM._lit_array(v)
     xc = F.zip_with(F.col("embedding"), mean_lit, lambda x, m: x.cast("double") - m)
     proj = F.round(_dot(xc, vlit), 6)
     return (
@@ -15296,7 +15296,7 @@ def _pq_adc_expr(
                 d = x - float(c)
                 acc = acc + d * d
             lut[cid] = acc
-        lut_lit = F.array(*[F.lit(v) for v in lut])
+        lut_lit = SIM._lit_array(lut)  # one parsed expr (r16)
         terms.append(F.element_at(lut_lit, F.col(f"code_{s}") + 1))
     return ((terms[0] + terms[1]) + terms[2]) + terms[3]
 
@@ -18419,8 +18419,12 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _assign(n_shards: int) -> F.Column:
         pos, shards = _ring_tables(n_shards)
-        parr = F.array(*[F.lit(p) for p in pos])
-        sarr = F.array(*[F.lit(s) for s in shards])
+        # one parsed expression per ring table instead of |ring| py4j
+        # lit() calls (r16 driver profile: ~1100 round trips here);
+        # bare integer literals type exactly like lit(int) — INT when
+        # they fit, BIGINT otherwise — so the arrays are unchanged
+        parr = F.expr("array(" + ",".join(str(p) for p in pos) + ")")
+        sarr = F.expr("array(" + ",".join(str(s) for s in shards) + ")")
         idx = F.size(F.filter(parr, lambda p: p < F.col("kh"))) + 1
         wrapped = F.when(idx > len(pos), F.lit(1)).otherwise(idx)
         return F.element_at(sarr, wrapped)
@@ -19553,7 +19557,7 @@ def pq_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_ADC_TOP)
         .select("vec_id")
     )
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = SIM._lit_array(qvec)  # one parsed expr (r16)
     bf = (
         emb.filter(F.col("vec_id") != PQ_QUERY_VEC)
         .select(
@@ -19806,7 +19810,7 @@ def time_decayed_event_type_scores(
         "event_type", F.to_date("ts").alias("d")
     )
     ref = ev.agg(F.max("d")).first()[0]
-    warr = F.array(*[F.lit(w) for w in _DECAY_WEIGHTS])
+    warr = SIM._lit_array(_DECAY_WEIGHTS)  # one parsed expr (r16)
     age = F.datediff(F.lit(ref), F.col("d"))
     return (
         ev.select("event_type", age.alias("age"))

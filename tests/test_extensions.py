@@ -1834,3 +1834,33 @@ def test_winnowing_beyond_packed_bound_fingerprints_correctly(spark):
         assert insert_at - 1 <= pos_of_big[fp] <= insert_at + len(
             passage.split()
         ), (fp, pos_of_big[fp])
+
+
+def test_lit_array_expr_path_bit_exact(spark):
+    """The r16 fast literal-array builder (one parsed expression
+    instead of len(vals) py4j lit() calls) must produce bit-identical
+    doubles to the per-element lit() path — repr() is shortest
+    round-trip and the JVM double parser is exact; non-finite values
+    take the lit() fallback."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from aws_pandas_etl_spark.operators.similarity import _lit_array
+
+    tricky = [
+        0.0, -0.0, 1.0, -1.5, 1e-7, -1e-7, 1e300, -1e300, 5e-324,
+        2.2250738585072014e-308, 0.1, 1 / 3, math.pi, -math.pi,
+        123456789.123456789, 9.869604401089358,
+    ]
+    slow = F.array(*[F.lit(float(v)) for v in tricky])
+    fast = _lit_array(tricky)
+    row = spark.range(1).select(slow.alias("s"), fast.alias("f")).first()
+    bits = lambda xs: [struct.pack("<d", x) for x in xs]
+    assert bits(row["s"]) == bits(row["f"])
+
+    # non-finite fallback still works (lit path handles inf/nan)
+    nf = _lit_array([1.0, float("inf")])
+    got = spark.range(1).select(nf.alias("x")).first()["x"]
+    assert got[0] == 1.0 and math.isinf(got[1])
