@@ -3552,18 +3552,26 @@ def q7_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
-    n1 = load_table(spark, sf_dir, "nation")
-    n2 = load_table(spark, sf_dir, "nation")
-    r1 = load_table(spark, sf_dir, "region").withColumnRenamed("r_name", "supp_region")
-    r2 = load_table(spark, sf_dir, "region").withColumnRenamed("r_name", "cust_region")
+    # the two nation/region copies come from the SAME memoized
+    # load_table plan (r16 DataFrame cache), so each side carries an
+    # explicit alias and the join conditions use qualified refs — the
+    # documented self-join pattern; resolved plan unchanged
+    n1 = load_table(spark, sf_dir, "nation").alias("q7n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("q7n2")
+    r1 = load_table(spark, sf_dir, "region").withColumnRenamed(
+        "r_name", "supp_region"
+    ).alias("q7r1")
+    r2 = load_table(spark, sf_dir, "region").withColumnRenamed(
+        "r_name", "cust_region"
+    ).alias("q7r2")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), supp.s_nationkey == n1.n_nationkey)
-        .join(F.broadcast(n2), cust.c_nationkey == n2["n_nationkey"])
-        .join(F.broadcast(r1), n1.n_regionkey == r1.r_regionkey)
-        .join(F.broadcast(r2), n2["n_regionkey"] == r2.r_regionkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("q7n1.n_nationkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("q7n2.n_nationkey"))
+        .join(F.broadcast(r1), F.col("q7n1.n_regionkey") == F.col("q7r1.r_regionkey"))
+        .join(F.broadcast(r2), F.col("q7n2.n_regionkey") == F.col("q7r2.r_regionkey"))
         .filter(
             ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
             | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
@@ -3619,10 +3627,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
-    n1 = load_table(spark, sf_dir, "nation")
-    n2 = load_table(spark, sf_dir, "nation")
-    r1 = load_table(spark, sf_dir, "region").withColumnRenamed("r_name", "supp_region")
-    r2 = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # same-object nation/region copies (memoized load_table) — alias
+    # both sides, qualified join refs; resolved plan unchanged (r16)
+    n1 = load_table(spark, sf_dir, "nation").alias("q8n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("q8n2")
+    r1 = load_table(spark, sf_dir, "region").withColumnRenamed(
+        "r_name", "supp_region"
+    ).alias("q8r1")
+    r2 = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).alias("q8r2")
     vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
         "decimal(18,6)"
     )
@@ -3630,10 +3644,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), supp.s_nationkey == n1.n_nationkey)
-        .join(F.broadcast(n2), cust.c_nationkey == n2["n_nationkey"])
-        .join(F.broadcast(r2), n2["n_regionkey"] == r2.r_regionkey)
-        .join(F.broadcast(r1), n1.n_regionkey == r1.r_regionkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("q8n1.n_nationkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("q8n2.n_nationkey"))
+        .join(F.broadcast(r2), F.col("q8n2.n_regionkey") == F.col("q8r2.r_regionkey"))
+        .join(F.broadcast(r1), F.col("q8n1.n_regionkey") == F.col("q8r1.r_regionkey"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             F.when(F.col("supp_region") == "ASIA", vol)

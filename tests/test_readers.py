@@ -574,6 +574,12 @@ def test_fingerprint_invalidates_on_nested_rewrite(spark, tmp_path):
     os.replace(
         os.path.join(sf_dir, "tmp1", tmp_leaf), os.path.join(part0, leaf)
     )
+    # drop Hadoop's checksum sidecar for the replaced leaf — it still
+    # describes the OLD bytes and local reads would fail on it (the
+    # rewrite-in-place here is test plumbing, not an engine path)
+    crc = os.path.join(part0, f".{leaf}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     future = _time.time() + 5
     os.utime(os.path.join(part0, leaf), (future, future))
     for p, st in stats.items():
